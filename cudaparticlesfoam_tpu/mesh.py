@@ -1,0 +1,352 @@
+"""Tetrahedral mesh container and builders.
+
+TPU-native re-design of the reference's ``HostTetMesh`` / ``DeviceTetMesh``
+(``third_party/RTXAdvect/cuda/HostTetMesh.h``, ``DeviceTetMesh.cuh``): the
+mesh is an immutable structure-of-arrays pytree of device arrays, plus a
+precomputed **walk table** so the hot tet-walk kernel does exactly one row
+gather per hop instead of the reference's pointer-chasing
+(tet -> tetfacets -> faceinfos -> facets -> 3 vertex fetches,
+``query/RTQuery.cu:35-90``):
+
+* ``tet_a`` / ``tet_tinv``   — barycentric coords via one 3x3 matvec
+* ``tet_nbr``                — neighbor tet across each local face
+                               (negative = boundary, encodes -(bdFace+1))
+* ``tet_face_n``/``tet_face_d`` — outward unit face planes for reflection
+
+Face/topology construction mirrors ``HostTetMesh::getBoundaryMesh``
+(``HostTetMesh.h:265-430``): faces deduped by sorted vertex key, front/back
+adjacency by orientation parity, boundary = faces seen once.  The O(n log n)
+vectorized dedup replaces the reference's std::map loop.
+
+Local face ordering is the reference's Gmsh order (``HostTetMesh.h:350-358``):
+slot i is the face opposite vertex i, so ``argmin(bary)`` indexes the exit
+slot directly.  Tets are canonicalized to positive volume up-front (the
+reference reorients per-face during table build, ``HostTetMesh.h:334-343``,
+with identical resulting adjacency for well-formed meshes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .dtypes import canonical_float
+from .utils.pytree import pytree_dataclass
+
+# Gmsh-order local faces: slot i opposite vertex i; outward-oriented for
+# positive-volume tets (HostTetMesh.h:350-358).
+FACE_SLOTS = np.array([[1, 2, 3], [2, 0, 3], [0, 1, 3], [0, 2, 1]], dtype=np.int64)
+
+
+@pytree_dataclass(meta_fields=("n_points", "n_tets", "n_faces", "n_bd_faces"))
+class TetMesh:
+    # --- core SoA (reference HostTetMesh.h:33-60) ---
+    points: jnp.ndarray        # [nv, 3] float
+    tets: jnp.ndarray          # [nt, 4] int32, positive volume
+    tet_vel: jnp.ndarray       # [nt, 3] float   (RT0 / "TetVelocity")
+    vert_vel: jnp.ndarray      # [nv, 3] float   (Pk / "VertexVelocity")
+    faces: jnp.ndarray         # [nf, 3] int32, sorted vertex ids
+    tet_faces: jnp.ndarray     # [nt, 4] int32  tet -> global face id
+    face_front: jnp.ndarray    # [nf] int32  (negative -(bd+1) at boundary)
+    face_back: jnp.ndarray     # [nf] int32
+    # --- walk table ---
+    tet_a: jnp.ndarray         # [nt, 3]  first vertex position
+    tet_tinv: jnp.ndarray      # [nt, 3, 3]  inverse edge matrix
+    tet_nbr: jnp.ndarray       # [nt, 4] int32 neighbor (or -(bdFace+1))
+    tet_face_n: jnp.ndarray    # [nt, 4, 3] outward unit normals
+    tet_face_d: jnp.ndarray    # [nt, 4] plane offsets (n.x = d)
+    # --- boundary surface mesh (for I/O + tagged BCs) ---
+    bd_tris: jnp.ndarray       # [nbd, 3] int32 into points, outward-oriented
+    bd_tet: jnp.ndarray        # [nbd] int32 owning tet
+    bd_patch: jnp.ndarray      # [nbd] int32 patch/region tag (0 = untagged)
+    # --- bounds ---
+    bounds_lo: jnp.ndarray     # [3]
+    bounds_hi: jnp.ndarray     # [3]
+    # --- static meta ---
+    n_points: int
+    n_tets: int
+    n_faces: int
+    n_bd_faces: int
+
+    @property
+    def dtype(self):
+        return self.points.dtype
+
+
+# ---------------------------------------------------------------------------
+# host-side (numpy) construction
+# ---------------------------------------------------------------------------
+
+
+def _canonicalize_winding(points: np.ndarray, tets: np.ndarray) -> np.ndarray:
+    """Swap first two vertices of negative-volume tets (HostTetMesh.h:334-343).
+
+    Degenerate (zero-volume) tets are left as-is; like the reference they get
+    no usable faces and should not appear in valid inputs.
+    """
+    a, b, c, d = (points[tets[:, i]] for i in range(4))
+    vol = np.einsum("ij,ij->i", d - a, np.cross(b - a, c - a))
+    tets = tets.copy()
+    neg = vol < 0.0
+    tets[neg, 0], tets[neg, 1] = tets[neg, 1].copy(), tets[neg, 0].copy()
+    return tets
+
+
+def build_face_tables(tets: np.ndarray):
+    """Vectorized shared-face construction.
+
+    Returns (faces[nf,3] sorted ids, tet_faces[nt,4], face_front[nf],
+    face_back[nf], bd_face_ids, bd_tet, bd_slot) with the reference's
+    front/back orientation-parity semantics (``HostTetMesh.h:265-304``):
+    a tet is the *front* of a face iff sorting the Gmsh-order face triple
+    ascending takes an odd number of swaps.  Boundary faces get their missing
+    side filled with -(bdID+1) (1-based, ``HostTetMesh.h:393-411``).
+    """
+    nt = tets.shape[0]
+    slot_faces = tets[:, FACE_SLOTS]                     # [nt, 4, 3]
+    flat = slot_faces.reshape(-1, 3)                     # [4nt, 3]
+
+    # orientation parity via the reference's 3-step sorting network
+    f = flat.copy()
+    front = np.zeros(len(f), dtype=bool)                 # starts False
+    for i, j in ((0, 2), (1, 2), (0, 1)):
+        swap = f[:, i] > f[:, j]
+        fi, fj = f[swap, i].copy(), f[swap, j].copy()
+        f[swap, i], f[swap, j] = fj, fi
+        front ^= swap
+    sorted_faces = f                                     # ascending triples
+
+    # dedup by sorted triple
+    faces, inverse, counts = np.unique(
+        sorted_faces, axis=0, return_inverse=True, return_counts=True
+    )
+    inverse = inverse.reshape(nt, 4)
+    tet_faces = inverse.astype(np.int32)
+
+    tet_ids = np.repeat(np.arange(nt, dtype=np.int32), 4)
+    face_front = np.full(len(faces), -1, dtype=np.int32)
+    face_back = np.full(len(faces), -1, dtype=np.int32)
+    front_flat = front
+    inv_flat = inverse.reshape(-1)
+    face_front[inv_flat[front_flat]] = tet_ids[front_flat]
+    face_back[inv_flat[~front_flat]] = tet_ids[~front_flat]
+
+    # boundary faces: seen exactly once; number them in face-id order
+    bd_mask = counts == 1
+    bd_face_ids = np.nonzero(bd_mask)[0].astype(np.int32)
+    bd_code = np.zeros(len(faces), dtype=np.int32)
+    bd_code[bd_face_ids] = -(np.arange(len(bd_face_ids), dtype=np.int32) + 1)
+    missing_front = bd_mask & (face_front == -1)
+    missing_back = bd_mask & (face_back == -1)
+    face_front[missing_front] = bd_code[missing_front]
+    face_back[missing_back] = bd_code[missing_back]
+
+    # owning (tet, slot) of each boundary face
+    # For a boundary face there is exactly one incidence.
+    order = np.argsort(inv_flat, kind="stable")
+    first_idx = np.searchsorted(inv_flat[order], bd_face_ids)
+    owner_flat = order[first_idx]
+    bd_tet = (owner_flat // 4).astype(np.int32)
+    bd_slot = (owner_flat % 4).astype(np.int32)
+
+    return faces.astype(np.int32), tet_faces, face_front, face_back, bd_face_ids, bd_tet, bd_slot
+
+
+def _build_walk_table(points, tets, tet_faces, face_front, face_back, bd_face_ids):
+    """Precompute per-tet hop data: Tinv, neighbor ids, outward face planes."""
+    a = points[tets[:, 0]]
+    b = points[tets[:, 1]]
+    c = points[tets[:, 2]]
+    d = points[tets[:, 3]]
+    m = np.stack([b - a, c - a, d - a], axis=-1)         # [nt,3,3]
+    tinv = np.linalg.inv(m)
+
+    # neighbor across slot face: the faceinfo side that isn't me; boundary
+    # sides already hold -(bdID+1) so they flow through as negative codes —
+    # but re-encode them as -(bdFaceSlot+1) in *boundary-face numbering* so a
+    # negative neighbor identifies the boundary face (data-driven BCs).
+    nf_front = face_front[tet_faces]                     # [nt,4]
+    nf_back = face_back[tet_faces]
+    tet_ids = np.arange(tets.shape[0], dtype=np.int32)[:, None]
+    nbr = np.where(nf_front == tet_ids, nf_back, nf_front).astype(np.int32)
+    # map negative bd codes (per-face numbering is already -(bdID+1)) as-is.
+
+    # outward face planes from Gmsh-slot orientation (positive tets)
+    slot_pts = points[tets[:, FACE_SLOTS]]               # [nt,4,3verts,3]
+    p0, p1, p2 = slot_pts[:, :, 0], slot_pts[:, :, 1], slot_pts[:, :, 2]
+    n = np.cross(p1 - p0, p2 - p0)
+    n = n / np.linalg.norm(n, axis=-1, keepdims=True)
+    dpl = np.einsum("ntk,ntk->nt", n, p0)
+    return a, tinv, nbr, n, dpl
+
+
+def from_arrays(
+    points: np.ndarray,
+    tets: np.ndarray,
+    tet_vel: np.ndarray | None = None,
+    vert_vel: np.ndarray | None = None,
+    bd_patch: np.ndarray | None = None,
+    dtype=None,
+) -> TetMesh:
+    """Build a :class:`TetMesh` from raw numpy arrays.
+
+    ``bd_patch``: optional per-boundary-face patch tags keyed by the
+    boundary-face ordering produced here (use :func:`boundary_face_centroids`
+    to map external patch data onto it).
+    """
+    fdtype = canonical_float(dtype)
+    points = np.asarray(points, dtype=np.float64)
+    tets = np.asarray(tets, dtype=np.int64)
+    tets = _canonicalize_winding(points, tets)
+
+    faces, tet_faces, face_front, face_back, bd_face_ids, bd_tet, bd_slot = (
+        build_face_tables(tets)
+    )
+    a, tinv, nbr, n, dpl = _build_walk_table(
+        points, tets, tet_faces, face_front, face_back, bd_face_ids
+    )
+
+    nv, nt, nf, nbd = len(points), len(tets), len(faces), len(bd_face_ids)
+    if tet_vel is None:
+        tet_vel = np.zeros((nt, 3))
+    if vert_vel is None:
+        vert_vel = np.zeros((nv, 3))
+    if bd_patch is None:
+        bd_patch = np.zeros(nbd, dtype=np.int32)
+
+    # outward-oriented boundary triangles = the owning tet's Gmsh slot face
+    bd_tris = tets[bd_tet[:, None], FACE_SLOTS[bd_slot]].astype(np.int32)
+
+    lo = points.min(axis=0) if nv else np.zeros(3)
+    hi = points.max(axis=0) if nv else np.zeros(3)
+
+    as_f = lambda x: jnp.asarray(x, dtype=fdtype)
+    as_i = lambda x: jnp.asarray(x, dtype=jnp.int32)
+    return TetMesh(
+        points=as_f(points),
+        tets=as_i(tets),
+        tet_vel=as_f(tet_vel),
+        vert_vel=as_f(vert_vel),
+        faces=as_i(faces),
+        tet_faces=as_i(tet_faces),
+        face_front=as_i(face_front),
+        face_back=as_i(face_back),
+        tet_a=as_f(a),
+        tet_tinv=as_f(tinv),
+        tet_nbr=as_i(nbr),
+        tet_face_n=as_f(n),
+        tet_face_d=as_f(dpl),
+        bd_tris=as_i(bd_tris),
+        bd_tet=as_i(bd_tet),
+        bd_patch=as_i(bd_patch),
+        bounds_lo=as_f(lo),
+        bounds_hi=as_f(hi),
+        n_points=nv,
+        n_tets=nt,
+        n_faces=nf,
+        n_bd_faces=nbd,
+    )
+
+
+# ---------------------------------------------------------------------------
+# builders / fixtures
+# ---------------------------------------------------------------------------
+
+
+def box_mesh(nx: int, ny: int, nz: int, dtype=None) -> TetMesh:
+    """Synthetic box fixture: nx*ny*nz hexes, 6 tets each, radial velocity.
+
+    Bit-matches the reference's ``HostTetMesh::createBoxMesh``
+    (``HostTetMesh.h:62-144``): unit-spaced vertices over [0,n]^3, the 6-tet
+    Kuhn split per hex in the same vertex order, per-vertex velocity
+    normalize(pos - center) (with the center vertex itself set to (1,0,0)).
+    """
+    xs = np.arange(nx + 1, dtype=np.float64)
+    ys = np.arange(ny + 1, dtype=np.float64)
+    zs = np.arange(nz + 1, dtype=np.float64)
+    Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
+    points = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
+
+    center = np.array([nx, ny, nz], dtype=np.float64) / 2.0
+    rel = points - center
+    norm = np.linalg.norm(rel, axis=-1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vert_vel = np.where(norm > 0.0, rel / norm, np.array([1.0, 0.0, 0.0]))
+
+    iz, iy, ix = np.meshgrid(
+        np.arange(nz), np.arange(ny), np.arange(nx), indexing="ij"
+    )
+    v0 = (iz * (nx + 1) * (ny + 1) + iy * (nx + 1) + ix).ravel()
+    v1 = v0 + 1
+    v2 = v0 + (nx + 1)
+    v3 = v1 + (nx + 1)
+    v4 = v0 + (nx + 1) * (ny + 1)
+    v5 = v1 + (nx + 1) * (ny + 1)
+    v6 = v2 + (nx + 1) * (ny + 1)
+    v7 = v3 + (nx + 1) * (ny + 1)
+    # same 6-tet split as HostTetMesh.h:131-136
+    tets = np.stack(
+        [
+            np.stack([v0, v1, v3, v7], axis=-1),
+            np.stack([v0, v1, v7, v5], axis=-1),
+            np.stack([v0, v5, v7, v4], axis=-1),
+            np.stack([v0, v3, v2, v7], axis=-1),
+            np.stack([v0, v6, v4, v7], axis=-1),
+            np.stack([v0, v2, v6, v7], axis=-1),
+        ],
+        axis=1,
+    ).reshape(-1, 4)
+
+    # per-tet velocity: vertex average (for the TetVelocity fast path)
+    tet_vel = vert_vel[tets].mean(axis=1)
+    return from_arrays(points, tets, tet_vel=tet_vel, vert_vel=vert_vel, dtype=dtype)
+
+
+def read_dataset(
+    vert_fname: str,
+    cell_fname: str,
+    solv_fname: str | None = None,
+    solc_fname: str | None = None,
+    dtype=None,
+) -> TetMesh:
+    """ASCII vert/cell/solution reader (``HostTetMesh::readDataSet``,
+    ``HostTetMesh.h:146-262``): vert.dat (header + xyz rows), cell.dat
+    (header + 4 ids), solution.dat (p u v w rows, per-vertex or per-cell)."""
+    with open(vert_fname) as fh:
+        header = fh.readline().split()
+        nv = int(header[-1])
+        fh.readline()  # column comment
+        points = np.loadtxt(fh, max_rows=nv)
+    with open(cell_fname) as fh:
+        header = fh.readline().split()
+        nt = int(header[-1])
+        fh.readline()
+        tets = np.loadtxt(fh, dtype=np.int64, max_rows=nt)
+
+    vert_vel = None
+    tet_vel = None
+    if solv_fname:
+        with open(solv_fname) as fh:
+            fh.readline()
+            sol = np.loadtxt(fh, max_rows=nv)
+        vert_vel = sol[:, 1:4]
+    elif solc_fname:
+        with open(solc_fname) as fh:
+            fh.readline()
+            sol = np.loadtxt(fh, max_rows=nt)
+        tet_vel = sol[:, 1:4]
+
+    return from_arrays(points, tets, tet_vel=tet_vel, vert_vel=vert_vel, dtype=dtype)
+
+
+def replace_velocity(mesh: TetMesh, tet_vel=None, vert_vel=None) -> TetMesh:
+    """Functional velocity refresh (replaces ``cudaUpdateVelocity``,
+    ``particles.cu:733-749``): returns a mesh with new velocity arrays."""
+    import dataclasses
+
+    kw = {}
+    if tet_vel is not None:
+        kw["tet_vel"] = jnp.asarray(tet_vel, dtype=mesh.dtype)
+    if vert_vel is not None:
+        kw["vert_vel"] = jnp.asarray(vert_vel, dtype=mesh.dtype)
+    return dataclasses.replace(mesh, **kw)

@@ -1,0 +1,124 @@
+"""The fused particle stepper.
+
+The reference's per-cycle hot loop (``src/advect.H:86-184``) is six
+synchronized kernel launches: advect -> brownian -> locate -> reflect ->
+move (each with a full ``cudaDeviceSynchronize``).  Here the whole
+sub-cycling loop is ONE compiled XLA program: a ``lax.fori_loop`` over
+``n_cycles`` of the fused cycle, with zero host round-trips and zero
+device syncs inside.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .mesh import TetMesh
+from .state import ParticleState
+from .ops import advect as advect_ops
+from .ops import locate as locate_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Static per-run knobs (hashable; changing them recompiles).
+
+    Mirrors the reference's config surface: the ``cudaParticlesDict`` keys
+    (``src/initCuda.H:50-57``) plus the hardcoded toggles that should have
+    been config (``src/initCuda.H:64-72``), promoted to real options.
+    """
+
+    dt: float = 1e-4
+    diffusion_coeff: float = 5.7e-6
+    use_advection: bool = True            # usingAdvection
+    use_brownian: bool = True             # usingBrownianMotion
+    reflect_wall: bool = True             # reflectWall
+    velocity_interp: str = advect_ops.TET_VELOCITY  # VelocityInterpMethod
+    max_hops: int = locate_ops.MAX_HOPS   # RTQuery.cu:42
+    max_bounces: int = 10                 # RTQuery.cu:131
+
+
+def cycle(mesh: TetMesh, state: ParticleState, cfg: StepConfig, dt) -> ParticleState:
+    """One Lagrangian sub-step (one iteration of ``advect.H:86-184``)."""
+    pos, vel, disp = state.pos, state.vel, state.disp
+    tet_id, active = state.tet_id, state.active
+
+    # advect: disp = dt * u(x); kills lanes with negative tet ids
+    if cfg.use_advection:
+        disp, vel, active = advect_ops.advect(
+            mesh, pos, vel, tet_id, active, dt, cfg.velocity_interp
+        )
+
+    # brownian: disp += sqrt(2 D dt) N(0,1)
+    if cfg.use_brownian:
+        key = jax.random.fold_in(state.rng_key, state.step)
+        disp = advect_ops.brownian(disp, active, key, dt, cfg.diffusion_coeff)
+
+    # locate: walk from previous tet to pos + disp
+    tet_id, _ = locate_ops.walk(
+        mesh, pos + disp, tet_id, max_hops=cfg.max_hops
+    )
+
+    # reflect wall hits (specular, all boundaries — reference TODO semantics)
+    if cfg.reflect_wall:
+        disp, vel, tet_id = locate_ops.reflect_walls(
+            mesh, pos, disp, vel, tet_id, max_bounces=cfg.max_bounces
+        )
+
+    # move: pos += disp; disp = 0
+    pos, disp = advect_ops.move(pos, disp, active)
+
+    return dataclasses.replace(
+        state,
+        pos=pos,
+        vel=vel,
+        disp=disp,
+        tet_id=tet_id,
+        active=active,
+        step=state.step + 1,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_cycles"))
+def run_cycles(
+    mesh: TetMesh, state: ParticleState, cfg: StepConfig, n_cycles: int, dt=None
+) -> ParticleState:
+    """``n_cycles`` fused sub-steps as one compiled program.
+
+    ``dt`` defaults to cfg.dt; pass the Eulerian ``cycleDt`` for coupled runs
+    (``advect.H:36-37``: nCycles = ceil(deltaT/dt), cycleDt = deltaT/nCycles).
+    """
+    dt = jnp.asarray(cfg.dt if dt is None else dt, dtype=state.dtype)
+
+    def body(_, st):
+        return cycle(mesh, st, cfg, dt)
+
+    return lax.fori_loop(0, n_cycles, body, state)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def step_once(mesh: TetMesh, state: ParticleState, cfg: StepConfig, dt) -> ParticleState:
+    """Single sub-step (jitted), for tests and interactive use."""
+    return cycle(mesh, state, cfg, jnp.asarray(dt, dtype=state.dtype))
+
+
+def n_cycles_for(delta_t_euler: float, dt_lagrange: float) -> tuple[int, float]:
+    """Sub-cycling split (``advect.H:36-37``)."""
+    import math
+
+    n = max(int(math.ceil(delta_t_euler / dt_lagrange)), 1)
+    return n, delta_t_euler / n
+
+
+def diagnostics(state: ParticleState) -> dict:
+    """Out-of-domain count + system KE (the reference prints these at
+    ``particles.cu:770`` and ``utils.cpp:258``)."""
+    return {
+        "out_of_domain": advect_ops.count_out_of_domain(state.tet_id),
+        "kinetic_energy": advect_ops.kinetic_energy(state.vel),
+        "active": jnp.sum(state.active.astype(jnp.int32)),
+    }

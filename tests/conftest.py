@@ -1,0 +1,15 @@
+"""Test harness config: CPU backend with 8 virtual devices (multi-chip
+sharding tests without TPU hardware) and x64 for reference-parity numerics."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)

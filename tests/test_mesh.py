@@ -1,0 +1,144 @@
+"""Mesh construction tests: face tables, adjacency, boundary extraction,
+box fixture parity with HostTetMesh::createBoxMesh / getBoundaryMesh."""
+
+import numpy as np
+import pytest
+
+from cudaparticlesfoam_tpu import mesh as meshlib
+
+
+def unit_tet_mesh():
+    points = np.array(
+        [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    )
+    tets = np.array([[0, 1, 2, 3]])
+    return meshlib.from_arrays(points, tets)
+
+
+def two_tet_mesh():
+    # two tets sharing face (0,1,2)
+    points = np.array(
+        [
+            [0.0, 0.0, 0.0],
+            [1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0],
+            [0.3, 0.3, -1.0],
+        ]
+    )
+    tets = np.array([[0, 1, 2, 3], [0, 2, 1, 4]])
+    return meshlib.from_arrays(points, tets)
+
+
+def test_single_tet_counts():
+    m = unit_tet_mesh()
+    assert m.n_tets == 1
+    assert m.n_faces == 4
+    assert m.n_bd_faces == 4
+    # every neighbor is a boundary code
+    assert (np.asarray(m.tet_nbr) < 0).all()
+
+
+def test_two_tet_adjacency():
+    m = two_tet_mesh()
+    assert m.n_tets == 2
+    assert m.n_faces == 7
+    assert m.n_bd_faces == 6
+    nbr = np.asarray(m.tet_nbr)
+    # exactly one interior face each, pointing at the other tet
+    assert (nbr[0] == 1).sum() == 1
+    assert (nbr[1] == 0).sum() == 1
+    # shared face is opposite vertex D in tet 0 (slot 3: face 0,2,1)
+    assert nbr[0, 3] == 1
+
+
+def test_front_back_consistency():
+    m = two_tet_mesh()
+    front = np.asarray(m.face_front)
+    back = np.asarray(m.face_back)
+    faces = np.asarray(m.faces)
+    # each face has at least one real tet side; shared face has both
+    for f in range(m.n_faces):
+        sides = [s for s in (front[f], back[f]) if s >= 0]
+        assert len(sides) in (1, 2)
+    # interior face: both sides real and different
+    interior = [(f, front[f], back[f]) for f in range(m.n_faces)
+                if front[f] >= 0 and back[f] >= 0]
+    assert len(interior) == 1
+    _, fr, bk = interior[0]
+    assert {fr, bk} == {0, 1}
+
+
+def test_winding_canonicalization():
+    # negative-volume input tet gets fixed; tables identical to positive one
+    points = np.array(
+        [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    )
+    m_neg = meshlib.from_arrays(points, np.array([[1, 0, 2, 3]]))
+    a, b, c, d = (points[np.asarray(m_neg.tets)[0][i]] for i in range(4))
+    vol = np.dot(d - a, np.cross(b - a, c - a))
+    assert vol > 0
+
+
+def test_outward_normals_unit_tet():
+    m = unit_tet_mesh()
+    n = np.asarray(m.tet_face_n)[0]   # [4,3]
+    d = np.asarray(m.tet_face_d)[0]
+    centroid = np.array([0.25, 0.25, 0.25]) / 1.0
+    # centroid strictly inside: n.c - d < 0 for all outward planes
+    assert ((n @ centroid) - d < 0).all()
+    # slot i is opposite vertex i: vertex i on negative side, others on plane
+    verts = np.asarray(m.points)[np.asarray(m.tets)[0]]
+    for slot in range(4):
+        dist = verts @ n[slot] - d[slot]
+        assert dist[slot] < -1e-12
+        others = np.delete(dist, slot)
+        np.testing.assert_allclose(others, 0.0, atol=1e-12)
+
+
+def test_box_mesh_reference_layout():
+    m = meshlib.box_mesh(2, 2, 2)
+    # 8 hexes * 6 tets, 27 verts (HostTetMesh.h:62-144)
+    assert m.n_tets == 48
+    assert m.n_points == 27
+    pts = np.asarray(m.points)
+    # vertex ordering: x fastest, then y, then z
+    np.testing.assert_allclose(pts[0], [0, 0, 0])
+    np.testing.assert_allclose(pts[1], [1, 0, 0])
+    np.testing.assert_allclose(pts[3], [0, 1, 0])
+    np.testing.assert_allclose(pts[9], [0, 0, 1])
+    # center vertex has velocity (1,0,0)
+    vv = np.asarray(m.vert_vel)
+    cidx = 13  # (1,1,1) in a 3^3 grid
+    np.testing.assert_allclose(pts[cidx], [1, 1, 1])
+    np.testing.assert_allclose(vv[cidx], [1, 0, 0])
+    # corner velocity is normalized radial
+    np.testing.assert_allclose(vv[0], -np.ones(3) / np.sqrt(3), atol=1e-12)
+    # all tets positive volume
+    a, b, c, d = (pts[np.asarray(m.tets)[:, i]] for i in range(4))
+    vols = np.einsum("ij,ij->i", d - a, np.cross(b - a, c - a))
+    assert (vols > 0).all()
+    # total volume = box volume
+    assert vols.sum() / 6.0 == pytest.approx(8.0)
+    # boundary of a box: 2 tris per square face * 6 faces * (2*2) = 48
+    assert m.n_bd_faces == 48
+
+
+def test_box_mesh_boundary_tris_outward():
+    m = meshlib.box_mesh(1, 1, 1)
+    pts = np.asarray(m.points)
+    tris = np.asarray(m.bd_tris)
+    centroid = pts.mean(axis=0)
+    for t in tris:
+        a, b, c = pts[t[0]], pts[t[1]], pts[t[2]]
+        n = np.cross(b - a, c - a)
+        assert np.dot(n, a - centroid) > 0  # outward
+
+
+def test_replace_velocity():
+    m = meshlib.box_mesh(1, 1, 1)
+    new_tv = np.ones((m.n_tets, 3))
+    m2 = meshlib.replace_velocity(m, tet_vel=new_tv)
+    np.testing.assert_allclose(np.asarray(m2.tet_vel), 1.0)
+    # untouched fields shared
+    assert m2.points is m.points
