@@ -1,0 +1,522 @@
+"""OpenFOAM polyMesh reader/writer + tetrahedralization bridge.
+
+This is the TPU-native replacement for the solver-embedded OpenFOAM->CUDA
+mesh bridge (``src/initCuda.H:74-124``): read ``constant/polyMesh`` directly
+in Python, compute OpenFOAM-identical face/cell centres, decompose every
+cell into tets around its centre (the reference calls
+``polyMeshTetDecomposition::cellTetIndices``: per cell face, fan triangles
+with the cell centre as apex — 12 tets per hex), and hand the arrays to
+:func:`cudaparticlesfoam_tpu.mesh.from_arrays`.
+
+Boundary patch names/types are carried through onto the tet-mesh boundary
+faces (``bd_patch``), which turns the reference's reflect-at-all-boundaries
+TODO (``RTQuery.cu:165-166``) into data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+
+import numpy as np
+
+from . import foamfile
+
+
+def _nums(text: str, dtype=np.float64) -> np.ndarray:
+    """Fast whitespace-separated number parsing (paren chars -> spaces)."""
+    cleaned = text.replace("(", " ").replace(")", " ")
+    return np.array(cleaned.split(), dtype=dtype)
+
+
+@dataclasses.dataclass
+class PolyMesh:
+    points: np.ndarray        # [np, 3] float64
+    face_verts: np.ndarray    # flat vertex ids
+    face_offsets: np.ndarray  # [nfaces+1]
+    owner: np.ndarray         # [nfaces]
+    neighbour: np.ndarray     # [n_internal]
+    patches: list             # [(name, type, start_face, n_faces)]
+
+    @property
+    def n_faces(self):
+        return len(self.face_offsets) - 1
+
+    @property
+    def n_internal_faces(self):
+        return len(self.neighbour)
+
+    @property
+    def n_cells(self):
+        n = int(self.owner.max()) + 1 if len(self.owner) else 0
+        if len(self.neighbour):
+            n = max(n, int(self.neighbour.max()) + 1)
+        return n
+
+    def face(self, i):
+        return self.face_verts[self.face_offsets[i] : self.face_offsets[i + 1]]
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+
+def _read_foam_body(path: str) -> str:
+    with open(path) as fh:
+        text = fh.read()
+    text = foamfile.strip_comments(text)
+    # drop the FoamFile header block
+    m = re.search(r"FoamFile\s*\{[^}]*\}", text)
+    if m:
+        text = text[m.end() :]
+    return text
+
+
+def _read_count_and_parens(text: str):
+    """Extract (count, inner-of-outermost-parens) from a list file body."""
+    m = re.search(r"(\d+)\s*\(", text)
+    if not m:
+        raise ValueError("no list found")
+    count = int(m.group(1))
+    start = m.end()
+    # outer list ends at the matching close paren: find from the END
+    end = text.rfind(")")
+    return count, text[start:end]
+
+
+def read_points(path: str) -> np.ndarray:
+    text = _read_foam_body(path)
+    count, inner = _read_count_and_parens(text)
+    pts = _nums(inner).reshape(-1, 3)
+    assert len(pts) == count, f"points count mismatch {len(pts)} vs {count}"
+    return pts
+
+
+def read_label_list(path: str) -> np.ndarray:
+    text = _read_foam_body(path)
+    count, inner = _read_count_and_parens(text)
+    vals = _nums(inner, np.int64)
+    assert len(vals) == count
+    return vals
+
+
+def read_faces(path: str):
+    """faces file: ``N ( 4(a b c d) 3(a b c) ... )`` -> (flat, offsets)."""
+    text = _read_foam_body(path)
+    count, inner = _read_count_and_parens(text)
+    flat = _nums(inner, np.int64)
+    # walk the count-prefixed records vectorized-ish
+    offsets = np.zeros(count + 1, dtype=np.int64)
+    sizes = np.zeros(count, dtype=np.int64)
+    idx = 0
+    # quick path: uniform face size
+    if count and len(flat) % count == 0:
+        k = len(flat) // count - 1
+        if k >= 3 and (flat[:: k + 1] == k).all():
+            sizes[:] = k
+            verts = flat.reshape(count, k + 1)[:, 1:].ravel()
+            offsets[1:] = np.cumsum(sizes)
+            return verts, offsets
+    verts_list = []
+    for i in range(count):
+        k = flat[idx]
+        sizes[i] = k
+        verts_list.append(flat[idx + 1 : idx + 1 + k])
+        idx += 1 + k
+    offsets[1:] = np.cumsum(sizes)
+    return np.concatenate(verts_list), offsets
+
+
+def read_boundary(path: str) -> list:
+    text = _read_foam_body(path)
+    patches = []
+    # boundary file: N ( name { ... } name { ... } )
+    m = re.search(r"\d+\s*\(", text)
+    body = text[m.end() : text.rfind(")")]
+    for pm in re.finditer(r"([\w.\-]+)\s*\{([^}]*)\}", body):
+        name = pm.group(1)
+        entries = dict(
+            re.findall(r"(\w+)\s+([^;]+);", pm.group(2))
+        )
+        patches.append(
+            (
+                name,
+                entries.get("type", "patch").strip(),
+                int(entries["startFace"]),
+                int(entries["nFaces"]),
+            )
+        )
+    return patches
+
+
+def read_polymesh(mesh_dir: str) -> PolyMesh:
+    """Read constant/polyMesh ascii files."""
+    points = read_points(os.path.join(mesh_dir, "points"))
+    face_verts, face_offsets = read_faces(os.path.join(mesh_dir, "faces"))
+    owner = read_label_list(os.path.join(mesh_dir, "owner"))
+    neighbour = read_label_list(os.path.join(mesh_dir, "neighbour"))
+    patches = read_boundary(os.path.join(mesh_dir, "boundary"))
+    return PolyMesh(points, face_verts, face_offsets, owner, neighbour, patches)
+
+
+# ---------------------------------------------------------------------------
+# geometry: OpenFOAM-identical face/cell centres
+# ---------------------------------------------------------------------------
+
+
+def face_centres_areas(pm: PolyMesh):
+    """Face centroids and area vectors, OpenFOAM algorithm
+    (primitiveMeshFaceCentresAndAreas): triangle-fan around the estimated
+    centre with area weighting; exact centroid for triangles."""
+    nf = pm.n_faces
+    ctrs = np.zeros((nf, 3))
+    areas = np.zeros((nf, 3))
+    sizes = np.diff(pm.face_offsets)
+    pts = pm.points
+
+    # group faces by size for vectorization
+    for k in np.unique(sizes):
+        sel = np.nonzero(sizes == k)[0]
+        idx = (
+            pm.face_offsets[sel][:, None] + np.arange(k)[None, :]
+        )
+        fv = pm.face_verts[idx]                       # [m, k]
+        p = pts[fv]                                   # [m, k, 3]
+        if k == 3:
+            ctrs[sel] = p.mean(axis=1)
+            areas[sel] = 0.5 * np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+            continue
+        c_est = p.mean(axis=1)                        # [m, 3]
+        p_next = np.roll(p, -1, axis=1)
+        n = np.cross(p_next - p, c_est[:, None, :] - p)   # [m, k, 3]
+        a = np.linalg.norm(n, axis=-1)                # [m, k]
+        c = p + p_next + c_est[:, None, :]            # [m, k, 3]
+        sum_a = a.sum(axis=1)
+        sum_ac = (a[..., None] * c).sum(axis=1)
+        sum_n = n.sum(axis=1)
+        # degenerate faces fall back to c_est (OpenFOAM uses a SMALL guard)
+        good = sum_a > 1e-300
+        ctrs[sel] = np.where(
+            good[:, None], sum_ac / (3.0 * np.maximum(sum_a, 1e-300))[:, None], c_est
+        )
+        areas[sel] = 0.5 * sum_n
+    return ctrs, areas
+
+
+def cell_centres_volumes(pm: PolyMesh, f_ctrs=None, f_areas=None):
+    """Cell centroids and volumes, OpenFOAM algorithm
+    (primitiveMeshCellCentresAndVols): pyramid decomposition over faces
+    about the estimated centre.  These centres are the tet apex vertices of
+    the reference bridge (``src/initCuda.H:119-124`` pushes ``mesh.C()``)."""
+    if f_ctrs is None:
+        f_ctrs, f_areas = face_centres_areas(pm)
+    nc = pm.n_cells
+    n_int = pm.n_internal_faces
+
+    # estimated centre: mean of face centres over each cell
+    c_est = np.zeros((nc, 3))
+    n_cell_faces = np.zeros(nc)
+    np.add.at(c_est, pm.owner, f_ctrs)
+    np.add.at(n_cell_faces, pm.owner, 1.0)
+    np.add.at(c_est, pm.neighbour, f_ctrs[:n_int])
+    np.add.at(n_cell_faces, pm.neighbour, 1.0)
+    c_est /= n_cell_faces[:, None]
+
+    ctrs = np.zeros((nc, 3))
+    vols = np.zeros(nc)
+    # owner side
+    pyr3 = np.einsum("ij,ij->i", f_areas, f_ctrs - c_est[pm.owner])
+    pyr_c = 0.75 * f_ctrs + 0.25 * c_est[pm.owner]
+    np.add.at(ctrs, pm.owner, pyr3[:, None] * pyr_c)
+    np.add.at(vols, pm.owner, pyr3)
+    # neighbour side (reversed orientation)
+    pyr3n = np.einsum(
+        "ij,ij->i", f_areas[:n_int], c_est[pm.neighbour] - f_ctrs[:n_int]
+    )
+    pyr_cn = 0.75 * f_ctrs[:n_int] + 0.25 * c_est[pm.neighbour]
+    np.add.at(ctrs, pm.neighbour, pyr3n[:, None] * pyr_cn)
+    np.add.at(vols, pm.neighbour, pyr3n)
+
+    ctrs /= np.maximum(vols, 1e-300)[:, None]
+    vols *= 1.0 / 3.0
+    return ctrs, vols
+
+
+# ---------------------------------------------------------------------------
+# tet decomposition
+# ---------------------------------------------------------------------------
+
+
+def tet_decompose(pm: PolyMesh, cell_ctrs=None):
+    """Decompose each cell into tets (cellCentre, basePt, pA, pB).
+
+    Equivalent capability to ``polyMeshTetDecomposition::cellTetIndices`` as
+    consumed by ``src/initCuda.H:86-110``: per cell, per face, fan-triangulate
+    the face around its base point (face[0]) and form a tet with the cell
+    centre.  Hexes give 12 tets/cell (``tetsPerCell``, ``initCuda.H:64``).
+    OpenFOAM's quality-driven shared-base-point selection is not replicated
+    (it only changes tet *shapes* on skewed polyhedral meshes, not coverage);
+    winding is canonicalized downstream.
+
+    Returns (tets[nt,4] indices into [points ++ cellCentres], tet_cell[nt],
+    tet_patch[nt] — patch id of the face the tet was built from, -1 for
+    internal faces).
+    """
+    if cell_ctrs is None:
+        cell_ctrs, _ = cell_centres_volumes(pm)
+    n_pts = len(pm.points)
+    sizes = np.diff(pm.face_offsets)
+    n_int = pm.n_internal_faces
+    nf = pm.n_faces
+
+    # patch id per mesh face
+    face_patch = np.full(nf, -1, dtype=np.int64)
+    for pi, (_, _, start, cnt) in enumerate(pm.patches):
+        face_patch[start : start + cnt] = pi
+
+    tets = []
+    tet_cell = []
+    tet_patch = []
+    for k in np.unique(sizes):
+        sel = np.nonzero(sizes == k)[0]
+        idx = pm.face_offsets[sel][:, None] + np.arange(k)[None, :]
+        fv = pm.face_verts[idx]                          # [m, k]
+        base = fv[:, 0]
+        tri_a = fv[:, 1 : k - 1]                         # [m, k-2]
+        tri_b = fv[:, 2:k]
+        m = len(sel)
+        own = pm.owner[sel]
+        # owner-side tets: apex = owner cell centre; face points are ordered
+        # outward of the owner, keep (base, a, b)
+        t_own = np.stack(
+            [
+                np.broadcast_to((n_pts + own)[:, None], tri_a.shape),
+                np.broadcast_to(base[:, None], tri_a.shape),
+                tri_a,
+                tri_b,
+            ],
+            axis=-1,
+        ).reshape(-1, 4)
+        tets.append(t_own)
+        tet_cell.append(np.repeat(own, k - 2))
+        tet_patch.append(np.repeat(face_patch[sel], k - 2))
+        # neighbour-side tets for internal faces: reversed triangles
+        int_sel = sel < n_int
+        if int_sel.any():
+            nei = pm.neighbour[sel[int_sel]]
+            t_nei = np.stack(
+                [
+                    np.broadcast_to(
+                        (n_pts + nei)[:, None], tri_a[int_sel].shape
+                    ),
+                    np.broadcast_to(base[int_sel][:, None], tri_a[int_sel].shape),
+                    tri_b[int_sel],
+                    tri_a[int_sel],
+                ],
+                axis=-1,
+            ).reshape(-1, 4)
+            tets.append(t_nei)
+            tet_cell.append(np.repeat(nei, k - 2))
+            tet_patch.append(np.full(len(nei) * (k - 2), -1, dtype=np.int64))
+
+    tets = np.concatenate(tets)
+    tet_cell = np.concatenate(tet_cell)
+    tet_patch = np.concatenate(tet_patch)
+    # order tets by cell (then stable by construction order) so per-cell
+    # velocity replication is a simple repeat, like the reference's layout
+    order = np.argsort(tet_cell, kind="stable")
+    return tets[order], tet_cell[order], tet_patch[order]
+
+
+def mesh_from_polymesh(pm: PolyMesh, u_cells: np.ndarray | None = None, dtype=None):
+    """Build a :class:`~cudaparticlesfoam_tpu.mesh.TetMesh` from a polyMesh.
+
+    Vertex array = mesh points ++ cell centres (``initCuda.H:112-124``);
+    per-tet velocity = owning cell's U (``initCuda.H:106-108``).  Boundary
+    patch tags are transferred onto tet-mesh boundary faces.
+
+    Returns (tet_mesh, tet_cell) — keep ``tet_cell`` to refresh velocities
+    from new U snapshots (replaces the x12 replication at ``advect.H:44-55``).
+    """
+    from .. import mesh as meshlib
+
+    cell_ctrs, _ = cell_centres_volumes(pm)
+    tets, tet_cell, tet_patch = tet_decompose(pm, cell_ctrs)
+    points = np.concatenate([pm.points, cell_ctrs], axis=0)
+    tet_vel = None
+    if u_cells is not None:
+        tet_vel = np.asarray(u_cells)[tet_cell]
+
+    m = meshlib.from_arrays(points, tets, tet_vel=tet_vel, dtype=dtype)
+
+    # patch tags: boundary tets' outer triangle lies on the source face.
+    # Match mesh.bd_tris (sorted triple key) against boundary-origin tets'
+    # outer triangles.
+    bd_tris = np.sort(np.asarray(m.bd_tris), axis=1)
+    src = np.nonzero(tet_patch >= 0)[0]
+    src_tris = np.sort(tets[src][:, 1:4], axis=1)
+    all_tris = np.concatenate([src_tris, bd_tris])
+    _, inv = np.unique(all_tris, axis=0, return_inverse=True)
+    inv_src, inv_bd = inv[: len(src)], inv[len(src) :]
+    lut = np.zeros(int(inv.max()) + 1 if len(inv) else 1, dtype=np.int32)
+    lut[inv_src] = tet_patch[src].astype(np.int32)
+    bd_patch = lut[inv_bd]
+    import jax.numpy as jnp
+
+    m = dataclasses.replace(m, bd_patch=jnp.asarray(bd_patch))
+    return m, tet_cell
+
+
+# ---------------------------------------------------------------------------
+# field I/O
+# ---------------------------------------------------------------------------
+
+
+def read_field(path: str, n_cells: int | None = None) -> np.ndarray:
+    """Read the internalField of a vol{Scalar,Vector}Field file."""
+    text = _read_foam_body(path)
+    m = re.search(r"internalField\s+uniform\s*(\(([^)]*)\)|[-+0-9.eE]+)\s*;", text)
+    if m:
+        if m.group(2) is not None:
+            val = _nums(m.group(2))
+        else:
+            val = np.array([float(m.group(1))])
+        if n_cells is not None:
+            return np.tile(val, (n_cells, 1)) if len(val) > 1 else np.full(
+                n_cells, val[0]
+            )
+        return val
+    m = re.search(r"internalField\s+nonuniform\s+List<(\w+)>\s*(\d+)\s*\(", text)
+    if not m:
+        raise ValueError(f"no internalField found in {path}")
+    kind, count = m.group(1), int(m.group(2))
+    start = m.end()
+    depth = 1
+    i = start
+    while depth > 0:
+        c = text[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    inner = text[start : i - 1]
+    nums = _nums(inner)
+    if kind == "vector":
+        out = nums.reshape(-1, 3)
+    else:
+        out = nums
+    assert len(out) == count
+    return out
+
+
+def write_field(
+    path: str,
+    name: str,
+    values: np.ndarray,
+    dimensions=(0, 1, -1, 0, 0, 0, 0),
+    boundary_field: dict | None = None,
+    location: str | None = None,
+):
+    """Write a vol field file (internalField + boundaryField)."""
+    values = np.asarray(values)
+    is_vector = values.ndim == 2
+    cls = "volVectorField" if is_vector else "volScalarField"
+    with open(path, "w") as fh:
+        fh.write(foamfile._HEADER)
+        fh.write("FoamFile\n{\n    version 2.0;\n    format ascii;\n")
+        fh.write(f"    class {cls};\n")
+        if location:
+            fh.write(f'    location "{location}";\n')
+        fh.write(f"    object {name};\n}}\n\n")
+        fh.write("dimensions [" + " ".join(str(d) for d in dimensions) + "];\n\n")
+        fh.write(f"internalField nonuniform List<{'vector' if is_vector else 'scalar'}>\n")
+        fh.write(f"{len(values)}\n(\n")
+        if is_vector:
+            np.savetxt(fh, values, fmt="(%.10g %.10g %.10g)")
+        else:
+            np.savetxt(fh, values, fmt="%.10g")
+        fh.write(")\n;\n\nboundaryField\n{\n")
+        for pname, spec in (boundary_field or {}).items():
+            fh.write(f"    {pname}\n    {{\n")
+            for k, v in spec.items():
+                fh.write(f"        {k} {v};\n")
+            fh.write("    }\n")
+        fh.write("}\n")
+
+
+def latest_time_dir(case_dir: str) -> str | None:
+    """Find the latest numeric time directory (``startFrom latestTime``)."""
+    best, best_t = None, None
+    for d in os.listdir(case_dir):
+        full = os.path.join(case_dir, d)
+        if not os.path.isdir(full):
+            continue
+        try:
+            t = float(d)
+        except ValueError:
+            continue
+        if best_t is None or t > best_t:
+            best, best_t = d, t
+    return best
+
+
+# ---------------------------------------------------------------------------
+# writing polyMesh
+# ---------------------------------------------------------------------------
+
+
+def write_polymesh(pm: PolyMesh, mesh_dir: str) -> None:
+    os.makedirs(mesh_dir, exist_ok=True)
+
+    def header(obj, cls, note=None):
+        h = foamfile._HEADER
+        h += "FoamFile\n{\n    version 2.0;\n    format ascii;\n"
+        h += f"    class {cls};\n"
+        if note:
+            h += f'    note "{note}";\n'
+        h += '    location "constant/polyMesh";\n'
+        h += f"    object {obj};\n}}\n\n"
+        return h
+
+    with open(os.path.join(mesh_dir, "points"), "w") as fh:
+        fh.write(header("points", "vectorField"))
+        fh.write(f"{len(pm.points)}\n(\n")
+        np.savetxt(fh, pm.points, fmt="(%.12g %.12g %.12g)")
+        fh.write(")\n")
+    with open(os.path.join(mesh_dir, "faces"), "w") as fh:
+        fh.write(header("faces", "faceList"))
+        fh.write(f"{pm.n_faces}\n(\n")
+        sizes = np.diff(pm.face_offsets)
+        for i in range(pm.n_faces):
+            verts = pm.face(i)
+            fh.write(f"{sizes[i]}(" + " ".join(map(str, verts)) + ")\n")
+        fh.write(")\n")
+    note = (
+        f"nPoints:{len(pm.points)}  nCells:{pm.n_cells}  "
+        f"nFaces:{pm.n_faces}  nInternalFaces:{pm.n_internal_faces}"
+    )
+    with open(os.path.join(mesh_dir, "owner"), "w") as fh:
+        fh.write(header("owner", "labelList", note))
+        fh.write(f"{len(pm.owner)}\n(\n")
+        np.savetxt(fh, pm.owner, fmt="%d")
+        fh.write(")\n")
+    with open(os.path.join(mesh_dir, "neighbour"), "w") as fh:
+        fh.write(header("neighbour", "labelList", note))
+        fh.write(f"{len(pm.neighbour)}\n(\n")
+        np.savetxt(fh, pm.neighbour, fmt="%d")
+        fh.write(")\n")
+    with open(os.path.join(mesh_dir, "boundary"), "w") as fh:
+        fh.write(header("boundary", "polyBoundaryMesh"))
+        fh.write(f"{len(pm.patches)}\n(\n")
+        for name, ptype, start, cnt in pm.patches:
+            fh.write(f"    {name}\n    {{\n")
+            fh.write(f"        type            {ptype};\n")
+            if ptype in ("wall",):
+                fh.write("        inGroups        1(wall);\n")
+            fh.write(f"        nFaces          {cnt};\n")
+            fh.write(f"        startFace       {start};\n")
+            fh.write("    }\n")
+        fh.write(")\n")

@@ -1,0 +1,264 @@
+"""I/O layer tests: FoamFile parser, blockMesh generation of the actual
+tutorial dicts, polyMesh round-trip, tet decomposition, VTU output."""
+
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+from cudaparticlesfoam_tpu.io import blockmesh, foamfile, polymesh, vtu
+from cudaparticlesfoam_tpu import make_state
+
+REF = "/root/reference/tutorials/incompressible"
+PITZ = f"{REF}/cudaParticlesUncoupledFoam/pitzDaily"
+TJUNC = f"{REF}/cudaParticlesPimpleFoam/TJunction"
+
+
+# ---------------------------------------------------------------- foamfile
+
+def test_parse_particles_dict():
+    d = foamfile.read(f"{PITZ}/system/cudaParticlesDict")
+    assert d["startTime"] == 282
+    assert d["endTime"] == 382
+    assert d["diffusionCoeff"] == pytest.approx(1.5e-05)
+    assert d["numParticles"] == pytest.approx(1e05)
+    assert d["dt"] == pytest.approx(1e-4)
+    assert d["saveInterval"] == 10
+    box = d["seedingBox"]
+    assert box == [[-0.02, 0.025, 0.0001], [0.0, 0.0, -0.0001]]
+
+
+def test_parse_control_dict():
+    d = foamfile.read(f"{PITZ}/system/controlDict")
+    assert d["application"] == "simpleFoam"
+    assert d["startFrom"] == "latestTime"
+    assert d["deltaT"] == pytest.approx(0.1)
+    assert d["functions"]["streamlines"]["nLines"] == 10
+
+
+def test_get_or_default():
+    d = {"numParticles": 1e5}
+    assert foamfile.get_or_default(d, "numParticles", 1000) == 100000
+    assert foamfile.get_or_default(d, "dt", 1e-4) == 1e-4
+
+
+def test_roundtrip_write(tmp_path):
+    d = {"a": 1, "b": [1.0, 2.0, [3, 4]], "sub": {"x": "word"}}
+    p = tmp_path / "dict"
+    foamfile.write(str(p), d)
+    back = foamfile.read(str(p))
+    assert back["a"] == 1
+    assert back["b"] == [1.0, 2.0, [3, 4]]
+    assert back["sub"]["x"] == "word"
+
+
+# ---------------------------------------------------------------- grading
+
+def test_geometric_points():
+    np.testing.assert_allclose(
+        blockmesh._geometric_points(2, 2.0), [0, 1 / 3, 1.0]
+    )
+    np.testing.assert_allclose(
+        blockmesh._geometric_points(4, 1.0), np.linspace(0, 1, 5)
+    )
+    # expansion ratio = last/first
+    pts = blockmesh._geometric_points(10, 4.0)
+    w = np.diff(pts)
+    assert w[-1] / w[0] == pytest.approx(4.0)
+
+
+def test_multi_section_grading():
+    pts = blockmesh._grading_points([[2, 4, 1], [1, 3, 0.3]], 7)
+    assert len(pts) == 8
+    w = np.diff(pts)
+    # first 4 cells uniform over 2/3 of the length
+    np.testing.assert_allclose(w[:4], (2 / 3) / 4)
+    # last 3 cells contract with ratio 0.3
+    assert w[-1] / w[4] == pytest.approx(0.3)
+    assert pts[-1] == 1.0
+
+
+# ---------------------------------------------------------------- blockMesh
+
+@pytest.fixture(scope="module")
+def pitz_mesh():
+    return blockmesh.generate(f"{PITZ}/system/blockMeshDict")
+
+
+@pytest.fixture(scope="module")
+def tjunction_mesh():
+    return blockmesh.generate(f"{TJUNC}/system/blockMeshDict")
+
+
+def test_pitzdaily_counts(pitz_mesh):
+    pm = pitz_mesh
+    # 18*30 + 180*27 + 180*30 + 25*27 + 25*30 (x1 in z) = 12225 cells
+    assert pm.n_cells == 12225
+    names = [p[0] for p in pm.patches]
+    assert names == ["inlet", "outlet", "upperWall", "lowerWall", "frontAndBack"]
+    counts = {p[0]: p[3] for p in pm.patches}
+    assert counts["inlet"] == 30
+    assert counts["outlet"] == 57
+    assert counts["frontAndBack"] == 2 * 12225
+    # every face accounted for
+    n_bd = sum(p[3] for p in pm.patches)
+    assert pm.n_internal_faces + n_bd == pm.n_faces
+
+
+def test_pitzdaily_volumes(pitz_mesh):
+    ctrs, vols = polymesh.cell_centres_volumes(pitz_mesh)
+    assert (vols > 0).all()
+    # domain footprint (scaled by 0.001, thickness 0.001):
+    # inlet 20.6x25.4 + main 206x50.8 + outlet 84x(25.4+8.8+16.6..) — just
+    # sanity-check the total against the polygon area x thickness
+    total = vols.sum()
+    assert 1.0e-5 < total < 2.0e-5
+    # centres inside bounds
+    assert (ctrs.min(axis=0) >= pitz_mesh.points.min(axis=0) - 1e-12).all()
+    assert (ctrs.max(axis=0) <= pitz_mesh.points.max(axis=0) + 1e-12).all()
+
+
+def test_tjunction_counts(tjunction_mesh):
+    pm = tjunction_mesh
+    assert pm.n_cells == 200 * 20 * 20 + 20 * 20 * 20 + 2 * (20 * 200 * 20)
+    names = [p[0] for p in pm.patches]
+    assert "inlet" in names and any("outlet" in n for n in names)
+
+
+def test_owner_neighbour_invariants(pitz_mesh):
+    pm = pitz_mesh
+    assert (pm.owner[: pm.n_internal_faces] < pm.neighbour).all()
+    # internal faces ordered upper-triangular by (owner, neighbour)
+    key = pm.owner[: pm.n_internal_faces] * pm.n_cells + pm.neighbour
+    assert (np.diff(key) > 0).all()
+
+
+def test_face_areas_closed(pitz_mesh):
+    # sum of outward boundary face area vectors of a closed mesh = 0;
+    # per-cell divergence of face areas = 0
+    ctrs, areas = polymesh.face_centres_areas(pitz_mesh)
+    n_int = pitz_mesh.n_internal_faces
+    total = areas.sum(axis=0) - 2 * areas[:n_int].sum(axis=0) * 0  # all faces outward of owner
+    acc = np.zeros((pitz_mesh.n_cells, 3))
+    np.add.at(acc, pitz_mesh.owner, areas)
+    np.add.at(acc, pitz_mesh.neighbour, -areas[:n_int])
+    np.testing.assert_allclose(acc, 0.0, atol=1e-12)
+
+
+# ---------------------------------------------------------------- tet bridge
+
+def test_tet_decompose_hex_counts(pitz_mesh):
+    tets, tet_cell, tet_patch = polymesh.tet_decompose(pitz_mesh)
+    # 12 tets per hex (tetsPerCell, initCuda.H:64)
+    assert len(tets) == 12 * pitz_mesh.n_cells
+    assert (np.bincount(tet_cell) == 12).all()
+    # tet volumes sum to cell volumes
+    ctrs, vols = polymesh.cell_centres_volumes(pitz_mesh)
+    pts = np.concatenate([pitz_mesh.points, ctrs])
+    a, b, c, d = (pts[tets[:, i]] for i in range(4))
+    tvol = np.einsum("ij,ij->i", d - a, np.cross(b - a, c - a)) / 6.0
+    assert (np.abs(tvol) > 0).all()
+    np.testing.assert_allclose(np.abs(tvol).sum(), vols.sum(), rtol=1e-10)
+
+
+def test_mesh_from_polymesh_patches(pitz_mesh):
+    u = np.tile([1.0, 0.0, 0.0], (pitz_mesh.n_cells, 1))
+    m, tet_cell = polymesh.mesh_from_polymesh(pitz_mesh, u_cells=u)
+    assert m.n_tets == 12 * pitz_mesh.n_cells
+    np.testing.assert_allclose(np.asarray(m.tet_vel)[:, 0], 1.0)
+    # boundary faces carry patch tags; the 2D case has large empty patches
+    bd_patch = np.asarray(m.bd_patch)
+    names = [p[0] for p in pitz_mesh.patches]
+    fb = names.index("frontAndBack")
+    # each boundary quad face of the polyMesh becomes 2 tris
+    n_bd_quads = sum(p[3] for p in pitz_mesh.patches)
+    assert m.n_bd_faces == 2 * n_bd_quads
+    assert (bd_patch == fb).sum() == 2 * 2 * 12225
+
+
+# ---------------------------------------------------------------- polyMesh io
+
+def test_polymesh_roundtrip(tmp_path, pitz_mesh):
+    d = str(tmp_path / "polyMesh")
+    polymesh.write_polymesh(pitz_mesh, d)
+    back = polymesh.read_polymesh(d)
+    np.testing.assert_allclose(back.points, pitz_mesh.points, rtol=1e-10)
+    np.testing.assert_array_equal(back.owner, pitz_mesh.owner)
+    np.testing.assert_array_equal(back.neighbour, pitz_mesh.neighbour)
+    np.testing.assert_array_equal(back.face_verts, pitz_mesh.face_verts)
+    assert back.patches == pitz_mesh.patches
+
+
+def test_field_roundtrip(tmp_path):
+    vals = np.arange(30, dtype=np.float64).reshape(10, 3)
+    p = str(tmp_path / "U")
+    polymesh.write_field(p, "U", vals, boundary_field={"inlet": {"type": "zeroGradient"}})
+    back = polymesh.read_field(p)
+    np.testing.assert_allclose(back, vals)
+
+
+def test_field_uniform(tmp_path):
+    p = str(tmp_path / "U")
+    with open(p, "w") as fh:
+        fh.write("FoamFile\n{\nobject U;\n}\n")
+        fh.write("internalField uniform (1 2 3);\n")
+    back = polymesh.read_field(p, n_cells=5)
+    assert back.shape == (5, 3)
+    np.testing.assert_allclose(back[0], [1, 2, 3])
+
+
+# ---------------------------------------------------------------- VTU
+
+def test_vtu_writer_schema(tmp_path):
+    st = make_state(np.random.default_rng(0).uniform(size=(10, 3)))
+    path = vtu.write_particles_vtu(0, st, out_dir=str(tmp_path))
+    assert path.endswith("particle_0000.vtu")
+    # well-formed XML with the reference's arrays
+    root = ET.fromstring(open(path).read())
+    names = [da.get("Name") for da in root.iter("DataArray")]
+    assert names == [
+        "Position", "ParticleType", "ParticleID", "ParticleTetID",
+        "vels", "KEs", "connectivity", "offsets", "types",
+    ]
+    piece = next(root.iter("Piece"))
+    assert piece.get("NumberOfPoints") == "10"
+
+
+def test_vtu_ke_quirk(tmp_path):
+    st = make_state(np.zeros((3, 3)))
+    import dataclasses
+    import jax.numpy as jnp
+
+    st = dataclasses.replace(st, vel=jnp.ones((3, 3), dtype=st.pos.dtype))
+    p1 = vtu.write_particles_vtu(str(tmp_path / "a.vtu"), st, reference_quirks=True)
+    p2 = vtu.write_particles_vtu(str(tmp_path / "b.vtu"), st, reference_quirks=False)
+
+    def kes(path):
+        root = ET.fromstring(open(path).read())
+        for da in root.iter("DataArray"):
+            if da.get("Name") == "KEs":
+                return np.array(da.text.split(), dtype=float)
+
+    np.testing.assert_allclose(kes(p1), 0.0)        # utils.cpp:243-248 bug
+    np.testing.assert_allclose(kes(p2), 1.5)        # corrected
+
+
+def test_trajectories(tmp_path):
+    st = make_state(np.zeros((2, 3)))
+    tr = vtu.Trajectories(2)
+    import dataclasses
+    import jax.numpy as jnp
+
+    for i in range(3):
+        tr.append(dataclasses.replace(st, pos=st.pos + i))
+    obj = tmp_path / "t.obj"
+    vtk = tmp_path / "t.vtk"
+    tr.save_obj(str(obj))
+    tr.save_vtk(str(vtk))
+    lines = open(obj).read().splitlines()
+    assert sum(1 for l in lines if l.startswith("v ")) == 6
+    assert sum(1 for l in lines if l.startswith("l ")) == 4
+    txt = open(vtk).read()
+    assert "POINTS 6 float" in txt
+    assert "LINES 2 8" in txt
