@@ -1,0 +1,90 @@
+"""Command-line entry points.
+
+Replaces the reference's OpenFOAM executables and Allrun scripts:
+
+    python -m cudaparticlesfoam_tpu uncoupled <case>   # cudaParticlesUncoupledFoam
+    python -m cudaparticlesfoam_tpu replay <case>      # coupled particle replay
+    python -m cudaparticlesfoam_tpu coupled <case>     # cudaParticlesPimpleFoam
+    python -m cudaparticlesfoam_tpu blockmesh <case>   # blockMesh
+    python -m cudaparticlesfoam_tpu simple <case>      # steady flow (simpleFoam)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="cudaparticlesfoam_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add_case_cmd(name, help_):
+        p = sub.add_parser(name, help=help_)
+        p.add_argument("case", help="OpenFOAM-style case directory")
+        p.add_argument("--out", default=None, help="output directory")
+        p.add_argument("--no-write", action="store_true", help="skip VTU output")
+        p.add_argument(
+            "--f64", action="store_true", help="run in float64 (parity mode)"
+        )
+        return p
+
+    add_case_cmd("uncoupled", "frozen-field particle tracking")
+    add_case_cmd("replay", "particle tracking over recorded U snapshots")
+    p = add_case_cmd("coupled", "native PIMPLE flow + particle tracking")
+    p.add_argument("--steps", type=int, default=None)
+    p = add_case_cmd("simple", "steady incompressible flow (SIMPLE)")
+    p.add_argument("--iters", type=int, default=None)
+
+    p = sub.add_parser("blockmesh", help="generate constant/polyMesh from blockMeshDict")
+    p.add_argument("case")
+
+    args = ap.parse_args(argv)
+
+    if getattr(args, "f64", False):
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    if args.cmd == "blockmesh":
+        from .io import blockmesh, polymesh
+
+        pm = blockmesh.generate(os.path.join(args.case, "system", "blockMeshDict"))
+        out = os.path.join(args.case, "constant", "polyMesh")
+        polymesh.write_polymesh(pm, out)
+        print(f"wrote {pm.n_cells} cells to {out}")
+        return 0
+
+    dtype = None
+    if args.cmd == "uncoupled":
+        from .models import uncoupled
+
+        uncoupled.run(
+            args.case, out_dir=args.out, write_output=not args.no_write, dtype=dtype
+        )
+    elif args.cmd == "replay":
+        from .models import coupled
+
+        coupled.run_replay(
+            args.case, out_dir=args.out, write_output=not args.no_write, dtype=dtype
+        )
+    elif args.cmd == "coupled":
+        from .models import coupled
+
+        coupled.run_coupled(
+            args.case,
+            out_dir=args.out,
+            write_output=not args.no_write,
+            dtype=dtype,
+            n_steps=args.steps,
+        )
+    elif args.cmd == "simple":
+        from .models import simple
+
+        simple.run(args.case, n_iters=args.iters)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,6 +48,7 @@ def write_particles_vtu(
     :func:`system_kinetic_energy` for the diagnostic.
     """
     if isinstance(path_or_step, (int, np.integer)):
+        os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"particle_{int(path_or_step):04d}.vtu")
     else:
         path = str(path_or_step)

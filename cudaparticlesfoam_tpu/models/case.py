@@ -1,0 +1,160 @@
+"""Case loading shared by the solvers: mesh acquisition (polyMesh or
+blockMesh regeneration), velocity snapshots, particle initialization.
+
+Replaces the OpenFOAM case scaffolding the reference solvers inherit
+(``createTime.H``/``createMesh.H``/``createFields.H``) plus the device-init
+script ``src/initCuda.H``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import mesh as meshlib
+from .. import state as statelib
+from ..config import ControlConfig, ParticlesConfig
+from ..io import blockmesh, polymesh
+from ..ops import locate as locate_ops
+
+
+@dataclasses.dataclass
+class Case:
+    case_dir: str
+    control: ControlConfig
+    particles: ParticlesConfig
+    poly: polymesh.PolyMesh
+    tet_mesh: meshlib.TetMesh
+    tet_cell: np.ndarray          # tet -> owning polyMesh cell
+    locator: locate_ops.GridLocator
+    time_value: float             # runTime.value() after startFrom
+    patch_names: list
+
+    def update_velocity(self, u_cells: np.ndarray) -> None:
+        """Refresh per-tet velocities from a cell field (the real version of
+        the x12 replication at ``advect.H:44-55``)."""
+        self.tet_mesh = meshlib.replace_velocity(
+            self.tet_mesh, tet_vel=np.asarray(u_cells)[self.tet_cell]
+        )
+
+
+def time_dirs(case_dir: str) -> list[tuple[float, str]]:
+    out = []
+    for d in os.listdir(case_dir):
+        full = os.path.join(case_dir, d)
+        if not os.path.isdir(full):
+            continue
+        try:
+            t = float(d)
+        except ValueError:
+            continue
+        out.append((t, d))
+    return sorted(out)
+
+
+def read_u_snapshot(case_dir: str, time_dir: str, n_cells: int) -> np.ndarray | None:
+    path = os.path.join(case_dir, time_dir, "U")
+    if not os.path.exists(path):
+        return None
+    return polymesh.read_field(path, n_cells=n_cells)
+
+
+def load_polymesh(case_dir: str, regenerate: bool = True, log=print) -> polymesh.PolyMesh:
+    """Read constant/polyMesh if present, else regenerate from
+    system/blockMeshDict (the tutorials' ``Allrun`` runs blockMesh first)."""
+    mesh_dir = os.path.join(case_dir, "constant", "polyMesh")
+    if os.path.exists(os.path.join(mesh_dir, "points")):
+        log(f"#adv: reading polyMesh from {mesh_dir}")
+        return polymesh.read_polymesh(mesh_dir)
+    if not regenerate:
+        raise FileNotFoundError(f"no polyMesh in {mesh_dir}")
+    dict_path = os.path.join(case_dir, "system", "blockMeshDict")
+    log(f"#adv: generating mesh from {dict_path}")
+    return blockmesh.generate(dict_path)
+
+
+def load_case(case_dir: str, dtype=None, log=print, write_mesh: bool = False) -> Case:
+    control = ControlConfig.from_case(case_dir)
+    pcfg = ParticlesConfig.from_case(case_dir)
+    poly = load_polymesh(case_dir, log=log)
+    if write_mesh:
+        polymesh.write_polymesh(poly, os.path.join(case_dir, "constant", "polyMesh"))
+
+    # runTime start value
+    tdirs = time_dirs(case_dir)
+    if control.start_from == "latestTime" and tdirs:
+        t0 = tdirs[-1][0]
+    elif control.start_from == "firstTime" and tdirs:
+        t0 = tdirs[0][0]
+    else:
+        t0 = control.start_time
+
+    # velocity field at start (MUST_READ in the reference, createFields.H:3-15)
+    u = None
+    for t, d in reversed(tdirs):
+        if t <= t0 + 1e-12:
+            u = read_u_snapshot(case_dir, d, poly.n_cells)
+            if u is not None:
+                break
+    if u is None:
+        log("#adv: [warning] no U snapshot found; using zero field")
+        u = np.zeros((poly.n_cells, 3))
+
+    wall = time.perf_counter()
+    tet_mesh, tet_cell = polymesh.mesh_from_polymesh(poly, u_cells=u, dtype=dtype)
+    log(
+        f"#adv: tet mesh: {tet_mesh.n_tets} tets, {tet_mesh.n_points} verts, "
+        f"{tet_mesh.n_bd_faces} boundary tris "
+        f"({(time.perf_counter()-wall)*1e3:.1f} ms)"
+    )
+    wall = time.perf_counter()
+    locator = locate_ops.build_grid_locator(tet_mesh)
+    # the TPU analogue of '#adv BVH Construction Time' (initCuda.H:139)
+    log(f"#adv: locator grid construction time={(time.perf_counter()-wall)*1e3:.3f} ms")
+
+    return Case(
+        case_dir=case_dir,
+        control=control,
+        particles=pcfg,
+        poly=poly,
+        tet_mesh=tet_mesh,
+        tet_cell=tet_cell,
+        locator=locator,
+        time_value=t0,
+        patch_names=[p[0] for p in poly.patches],
+    )
+
+
+def init_particles(case: Case, log=print) -> statelib.ParticleState:
+    """Seed + first locate + report (``initCuda.H:141-202``)."""
+    p = case.particles
+    if p.seeding_file:
+        st = statelib.seed_from_file(
+            os.path.join(case.case_dir, p.seeding_file),
+            n=p.num_particles,
+            rng_seed=p.rng_seed,
+            dtype=case.tet_mesh.dtype,
+        )
+    else:
+        st = statelib.seed_in_box(
+            p.num_particles,
+            p.seeding_box_lo,
+            p.seeding_box_hi,
+            rng_seed=p.rng_seed,
+            method=p.seeding_method,
+            dtype=case.tet_mesh.dtype,
+        )
+    nbytes = sum(
+        np.asarray(x).nbytes
+        for x in (st.pos, st.vel, st.disp, st.tet_id, st.active)
+    )
+    log(f"#adv: particle mem: {nbytes/2**20:.1f}MB")
+    tet = locate_ops.locate_seeds(case.tet_mesh, case.locator, st.pos)
+    st = dataclasses.replace(st, tet_id=jnp.asarray(tet))
+    n_bad = int((np.asarray(tet) < 0).sum())
+    log(f"#adv: Out-of-domain particles(-tetID) = {n_bad}")   # particles.cu:770
+    return st

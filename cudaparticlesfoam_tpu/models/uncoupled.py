@@ -1,0 +1,117 @@
+"""Uncoupled (frozen-field) particle tracking driver.
+
+The TPU-native equivalent of ``cudaParticlesUncoupledFoam``
+(``applications/cudaParticlesUncoupledFoam/cudaParticlesUncoupledFoam.C:60-89``):
+read the latest converged ``U``, build the tet mesh + particle state, then
+run ``nCycles = ceil(deltaT/dt)`` Lagrangian sub-steps of the frozen field
+in one shot (``advect.H`` included once, no time loop).
+
+Differences by design: the whole sub-cycling loop runs as chunked fused XLA
+programs between VTU writes instead of per-kernel launches, and output can
+be disabled for benchmarking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import numpy as np
+
+from ..io import vtu
+from ..ops import advect as advect_ops
+from ..stepper import n_cycles_for, run_cycles
+from . import case as caselib
+
+
+def write_schedule(n_cycles: int, save_interval: int):
+    """Cycle indices after which a VTU frame is written, and the frame id.
+
+    Matches ``advect.H:166-169``: after cycle i (0-based), write frame i+1
+    iff i % saveInterval == 0.
+    """
+    return [(i, i + 1) for i in range(0, n_cycles, save_interval)]
+
+
+def run(
+    case_dir: str,
+    out_dir: str | None = None,
+    write_output: bool = True,
+    dtype=None,
+    log=print,
+    trajectories: bool | None = None,
+):
+    """Run the uncoupled case end-to-end.  Returns (case, final_state, stats)."""
+    case = caselib.load_case(case_dir, dtype=dtype, log=log)
+    pcfg = case.particles
+    ctrl = case.control
+    out_dir = out_dir or case_dir
+
+    t = case.time_value
+    state = caselib.init_particles(case, log=log)
+    cfg = pcfg.step_config()
+
+    # warm-up advect: initCuda.H:184-199 computes vel/disp once (no move)
+    # so frame 0 carries velocities; reproduce via the advect op alone.
+    disp0, vel0, act0 = advect_ops.advect(
+        case.tet_mesh, state.pos, state.vel, state.tet_id, state.active,
+        pcfg.dt, cfg.velocity_interp,
+    )
+    state = dataclasses.replace(state, vel=vel0, disp=disp0, active=act0)
+
+    track = vtu.Trajectories(state.n_particles) if (
+        trajectories if trajectories is not None else pcfg.save_streamlines
+    ) else None
+
+    stats = {"frames": [], "cycles": 0, "wall_s": 0.0}
+    if write_output:
+        path = vtu.write_particles_vtu(0, state, out_dir=out_dir, verbose=True)
+        stats["frames"].append(path)
+
+    if not (pcfg.start_time <= t <= pcfg.end_time):
+        log(
+            f"#adv: time {t} outside particle window "
+            f"[{pcfg.start_time}, {pcfg.end_time}]; nothing to do (advect.H:33)"
+        )
+        return case, state, stats
+
+    n_cycles, cycle_dt = n_cycles_for(ctrl.delta_t, pcfg.dt)
+    log(f"dtE:{ctrl.delta_t} dtL: {pcfg.dt}")
+    log(f"nCycles: {n_cycles} cycleDt: {cycle_dt}")
+
+    # clear the warm-up displacement before the real loop (the reference's
+    # first cudaAdvect overwrite does this implicitly, particles.cu:362)
+    state = dataclasses.replace(state, disp=np.zeros_like(state.disp))
+
+    wall0 = time.perf_counter()
+    i = 0
+    while i < n_cycles:
+        # run up to the next write boundary in one fused program
+        if i % pcfg.save_interval == 0:
+            chunk = 1
+        else:
+            next_write = ((i // pcfg.save_interval) + 1) * pcfg.save_interval
+            chunk = min(next_write, n_cycles) - i
+        state = run_cycles(case.tet_mesh, state, cfg, chunk, cycle_dt)
+        prev = i
+        i += chunk
+        if prev % pcfg.save_interval == 0:
+            if track is not None:
+                track.append(state)
+            if write_output:
+                path = vtu.write_particles_vtu(
+                    prev + 1, state, out_dir=out_dir, verbose=True
+                )
+                stats["frames"].append(path)
+    jax.block_until_ready(state.pos)
+    stats["wall_s"] = time.perf_counter() - wall0
+    stats["cycles"] = n_cycles
+    rate = state.n_particles * n_cycles / max(stats["wall_s"], 1e-12)
+    log(
+        f"#adv: Simulation RunTime={stats['wall_s']*1e3:.1f} ms "
+        f"({rate/1e6:.2f}M particle-steps/s)"
+    )
+    if track is not None:
+        track.save_vtk(f"{out_dir}/Streamline.vtk")
+    return case, state, stats

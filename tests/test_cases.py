@@ -1,0 +1,141 @@
+"""End-to-end case tests: run the pitzDaily uncoupled tutorial (mesh
+regenerated from its blockMeshDict, synthetic converged U) and the replay
+driver, checking the reference's output contract."""
+
+import os
+import shutil
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+from cudaparticlesfoam_tpu.io import polymesh, foamfile
+
+PITZ = (
+    "/root/reference/tutorials/incompressible/cudaParticlesUncoupledFoam/pitzDaily"
+)
+
+
+def make_case(tmp_path, num_particles=500, delta_t=0.01, u_value=(1.0, 0.0, 0.0),
+              u_time="282", extra_dict=None):
+    """Copy the tutorial case, shrink it, and write a synthetic U snapshot."""
+    case = str(tmp_path / "pitzDaily")
+    shutil.copytree(PITZ, case)
+    # shrink the particle run (the tutorial runs 1e5 particles x 1000 cycles)
+    d = foamfile.read(os.path.join(case, "system", "cudaParticlesDict"))
+    d.pop("FoamFile", None)
+    d["numParticles"] = num_particles
+    if extra_dict:
+        d.update(extra_dict)
+    foamfile.write(
+        os.path.join(case, "system", "cudaParticlesDict"), d, obj_name="cudaParticlesDict"
+    )
+    cd = foamfile.read(os.path.join(case, "system", "controlDict"))
+    cd.pop("FoamFile", None)
+    cd.pop("functions", None)
+    cd["deltaT"] = delta_t
+    foamfile.write(os.path.join(case, "system", "controlDict"), cd, obj_name="controlDict")
+    # synthetic "converged" U at t inside the particle window [282, 382]
+    from cudaparticlesfoam_tpu.io import blockmesh
+
+    pm = blockmesh.generate(os.path.join(case, "system", "blockMeshDict"))
+    os.makedirs(os.path.join(case, u_time), exist_ok=True)
+    u = np.tile(u_value, (pm.n_cells, 1))
+    polymesh.write_field(os.path.join(case, u_time, "U"), "U", u)
+    return case
+
+
+@pytest.fixture(scope="module")
+def pitz_run(tmp_path_factory):
+    from cudaparticlesfoam_tpu.models import uncoupled
+
+    case_dir = make_case(tmp_path_factory.mktemp("case"))
+    out = tmp_path_factory.mktemp("out")
+    case, state, stats = uncoupled.run(case_dir, out_dir=str(out), log=lambda *a: None)
+    return case, state, stats, out
+
+
+def test_uncoupled_runs_and_writes(pitz_run):
+    case, state, stats, out = pitz_run
+    # deltaT=0.01, dt=1e-4 -> 100 cycles; saveInterval=10 -> frames 0,1,11,...,91
+    assert stats["cycles"] == 100
+    names = sorted(os.listdir(out))
+    expected = ["particle_0000.vtu"] + [
+        f"particle_{i+1:04d}.vtu" for i in range(0, 100, 10)
+    ]
+    assert names == sorted(expected)
+
+
+def test_uncoupled_particles_advected(pitz_run):
+    case, state, stats, out = pitz_run
+    # uniform +x field for 0.01s -> active in-domain particles moved ~0.01 in x
+    pos = np.asarray(state.pos)
+    tet = np.asarray(state.tet_id)
+    act = np.asarray(state.active)
+    assert act.sum() > 0
+    # all particles remain inside the mesh bounding box
+    lo = np.asarray(case.tet_mesh.bounds_lo)
+    hi = np.asarray(case.tet_mesh.bounds_hi)
+    a = act.astype(bool)
+    assert (pos[a] >= lo - 1e-9).all() and (pos[a] <= hi + 1e-9).all()
+    assert (tet[a] >= 0).all()
+
+
+def test_uncoupled_vtu_contract(pitz_run):
+    case, state, stats, out = pitz_run
+    root = ET.fromstring(open(os.path.join(out, "particle_0000.vtu")).read())
+    piece = next(root.iter("Piece"))
+    assert piece.get("NumberOfPoints") == "500"
+    names = [da.get("Name") for da in root.iter("DataArray")]
+    assert "ParticleTetID" in names and "vels" in names
+
+
+def test_seeding_window_gate(tmp_path):
+    # latest time outside [startTime, endTime] -> advect.H:33 gate: no cycles
+    from cudaparticlesfoam_tpu.models import uncoupled
+
+    case_dir = make_case(
+        tmp_path, num_particles=50, u_time="50"  # t=50 < startTime=282
+    )
+    out = tmp_path / "out"
+    out.mkdir()
+    case, state, stats = uncoupled.run(case_dir, out_dir=str(out), log=lambda *a: None)
+    assert stats["cycles"] == 0
+    assert os.listdir(out) == ["particle_0000.vtu"]
+
+
+def test_replay_driver(tmp_path):
+    from cudaparticlesfoam_tpu.models import coupled
+
+    case_dir = make_case(
+        tmp_path,
+        num_particles=100,
+        extra_dict={"dt": 1e-3, "saveInterval": 100000},
+    )
+    # two more snapshots: U ramps down
+    pm = polymesh.read_polymesh(os.path.join(case_dir, "constant", "polyMesh")) \
+        if os.path.exists(os.path.join(case_dir, "constant/polyMesh/points")) else None
+    from cudaparticlesfoam_tpu.io import blockmesh
+
+    pm = blockmesh.generate(os.path.join(case_dir, "system", "blockMeshDict"))
+    for t, ux in [("282.01", 0.5), ("282.02", 0.25)]:
+        os.makedirs(os.path.join(case_dir, t), exist_ok=True)
+        u = np.tile([ux, 0.0, 0.0], (pm.n_cells, 1))
+        polymesh.write_field(os.path.join(case_dir, t, "U"), "U", u)
+    out = tmp_path / "out"
+    out.mkdir()
+    case, state, stats = coupled.run_replay(
+        case_dir, out_dir=str(out), log=lambda *a: None
+    )
+    # two intervals of 0.01 at dt=1e-3 -> 20 cycles total
+    assert stats["cycles"] == 20
+    assert np.asarray(state.active).sum() > 0
+
+
+def test_cli_blockmesh(tmp_path):
+    from cudaparticlesfoam_tpu.cli import main
+
+    case_dir = make_case(tmp_path, num_particles=10)
+    shutil.rmtree(os.path.join(case_dir, "constant", "polyMesh"), ignore_errors=True)
+    assert main(["blockmesh", case_dir]) == 0
+    assert os.path.exists(os.path.join(case_dir, "constant", "polyMesh", "points"))
