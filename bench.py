@@ -1,0 +1,92 @@
+"""Headline benchmark: particle-steps/sec on one chip.
+
+Workload mirrors the north-star config (BASELINE.md): ~1M-tet mesh
+(55^3 hexes x 6 tets, the reference's own box fixture geometry,
+``HostTetMesh.h:62-144``), 1M particles, full physics per sub-step
+(advect + Brownian + tet-walk relocation + specular wall reflection + move),
+float32, no I/O in the timed region.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the ratio against the 100M particle-steps/sec/chip
+north-star target (the reference repo publishes no numbers of its own).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from cudaparticlesfoam_tpu import (
+        StepConfig,
+        box_mesh,
+        build_grid_locator,
+        locate_seeds,
+        seed_in_box,
+    )
+    from cudaparticlesfoam_tpu.state import replace as replace_state
+    from cudaparticlesfoam_tpu.parallel import sharding
+
+    n_side = int(sys.argv[1]) if len(sys.argv) > 1 else 55
+    n_particles = int(float(sys.argv[2])) if len(sys.argv) > 2 else 1_000_000
+    n_cycles = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+
+    t0 = time.perf_counter()
+    mesh = box_mesh(n_side, n_side, n_side)
+    log(f"mesh: {mesh.n_tets} tets, {mesh.n_points} verts "
+        f"({time.perf_counter()-t0:.1f}s build)")
+    loc = build_grid_locator(mesh)
+
+    lo = 0.05 * n_side
+    hi = 0.95 * n_side
+    st = seed_in_box(n_particles, (lo, lo, lo), (hi, hi, hi), method="threefry")
+    tet = locate_seeds(mesh, loc, st.pos)
+    st = replace_state(st, tet_id=tet)
+    log(f"seeded {n_particles} particles, "
+        f"{int(np.sum(np.asarray(tet) < 0))} out of domain")
+
+    # dt: radial |u|=1, unit cells -> ~0.2 cell per sub-step, like the
+    # tutorials' dt choice relative to their cell size
+    cfg = StepConfig(dt=0.2, diffusion_coeff=1e-3)
+
+    dmesh, rmesh, sst = sharding.distribute(mesh, st)
+    run = sharding.run_cycles_sharded
+
+    t0 = time.perf_counter()
+    sst = run(rmesh, sst, cfg, 1)
+    jax.block_until_ready(sst.pos)
+    log(f"compile+first cycle: {time.perf_counter()-t0:.1f}s")
+
+    t0 = time.perf_counter()
+    sst = run(rmesh, sst, cfg, n_cycles)
+    jax.block_until_ready(sst.pos)
+    dt_wall = time.perf_counter() - t0
+
+    steps_per_sec = n_particles * n_cycles / dt_wall
+    d = sharding.global_diagnostics(sst)
+    log(f"{n_cycles} cycles in {dt_wall:.2f}s; active={int(d['active'])} "
+        f"out={int(d['out_of_domain'])}")
+
+    north_star = 100e6  # BASELINE.json: >=100M particle-steps/sec/chip
+    print(
+        json.dumps(
+            {
+                "metric": "particle_steps_per_sec_per_chip",
+                "value": round(steps_per_sec, 1),
+                "unit": "particle-steps/s",
+                "vs_baseline": round(steps_per_sec / north_star, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
