@@ -53,9 +53,9 @@ def main():
     log(f"seeded {n_particles} particles, "
         f"{int(np.sum(np.asarray(tet) < 0))} out of domain")
 
-    # dt: radial |u|=1, unit cells -> ~0.2 cell per sub-step, like the
-    # tutorials' dt choice relative to their cell size
-    cfg = StepConfig(dt=0.2, diffusion_coeff=1e-3)
+    # dt: radial speed 1 on unit cells -> ~5% of a cell per sub-step (the
+    # tutorial-scale CFL regime)
+    cfg = StepConfig(dt=0.05, diffusion_coeff=1e-3)
 
     dmesh, rmesh, sst = sharding.distribute(mesh, st)
     run = sharding.run_cycles_sharded

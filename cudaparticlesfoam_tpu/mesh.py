@@ -55,6 +55,12 @@ class TetMesh:
     tet_nbr: jnp.ndarray       # [nt, 4] int32 neighbor (or -(bdFace+1))
     tet_face_n: jnp.ndarray    # [nt, 4, 3] outward unit normals
     tet_face_d: jnp.ndarray    # [nt, 4] plane offsets (n.x = d)
+    # packed hot row for the cached fast engine: ONE gather serves advect
+    # velocity + barycentric test + neighbor step + reflection plane (via
+    # Tinv gradients).  cols 0:3 = A, 3:12 = Tinv row-major, 12:15 = tet
+    # velocity, 15:19 = neighbor codes as exact float integers (works in
+    # f32: |codes| < 2^24 tets, and f64), 19 = pad.
+    tet_row: jnp.ndarray       # [nt, 20] float
     # --- boundary surface mesh (for I/O + tagged BCs) ---
     bd_tris: jnp.ndarray       # [nbd, 3] int32 into points, outward-oriented
     bd_tet: jnp.ndarray        # [nbd] int32 owning tet
@@ -220,6 +226,12 @@ def from_arrays(
     lo = points.min(axis=0) if nv else np.zeros(3)
     hi = points.max(axis=0) if nv else np.zeros(3)
 
+    row = np.zeros((nt, 20))
+    row[:, 0:3] = a
+    row[:, 3:12] = tinv.reshape(nt, 9)
+    row[:, 12:15] = tet_vel
+    row[:, 15:19] = nbr.astype(np.float64)
+
     as_f = lambda x: jnp.asarray(x, dtype=fdtype)
     as_i = lambda x: jnp.asarray(x, dtype=jnp.int32)
     return TetMesh(
@@ -236,6 +248,7 @@ def from_arrays(
         tet_nbr=as_i(nbr),
         tet_face_n=as_f(n),
         tet_face_d=as_f(dpl),
+        tet_row=as_f(row),
         bd_tris=as_i(bd_tris),
         bd_tet=as_i(bd_tet),
         bd_patch=as_i(bd_patch),
@@ -346,7 +359,9 @@ def replace_velocity(mesh: TetMesh, tet_vel=None, vert_vel=None) -> TetMesh:
 
     kw = {}
     if tet_vel is not None:
-        kw["tet_vel"] = jnp.asarray(tet_vel, dtype=mesh.dtype)
+        tv = jnp.asarray(tet_vel, dtype=mesh.dtype)
+        kw["tet_vel"] = tv
+        kw["tet_row"] = mesh.tet_row.at[:, 12:15].set(tv)
     if vert_vel is not None:
         kw["vert_vel"] = jnp.asarray(vert_vel, dtype=mesh.dtype)
     return dataclasses.replace(mesh, **kw)

@@ -1,0 +1,324 @@
+"""Row-cached fused sub-step — the performance engine.
+
+Measured facts that shape this design (v5e, via the chained-dependency
+microbenchmarks in this repo's round-1 notes):
+
+* Random indexing costs are **per index**, not per byte: gathering
+  [cap] rows of 20 floats costs the same as gathering 1 float per index
+  (~80-120M indices/s).  So: pack as much as possible per row, touch as
+  few indices as possible.
+* Scatters into ``[n,3]``-shaped arrays are pathological (XLA picks a
+  transposed T(4,128) layout; ~20 ms per 250k-row scatter): so the engine
+  keeps ALL per-particle data in ONE ``[n,32]`` mega-row array — one
+  gather compacts a lane, one scatter writes it back.
+* Elementwise streaming over [n,*] is effectively free (XLA flattens it).
+
+The cycle:
+
+1. Stream the mega rows: advect velocity, Brownian noise, tentative move,
+   and the hop-0 barycentric inside-test all come from the cached tet row
+   embedded in the mega row.  Particles that stay in their tet (the common
+   case — dt moves a fraction of a cell, ``advect.H:36-37``) touch no
+   random memory at all.
+2. Face-crossers are compacted (``jnp.nonzero`` with a static capacity)
+   and walked — ``baryTetSearch`` semantics (``RTQuery.cu:35-90``) with one
+   packed ``tet_row`` gather per hop — then specularly reflected off walls
+   (``RTreflection``, ``RTQuery.cu:109-186``) using barycentric-gradient
+   mirror planes (rows of Tinv — the identical plane the reference derives
+   from face vertices at ``RTQuery.cu:92-107``).
+3. One ``[cap,32]`` scatter merges the results back.
+4. Buffer overflow (pathological dt) falls back to a full-batch walk under
+   ``lax.cond`` — exact semantics always.
+
+Restricted to cell-constant velocity ("TetVelocity", the reference default
+``src/initCuda.H:72``) and meshes < 2^24 tets in f32 (neighbor codes are
+stored as exact float integers); other configs use the simple engine.
+
+Mega-row layout (32 cols):
+  0:3 pos | 3:6 vel | 6 tet (float int) | 7 active flag |
+  8:28 cached tet_row (A 8:11, Tinv 11:20, u 20:23, nbr 23:27, pad 27) |
+  28:32 pad
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..mesh import TetMesh
+from . import locate as locate_ops
+
+MAX_HOPS = locate_ops.MAX_HOPS
+
+# mega-row column offsets
+P0, V0, TET, ACT, ROW = 0, 3, 6, 7, 8
+RA, RT, RU, RN = ROW, ROW + 3, ROW + 12, ROW + 15   # A, Tinv, u, nbr
+WIDTH = 32
+
+
+def pack_state(mesh: TetMesh, pos, vel, tet_id, active):
+    """Build the mega-row array (one tet_row gather for the cache)."""
+    n = pos.shape[0]
+    dt = pos.dtype
+    m = jnp.zeros((n, WIDTH), dtype=dt)
+    m = m.at[:, P0 : P0 + 3].set(pos)
+    m = m.at[:, V0 : V0 + 3].set(vel)
+    m = m.at[:, TET].set(tet_id.astype(dt))
+    m = m.at[:, ACT].set(active.astype(dt))
+    rows = mesh.tet_row[jnp.maximum(tet_id, 0)]
+    m = m.at[:, ROW : ROW + 20].set(rows)
+    return m
+
+
+def unpack_state(m):
+    pos = m[:, P0 : P0 + 3]
+    vel = m[:, V0 : V0 + 3]
+    tet = m[:, TET].astype(jnp.int32)
+    act = m[:, ACT] > 0.5
+    return pos, vel, tet, act
+
+
+def _bary4(m, base, px, py, pz):
+    """Barycentric components of point (px,py,pz) in the tet row stored at
+    column ``base`` of mega rows ``m`` (column arithmetic only)."""
+    rx = px - m[:, base + 0]
+    ry = py - m[:, base + 1]
+    rz = pz - m[:, base + 2]
+    t = base + 3
+    wb = m[:, t + 0] * rx + m[:, t + 1] * ry + m[:, t + 2] * rz
+    wc = m[:, t + 3] * rx + m[:, t + 4] * ry + m[:, t + 5] * rz
+    wd = m[:, t + 6] * rx + m[:, t + 7] * ry + m[:, t + 8] * rz
+    wa = 1.0 - wb - wc - wd
+    return wa, wb, wc, wd
+
+
+def _argmin4(wa, wb, wc, wd):
+    """First-minimum argmin (owl arg_min scan semantics: strict '<')."""
+    best = wa
+    slot = jnp.zeros(wa.shape, jnp.int32)
+    for i, w in ((1, wb), (2, wc), (3, wd)):
+        upd = w < best
+        best = jnp.where(upd, w, best)
+        slot = jnp.where(upd, i, slot)
+    return slot, best
+
+
+def _pick4(m, base, slot):
+    return jnp.where(
+        slot == 0,
+        m[:, base],
+        jnp.where(
+            slot == 1,
+            m[:, base + 1],
+            jnp.where(slot == 2, m[:, base + 2], m[:, base + 3]),
+        ),
+    )
+
+
+def _grad_cols(m, base, slot):
+    """Gradient of barycentric component ``slot`` from the Tinv at
+    ``base+3``: row (slot-1) of Tinv, or -(sum of rows) for slot 0."""
+    t = base + 3
+
+    def comp(o):
+        g0 = -(m[:, t + o] + m[:, t + 3 + o] + m[:, t + 6 + o])
+        return jnp.where(
+            slot == 0,
+            g0,
+            jnp.where(
+                slot == 1,
+                m[:, t + o],
+                jnp.where(slot == 2, m[:, t + 3 + o], m[:, t + 6 + o]),
+            ),
+        )
+
+    return comp(0), comp(1), comp(2)
+
+
+def _set_row(mc, rows):
+    return mc.at[:, ROW : ROW + 20].set(rows)
+
+
+def _walk_mega(mesh: TetMesh, mc, px, py, pz, act, max_hops=MAX_HOPS):
+    """``baryTetSearch`` on mega lanes toward point (px,py,pz), starting
+    from the cached row/tet in ``mc``.  Returns (mc', code, slot): mc' has
+    the row cache of the final non-negative tet; ``code`` is the hosting
+    tet or -(lastTet+1); ``slot`` the last-crossed local face."""
+    n = px.shape[0]
+    tet0 = mc[:, TET].astype(jnp.int32)
+    done0 = (tet0 < 0) | (~act)
+    slot0 = jnp.zeros((n,), dtype=jnp.int32)
+
+    def cond(c):
+        tet, done, slot, mc, hops = c
+        return (hops < max_hops) & jnp.logical_not(jnp.all(done))
+
+    def body(c):
+        tet, done, slot, mc, hops = c
+        wa, wb, wc_, wd = _bary4(mc, RA, px, py, pz)
+        s, wmin = _argmin4(wa, wb, wc_, wd)
+        inside = wmin >= 0.0
+        stepping = (~done) & (~inside)
+        code = _pick4(mc, RN, s).astype(jnp.int32)
+        out = stepping & (code < 0)
+        tet_next = jnp.where(stepping, jnp.where(out, -(tet + 1), code), tet)
+        slot_next = jnp.where(stepping, s, slot)
+        moved = stepping & (code >= 0)
+        new_rows = mesh.tet_row[jnp.where(moved, code, 0)]
+        mc_next = jnp.where(
+            moved[:, None],
+            _set_row(mc, new_rows),
+            mc,
+        )
+        done_next = done | inside | out
+        return tet_next, done_next, slot_next, mc_next, hops + 1
+
+    tet, _, slot, mc, _ = lax.while_loop(
+        cond, body, (tet0, done0, slot0, mc, jnp.zeros((), jnp.int32))
+    )
+    return mc, tet, slot
+
+
+def _reflect_mega(mesh: TetMesh, mc, px, py, pz, code, slot, act, max_bounces=10):
+    """``RTreflection`` on mega lanes: mirror across the exit plane of the
+    cached exit-tet row, re-walk, repeat (<= max_bounces).  Returns updated
+    (mc, px..pz, code) with velocity columns reflected in mc."""
+    hit = act & (code < 0)
+    tet_bd = jnp.where(hit, -(code + 1), code)
+    settled = ~hit
+
+    def cond(c):
+        px, py, pz, tet, s, mc, settled, b = c
+        return (b < max_bounces) & jnp.logical_not(jnp.all(settled))
+
+    def body(c):
+        px, py, pz, tet, s, mc, settled, b = c
+        refl = ~settled
+        gx, gy, gz = _grad_cols(mc, RA, s)
+        wa, wb, wc_, wd = _bary4(mc, RA, px, py, pz)
+        wv = jnp.where(s == 0, wa, jnp.where(s == 1, wb, jnp.where(s == 2, wc_, wd)))
+        inv_g2 = 1.0 / (gx * gx + gy * gy + gz * gz)
+        f = 2.0 * wv * inv_g2
+        px = jnp.where(refl, px - f * gx, px)
+        py = jnp.where(refl, py - f * gy, py)
+        pz = jnp.where(refl, pz - f * gz, pz)
+        ux, uy, uz = mc[:, V0], mc[:, V0 + 1], mc[:, V0 + 2]
+        ug = ux * gx + uy * gy + uz * gz
+        fu = 2.0 * ug * inv_g2
+        mc = mc.at[:, V0].set(jnp.where(refl, ux - fu * gx, ux))
+        mc = mc.at[:, V0 + 1].set(jnp.where(refl, uy - fu * gy, uy))
+        mc = mc.at[:, V0 + 2].set(jnp.where(refl, uz - fu * gz, uz))
+        # re-walk the reflected point from the exit tet
+        mc_w = mc.at[:, TET].set(
+            jnp.where(refl, jnp.maximum(tet, 0), mc[:, TET].astype(jnp.int32)).astype(
+                mc.dtype
+            )
+        )
+        mc_w, wtet, wslot = _walk_mega(mesh, mc_w, px, py, pz, refl)
+        in_dom = wtet >= 0
+        newly = refl & in_dom
+        tet = jnp.where(newly, wtet, jnp.where(refl, -(wtet + 1), tet))
+        s = jnp.where(refl & ~in_dom, wslot, s)
+        mc = jnp.where(refl[:, None], mc_w, mc)
+        settled = settled | newly
+        return px, py, pz, tet, s, mc, settled, b + 1
+
+    px, py, pz, tet_bd, _, mc, settled, _ = lax.while_loop(
+        cond,
+        body,
+        (px, py, pz, tet_bd, slot, mc, settled, jnp.zeros((), jnp.int32)),
+    )
+    return mc, px, py, pz, tet_bd
+
+
+def mega_cycle(mesh: TetMesh, m, rng_key, step, cfg, dt):
+    """One sub-step over the mega-row state."""
+    n = m.shape[0]
+    cap = max(int(n * cfg.walk_capacity_frac), min(n, 256))
+
+    tet = m[:, TET].astype(jnp.int32)
+    act = m[:, ACT] > 0.5
+    alive = (act & (tet >= 0)) if cfg.use_advection else act
+    alf = alive.astype(m.dtype)
+
+    ux, uy, uz = m[:, RU], m[:, RU + 1], m[:, RU + 2]
+    if cfg.use_advection:
+        dx, dy, dz = alf * ux * dt, alf * uy * dt, alf * uz * dt
+        # advected velocity into vel columns (particles.cu:361)
+        m = m.at[:, V0].set(jnp.where(alive, ux, m[:, V0]))
+        m = m.at[:, V0 + 1].set(jnp.where(alive, uy, m[:, V0 + 1]))
+        m = m.at[:, V0 + 2].set(jnp.where(alive, uz, m[:, V0 + 2]))
+    else:
+        dx = dy = dz = jnp.zeros_like(ux)
+    if cfg.use_brownian:
+        key = jax.random.fold_in(rng_key, step)
+        sigma = jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(m.dtype)
+        xi = jax.random.normal(key, (n, 3), dtype=m.dtype)
+        dx = dx + alf * sigma * xi[:, 0]
+        dy = dy + alf * sigma * xi[:, 1]
+        dz = dz + alf * sigma * xi[:, 2]
+
+    # advect kill (particles.cu:333-338)
+    if cfg.use_advection:
+        m = m.at[:, ACT].set(alf)
+
+    px = m[:, P0] + dx
+    py = m[:, P0 + 1] + dy
+    pz = m[:, P0 + 2] + dz
+
+    wa, wb, wc_, wd = _bary4(m, RA, px, py, pz)
+    wmin = jnp.minimum(jnp.minimum(wa, wb), jnp.minimum(wc_, wd))
+    inside = (wmin >= 0.0) | (tet < 0)
+    need = ~inside
+    count = jnp.sum(need.astype(jnp.int32))
+
+    # optimistic move for in-tet lanes
+    m = m.at[:, P0].set(jnp.where(alive, px, m[:, P0]))
+    m = m.at[:, P0 + 1].set(jnp.where(alive, py, m[:, P0 + 1]))
+    m = m.at[:, P0 + 2].set(jnp.where(alive, pz, m[:, P0 + 2]))
+
+    def run_lanes(mc, qx, qy, qz, lanes_act):
+        """walk + reflect lanes toward (qx,qy,qz); returns updated mega rows
+        with final pos/tet/row/vel."""
+        mc2, code, slot = _walk_mega(mesh, mc, qx, qy, qz, lanes_act)
+        if cfg.reflect_wall:
+            mc3, rx, ry, rz, tet_f = _reflect_mega(
+                mesh, mc2, qx, qy, qz, code, slot, lanes_act, cfg.max_bounces
+            )
+        else:
+            mc3, rx, ry, rz, tet_f = mc2, qx, qy, qz, code
+        upd = lanes_act
+        mc3 = mc3.at[:, P0].set(jnp.where(upd, rx, mc3[:, P0]))
+        mc3 = mc3.at[:, P0 + 1].set(jnp.where(upd, ry, mc3[:, P0 + 1]))
+        mc3 = mc3.at[:, P0 + 2].set(jnp.where(upd, rz, mc3[:, P0 + 2]))
+        mc3 = mc3.at[:, TET].set(
+            jnp.where(upd, tet_f, mc3[:, TET].astype(jnp.int32)).astype(mc3.dtype)
+        )
+        return mc3
+
+    # stash the walk target in the scratch columns so ONE row gather carries
+    # everything the compacted lanes need
+    m = m.at[:, 28].set(px)
+    m = m.at[:, 29].set(py)
+    m = m.at[:, 30].set(pz)
+
+    def compact_branch(m):
+        idx = jnp.nonzero(need, size=cap, fill_value=0)[0].astype(jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+        valid = lane < jnp.minimum(count, cap)
+        mc = m[idx]                                   # ONE [cap,32] gather
+        mc = run_lanes(mc, mc[:, 28], mc[:, 29], mc[:, 30], valid)
+        # merge back by GATHER, not scatter (TPU scatters into large arrays
+        # are ~3x slower than gathers): lane i's compact slot is its
+        # exclusive cumsum position.
+        slot = jnp.cumsum(need.astype(jnp.int32)) - 1
+        merged = mc[jnp.clip(slot, 0, cap - 1)]       # ONE [n,32] gather
+        take = need & (slot < cap)
+        return jnp.where(take[:, None], merged, m)
+
+    def full_branch(m):
+        return run_lanes(m, px, py, pz, need)
+
+    m = lax.cond(count > cap, full_branch, compact_branch, m)
+    return m

@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..mesh import TetMesh
 from ..state import ParticleState
-from ..stepper import StepConfig, cycle
+from ..stepper import StepConfig
 
 
 def make_device_mesh(n_devices: int | None = None, axis: str = "p") -> Mesh:
@@ -104,15 +104,13 @@ def run_cycles_sharded(
     tet_mesh: TetMesh, state: ParticleState, cfg: StepConfig, n_cycles: int, dt=None
 ) -> ParticleState:
     """Sharded variant of :func:`~cudaparticlesfoam_tpu.stepper.run_cycles`:
-    same program; the particle-axis sharding placed by :func:`shard_state`
-    propagates through, so each chip steps its own particle slice with no
-    collectives.  Donates the input state (in-place update per chip)."""
-    dt = jnp.asarray(cfg.dt if dt is None else dt, dtype=state.dtype)
+    same program (incl. the cached-row fast engine); the particle-axis
+    sharding placed by :func:`shard_state` propagates through, so each chip
+    steps its own particle slice with no collectives.  Donates the input
+    state (in-place update per chip)."""
+    from ..stepper import _run_cycles_impl
 
-    def body(_, st):
-        return cycle(tet_mesh, st, cfg, dt)
-
-    return jax.lax.fori_loop(0, n_cycles, body, state)
+    return _run_cycles_impl(tet_mesh, state, cfg, n_cycles, dt)
 
 
 @jax.jit

@@ -40,6 +40,20 @@ class StepConfig:
     velocity_interp: str = advect_ops.TET_VELOCITY  # VelocityInterpMethod
     max_hops: int = locate_ops.MAX_HOPS   # RTQuery.cu:42
     max_bounces: int = 10                 # RTQuery.cu:131
+    # engine selection: "cached" = row-cache fast path (TetVelocity only),
+    # "simple" = straightforward vectorized ops, "auto" picks cached when
+    # the interpolation mode allows it.
+    engine: str = "auto"
+    walk_capacity_frac: float = 0.25      # compaction buffer / n
+
+    def resolved_engine(self) -> str:
+        if self.engine == "auto":
+            return (
+                "cached"
+                if self.velocity_interp == advect_ops.TET_VELOCITY
+                else "simple"
+            )
+        return self.engine
 
 
 def cycle(mesh: TetMesh, state: ParticleState, cfg: StepConfig, dt) -> ParticleState:
@@ -83,21 +97,53 @@ def cycle(mesh: TetMesh, state: ParticleState, cfg: StepConfig, dt) -> ParticleS
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_cycles"))
-def run_cycles(
-    mesh: TetMesh, state: ParticleState, cfg: StepConfig, n_cycles: int, dt=None
+def _run_cycles_impl(
+    mesh: TetMesh, state: ParticleState, cfg: StepConfig, n_cycles: int, dt
 ) -> ParticleState:
-    """``n_cycles`` fused sub-steps as one compiled program.
-
-    ``dt`` defaults to cfg.dt; pass the Eulerian ``cycleDt`` for coupled runs
-    (``advect.H:36-37``: nCycles = ceil(deltaT/dt), cycleDt = deltaT/nCycles).
-    """
     dt = jnp.asarray(cfg.dt if dt is None else dt, dtype=state.dtype)
+
+    if cfg.resolved_engine() == "cached":
+        from .ops import fused
+
+        m0 = fused.pack_state(mesh, state.pos, state.vel, state.tet_id, state.active)
+
+        def body(i, carry):
+            m, step = carry
+            m = fused.mega_cycle(mesh, m, state.rng_key, step, cfg, dt)
+            return m, step + 1
+
+        m, step = lax.fori_loop(0, n_cycles, body, (m0, state.step))
+        pos, vel, tet, act = fused.unpack_state(m)
+        return dataclasses.replace(
+            state,
+            pos=pos,
+            vel=vel,
+            disp=jnp.zeros_like(state.disp),
+            tet_id=tet,
+            active=act,
+            step=step,
+        )
 
     def body(_, st):
         return cycle(mesh, st, cfg, dt)
 
     return lax.fori_loop(0, n_cycles, body, state)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_cycles"))
+def run_cycles(
+    mesh: TetMesh, state: ParticleState, cfg: StepConfig, n_cycles: int, dt=None
+) -> ParticleState:
+    """``n_cycles`` sub-steps as one compiled program.
+
+    ``dt`` defaults to cfg.dt; pass the Eulerian ``cycleDt`` for coupled runs
+    (``advect.H:36-37``: nCycles = ceil(deltaT/dt), cycleDt = deltaT/nCycles).
+
+    Engine "cached" (default for TetVelocity) carries the per-particle row
+    cache through the loop — one gather builds it, only face-crossers touch
+    it after (see :mod:`.ops.fused`).
+    """
+    return _run_cycles_impl(mesh, state, cfg, n_cycles, dt)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -13,3 +13,11 @@ if "host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Some environments (axon TPU tunnel) ignore JAX_PLATFORMS for default
+# backend selection; route default placement to CPU explicitly so tests are
+# fast, deterministic, and can use the 8 virtual devices.
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except RuntimeError:
+    pass

@@ -1,0 +1,89 @@
+"""Cached (mega-row) engine vs simple engine equivalence.
+
+The fast engine restructures the cycle (row cache, compaction, gradient-
+plane reflection) but must reproduce the simple engine's trajectories to
+floating-point roundoff — both implement the reference semantics
+(advect -> brownian -> baryQueryDisp walk -> RTreflection -> move).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cudaparticlesfoam_tpu import (
+    StepConfig,
+    box_mesh,
+    build_grid_locator,
+    locate_seeds,
+    replace_velocity,
+    run_cycles,
+    seed_in_box,
+)
+from cudaparticlesfoam_tpu.state import replace as rs
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = box_mesh(6, 6, 6)
+    loc = build_grid_locator(mesh)
+    pts = np.asarray(mesh.points, dtype=np.float64)
+    cen = pts[np.asarray(mesh.tets)].mean(axis=1)
+    outward = cen - 3.0
+    outward /= np.linalg.norm(outward, axis=1, keepdims=True) + 1e-12
+    mesh = replace_velocity(mesh, tet_vel=outward * 1.5)
+    st = seed_in_box(256, (0.5,) * 3, (5.5,) * 3, method="threefry")
+    st = rs(st, tet_id=locate_seeds(mesh, loc, st.pos))
+    return mesh, st
+
+
+def compare(mesh, st, n=120, atol=1e-9, **cfg_kw):
+    a = run_cycles(mesh, st, StepConfig(engine="simple", **cfg_kw), n)
+    b = run_cycles(mesh, st, StepConfig(engine="cached", **cfg_kw), n)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=atol)
+    np.testing.assert_array_equal(np.asarray(a.tet_id), np.asarray(b.tet_id))
+    np.testing.assert_array_equal(np.asarray(a.active), np.asarray(b.active))
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=atol)
+    return a, b
+
+
+def test_pure_advect_with_reflection(setup):
+    mesh, st = setup
+    a, b = compare(mesh, st, dt=0.08, use_brownian=False)
+    assert np.asarray(b.active).all()
+    assert (np.asarray(b.tet_id) >= 0).all()
+
+
+def test_brownian(setup):
+    mesh, st = setup
+    compare(mesh, st, dt=0.08, diffusion_coeff=1e-3)
+
+
+def test_no_reflect_dead_particles(setup):
+    mesh, st = setup
+    a, b = compare(mesh, st, dt=0.08, use_brownian=False, reflect_wall=False)
+    assert not np.asarray(b.active).any()  # all escaped the outward field
+
+
+def test_overflow_fallback(setup):
+    # capacity far below the crossing count: the lax.cond full-batch branch
+    # must produce identical results
+    mesh, st = setup
+    a = run_cycles(
+        mesh, st, StepConfig(engine="simple", dt=0.08, use_brownian=False), 120
+    )
+    c = run_cycles(
+        mesh,
+        st,
+        StepConfig(
+            engine="cached", dt=0.08, use_brownian=False, walk_capacity_frac=1e-3
+        ),
+        120,
+    )
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(c.pos), atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(a.tet_id), np.asarray(c.tet_id))
+
+
+def test_auto_engine_picks_cached_for_tetvelocity():
+    assert StepConfig().resolved_engine() == "cached"
+    assert StepConfig(velocity_interp="VertexVelocity").resolved_engine() == "simple"
+    assert StepConfig(engine="simple").resolved_engine() == "simple"
