@@ -41,6 +41,10 @@ class ParticlesConfig:
     rng_seed: int = 0
     seeding_method: str = "reference"   # bit-exact owl LCG positions
     seeding_file: str | None = None
+    # patches whose boundary faces absorb particles instead of reflecting
+    # (data-driven fix for the reference's reflect-everywhere TODO,
+    # RTQuery.cu:165-166); empty = reference-compatible reflect-all
+    escape_patches: tuple = ()
 
     def step_config(self) -> StepConfig:
         return StepConfig(
@@ -73,6 +77,10 @@ class ParticlesConfig:
             rng_seed=int(g(d, "rngSeed", 0.0)),
             seeding_method=str(g(d, "seedingMethod", "reference")),
             seeding_file=d.get("seedingFile"),
+            escape_patches=tuple(
+                d["escapePatches"] if isinstance(d.get("escapePatches"), list)
+                else ([d["escapePatches"]] if "escapePatches" in d else [])
+            ),
         )
 
     @staticmethod

@@ -65,6 +65,10 @@ class TetMesh:
     bd_tris: jnp.ndarray       # [nbd, 3] int32 into points, outward-oriented
     bd_tet: jnp.ndarray        # [nbd] int32 owning tet
     bd_patch: jnp.ndarray      # [nbd] int32 patch/region tag (0 = untagged)
+    bd_escape: jnp.ndarray     # [nbd] bool: True = absorbing (outlet), False
+                               # = specular wall.  All-False reproduces the
+                               # reference's reflect-at-all-boundaries TODO
+                               # (RTQuery.cu:165-166).
     # --- bounds ---
     bounds_lo: jnp.ndarray     # [3]
     bounds_hi: jnp.ndarray     # [3]
@@ -252,6 +256,7 @@ def from_arrays(
         bd_tris=as_i(bd_tris),
         bd_tet=as_i(bd_tet),
         bd_patch=as_i(bd_patch),
+        bd_escape=jnp.zeros(nbd, dtype=bool),
         bounds_lo=as_f(lo),
         bounds_hi=as_f(hi),
         n_points=nv,
@@ -365,3 +370,18 @@ def replace_velocity(mesh: TetMesh, tet_vel=None, vert_vel=None) -> TetMesh:
     if vert_vel is not None:
         kw["vert_vel"] = jnp.asarray(vert_vel, dtype=mesh.dtype)
     return dataclasses.replace(mesh, **kw)
+
+
+def set_boundary_escape(mesh: TetMesh, escape_patch_ids) -> TetMesh:
+    """Mark boundary faces of the given patch ids as absorbing (particles
+    crossing them leave the domain and are deactivated instead of being
+    specularly reflected).  This is the data-driven fix for the reference's
+    reflect-everywhere TODO (``RTQuery.cu:165-166``), keyed off the OpenFOAM
+    patch tags carried by ``bd_patch``."""
+    import dataclasses
+
+    ids = jnp.asarray(list(escape_patch_ids), dtype=jnp.int32)
+    esc = jnp.isin(mesh.bd_patch, ids) if len(escape_patch_ids) else jnp.zeros(
+        mesh.n_bd_faces, dtype=bool
+    )
+    return dataclasses.replace(mesh, bd_escape=esc)

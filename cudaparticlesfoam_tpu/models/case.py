@@ -106,6 +106,14 @@ def load_case(case_dir: str, dtype=None, log=print, write_mesh: bool = False) ->
 
     wall = time.perf_counter()
     tet_mesh, tet_cell = polymesh.mesh_from_polymesh(poly, u_cells=u, dtype=dtype)
+    if pcfg.escape_patches:
+        names = [p[0] for p in poly.patches]
+        ids = [names.index(nm) for nm in pcfg.escape_patches if nm in names]
+        missing = [nm for nm in pcfg.escape_patches if nm not in names]
+        if missing:
+            log(f"#adv: [warning] escapePatches not found: {missing}")
+        tet_mesh = meshlib.set_boundary_escape(tet_mesh, ids)
+        log(f"#adv: absorbing patches: {[names[i] for i in ids]}")
     log(
         f"#adv: tet mesh: {tet_mesh.n_tets} tets, {tet_mesh.n_points} verts, "
         f"{tet_mesh.n_bd_faces} boundary tris "

@@ -195,6 +195,14 @@ def _reflect_mega(mesh: TetMesh, mc, px, py, pz, code, slot, act, max_bounces=10
     def body(c):
         px, py, pz, tet, s, mc, settled, b = c
         refl = ~settled
+        # absorbing (outlet) boundary faces: deactivate instead of reflect
+        # (bd face identity comes from the exit tet's neighbor code)
+        code_nbr = _pick4(mc, RN, s).astype(jnp.int32)
+        bd = jnp.clip(-code_nbr - 1, 0, max(mesh.n_bd_faces - 1, 0))
+        esc = refl & (code_nbr < 0) & mesh.bd_escape[bd]
+        tet = jnp.where(esc, -(tet + 1), tet)
+        settled = settled | esc
+        refl = refl & ~esc
         gx, gy, gz = _grad_cols(mc, RA, s)
         wa, wb, wc_, wd = _bary4(mc, RA, px, py, pz)
         wv = jnp.where(s == 0, wa, jnp.where(s == 1, wb, jnp.where(s == 2, wc_, wd)))

@@ -123,6 +123,13 @@ def reflect_walls(mesh: TetMesh, pos, disp, vel, tet_id, max_bounces: int = 10):
         # exit tet/face of the failed walk
         ex_tet = jnp.where(refl, -(wtet + 1), 0)
         ex_slot = jnp.where(refl, jnp.maximum(wslot, 0), 0)
+        # absorbing (outlet) faces: deactivate instead of reflect
+        code_nbr = mesh.tet_nbr[ex_tet, ex_slot]
+        bd = jnp.clip(-code_nbr - 1, 0, max(mesh.n_bd_faces - 1, 0))
+        esc = refl & (code_nbr < 0) & mesh.bd_escape[bd]
+        tet_bd = jnp.where(esc, -(ex_tet + 1), tet_bd)
+        settled = settled | esc
+        refl = refl & ~esc
         n = mesh.tet_face_n[ex_tet, ex_slot]
         d = mesh.tet_face_d[ex_tet, ex_slot]
         p_new = p_ref - 2.0 * (jnp.sum(p_ref * n, axis=-1) - d)[..., None] * n
