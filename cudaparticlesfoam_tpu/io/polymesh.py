@@ -447,6 +447,41 @@ def write_field(
         fh.write("}\n")
 
 
+def read_field_bcs(path: str) -> dict:
+    """Parse the boundaryField block of a field file into
+    {patch: (type, value)} where value is a float / [3] list / None."""
+    text = _read_foam_body(path)
+    m = re.search(r"boundaryField\s*\{", text)
+    if not m:
+        return {}
+    # find matching closing brace
+    depth, i = 1, m.end()
+    while depth > 0 and i < len(text):
+        if text[i] == "{":
+            depth += 1
+        elif text[i] == "}":
+            depth -= 1
+        i += 1
+    body = text[m.end() : i - 1]
+    out = {}
+    for pm_ in re.finditer(r"([\"\w.\-]+)\s*\{([^{}]*)\}", body):
+        name = pm_.group(1).strip('"')
+        entries = dict(re.findall(r"(\w+)\s+([^;]+);", pm_.group(2)))
+        btype = entries.get("type", "zeroGradient").strip()
+        value = None
+        if "value" in entries:
+            v = entries["value"].strip()
+            mv = re.match(r"uniform\s*\(([^)]*)\)", v)
+            if mv:
+                value = [float(x) for x in mv.group(1).split()]
+            else:
+                mv = re.match(r"uniform\s+([-+0-9.eE]+)", v)
+                if mv:
+                    value = float(mv.group(1))
+        out[name] = (btype, value)
+    return out
+
+
 def latest_time_dir(case_dir: str) -> str | None:
     """Find the latest numeric time directory (``startFrom latestTime``)."""
     best, best_t = None, None

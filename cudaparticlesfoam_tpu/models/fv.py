@@ -1,0 +1,338 @@
+"""Unstructured finite-volume operators and linear solvers in JAX.
+
+The TPU-native foundation for the flow solvers (:mod:`.simple`,
+:mod:`.pimple`) that replace the reference's OpenFOAM side
+(``applications/cudaParticlesPimpleFoam/{UEqn.H,pEqn.H}``): collocated
+FV on the same ``constant/polyMesh``, matrix-free LDU operators assembled
+per face with ``segment_sum``, Jacobi-smoothed momentum and
+Jacobi-preconditioned CG pressure solves, everything jit-compiled with
+static iteration structure (``lax.while_loop`` on residuals).
+
+Discretization notes (kept deliberately standard):
+* face interpolation: linear, distance-weighted
+* convection: first-order upwind (bounded; the tutorials' limitedLinear /
+  linearUpwind schemes differ mainly in smearing, not topology)
+* diffusion: orthogonal component implicit; non-orthogonal correction
+  explicit (over-relaxed approach), optional correctors
+* boundary conditions: affine per-face form ``phi_f = a * phi_P + b``
+  which covers fixedValue (a=0,b=v), zeroGradient (a=1,b=0), noSlip,
+  and 2-D ``empty`` patches (zero-flux)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..io.polymesh import PolyMesh, cell_centres_volumes, face_centres_areas
+from ..utils.pytree import pytree_dataclass
+
+
+@pytree_dataclass(meta_fields=("n_cells", "n_faces", "n_internal", "patch_slices"))
+class FvMesh:
+    """Device-resident FV geometry derived from a PolyMesh."""
+
+    owner: jnp.ndarray        # [nf] int32
+    neighbour: jnp.ndarray    # [n_int] int32
+    sf: jnp.ndarray           # [nf, 3] face area vectors (outward from owner)
+    mag_sf: jnp.ndarray       # [nf]
+    cf: jnp.ndarray           # [nf, 3] face centres
+    cc: jnp.ndarray           # [nc, 3] cell centres
+    vol: jnp.ndarray          # [nc]
+    w: jnp.ndarray            # [n_int] linear weights (owner side)
+    delta: jnp.ndarray        # [n_int] orthogonal delta coeffs |Sf|/(Sf.d/|Sf|)
+    bd_delta: jnp.ndarray     # [n_bd] boundary delta coeffs
+    nonortho: jnp.ndarray     # [n_int, 3] non-orthogonal correction vector k
+    n_cells: int
+    n_faces: int
+    n_internal: int
+    patch_slices: tuple       # ((name, type, start, count), ...) in bd-face numbering
+
+
+def fv_mesh(pm: PolyMesh, dtype=jnp.float32) -> FvMesh:
+    f_ctr, f_area = face_centres_areas(pm)
+    c_ctr, c_vol = cell_centres_volumes(pm, f_ctr, f_area)
+    n_int = pm.n_internal_faces
+    own, nei = pm.owner, pm.neighbour
+
+    mag = np.linalg.norm(f_area, axis=1)
+    # linear interpolation weights (OpenFOAM surfaceInterpolation):
+    # w = |Cf - Cn| projected : use distance along face normal
+    d_on = c_ctr[nei] - c_ctr[own[:n_int]]
+    nhat = f_area[:n_int] / np.maximum(mag[:n_int], 1e-300)[:, None]
+    d_fn = np.einsum("ij,ij->i", c_ctr[nei] - f_ctr[:n_int], nhat)
+    d_of = np.einsum("ij,ij->i", f_ctr[:n_int] - c_ctr[own[:n_int]], nhat)
+    w = d_fn / np.maximum(d_fn + d_of, 1e-300)
+
+    # orthogonal delta coefficient (over-relaxed): |Sf|^2 / (Sf . d)
+    sf_dot_d = np.einsum("ij,ij->i", f_area[:n_int], d_on)
+    delta = mag[:n_int] ** 2 / np.maximum(sf_dot_d, 1e-300)
+    # non-orthogonal correction vector: k = Sf - delta * d
+    k = f_area[:n_int] - delta[:, None] * d_on
+
+    # boundary deltas: |Sf| / (n . (Cf - Co))
+    bd_own = own[n_int:]
+    d_b = np.einsum(
+        "ij,ij->i",
+        f_ctr[n_int:] - c_ctr[bd_own],
+        f_area[n_int:] / np.maximum(mag[n_int:], 1e-300)[:, None],
+    )
+    bd_delta = mag[n_int:] / np.maximum(d_b, 1e-300)
+
+    patch_slices = tuple(
+        (name, ptype, start - n_int, cnt) for name, ptype, start, cnt in pm.patches
+    )
+    as_f = lambda x: jnp.asarray(x, dtype=dtype)
+    return FvMesh(
+        owner=jnp.asarray(own, jnp.int32),
+        neighbour=jnp.asarray(nei, jnp.int32),
+        sf=as_f(f_area),
+        mag_sf=as_f(mag),
+        cf=as_f(f_ctr),
+        cc=as_f(c_ctr),
+        vol=as_f(c_vol),
+        w=as_f(w),
+        delta=as_f(delta),
+        bd_delta=as_f(bd_delta),
+        nonortho=as_f(k),
+        n_cells=pm.n_cells,
+        n_faces=pm.n_faces,
+        n_internal=n_int,
+        patch_slices=patch_slices,
+    )
+
+
+# ---------------------------------------------------------------------------
+# boundary conditions: phi_f = a * phi_owner + b  (per boundary face)
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class BoundaryCoeffs:
+    a: jnp.ndarray   # [n_bd] or [n_bd,1] multiplier on owner value
+    b: jnp.ndarray   # [n_bd, ncomp] offset
+
+
+def make_bcs(m: FvMesh, spec: dict, n_comp: int, default="zeroGradient", dtype=None):
+    """Build affine BC coefficients from a {patch: (type, value)} spec.
+
+    Supported types: fixedValue, zeroGradient, noSlip, empty, slip
+    (slip ~ zeroGradient here), calculated (zeroGradient).
+    """
+    dtype = dtype or m.sf.dtype
+    n_bd = m.n_faces - m.n_internal
+    a = np.ones(n_bd)
+    b = np.zeros((n_bd, n_comp))
+    for name, ptype, start, cnt in m.patch_slices:
+        entry = spec.get(name)
+        btype = entry[0] if entry else default
+        val = entry[1] if entry and len(entry) > 1 else 0.0
+        sl = slice(start, start + cnt)
+        if btype in ("fixedValue", "noSlip"):
+            a[sl] = 0.0
+            b[sl] = np.broadcast_to(
+                np.zeros(n_comp) if btype == "noSlip" else np.asarray(val, float),
+                (cnt, n_comp),
+            )
+        elif btype in ("zeroGradient", "empty", "slip", "calculated", "symmetry"):
+            a[sl] = 1.0
+            b[sl] = 0.0
+        else:
+            raise ValueError(f"unsupported BC type {btype!r} on patch {name!r}")
+    return BoundaryCoeffs(
+        a=jnp.asarray(a, dtype), b=jnp.asarray(b, dtype).reshape(n_bd, n_comp)
+    )
+
+
+def boundary_value(m: FvMesh, bc: BoundaryCoeffs, phi):
+    """phi on boundary faces: a * phi_owner + b."""
+    own = m.owner[m.n_internal :]
+    po = phi[own]
+    if phi.ndim == 1:
+        return bc.a * po + bc.b[:, 0]
+    return bc.a[:, None] * po + bc.b
+
+
+# ---------------------------------------------------------------------------
+# core operators
+# ---------------------------------------------------------------------------
+
+
+def face_interp(m: FvMesh, phi):
+    """Linear face interpolation (internal faces)."""
+    o = phi[m.owner[: m.n_internal]]
+    n = phi[m.neighbour]
+    w = m.w if phi.ndim == 1 else m.w[:, None]
+    return w * o + (1.0 - w) * n
+
+
+def surface_sum(m: FvMesh, face_vals):
+    """Sum of per-face values into cells with owner +, neighbour - signs."""
+    nc = m.n_cells
+    out = jnp.zeros((nc,) + face_vals.shape[1:], dtype=face_vals.dtype)
+    out = out.at[m.owner].add(face_vals)
+    out = out.at[m.neighbour].add(-face_vals[: m.n_internal])
+    return out
+
+
+def divergence(m: FvMesh, face_flux):
+    """div of a face flux field -> per-cell (per unit volume)."""
+    v = m.vol if face_flux.ndim == 1 else m.vol[:, None]
+    return surface_sum(m, face_flux) / v
+
+
+def gradient(m: FvMesh, phi, bc: BoundaryCoeffs):
+    """Gauss gradient of a scalar field -> [nc, 3]."""
+    pf_i = face_interp(m, phi)
+    pf_b = boundary_value(m, bc, phi)
+    pf = jnp.concatenate([pf_i, pf_b])
+    return surface_sum(m, pf[:, None] * m.sf) / m.vol[:, None]
+
+
+def flux_of(m: FvMesh, u, bc_u: BoundaryCoeffs):
+    """Mass flux phi = U_f . Sf on all faces."""
+    uf_i = face_interp(m, u)
+    uf_b = boundary_value(m, bc_u, u)
+    uf = jnp.concatenate([uf_i, uf_b])
+    return jnp.sum(uf * m.sf, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# matrix-free LDU operator: A(phi) with upwind convection + diffusion
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class FvMatrix:
+    """Implicit coefficients of a transport operator.
+
+    A phi |_P = diag_P phi_P + sum_f lower/upper couplings; assembled
+    matrix-free: ``matvec`` gathers neighbor values per face.
+    Convention: A(phi) = b  discretizes  conv + diff (+ ddt).
+    """
+
+    diag: jnp.ndarray      # [nc]
+    lower: jnp.ndarray     # [n_int] coeff of owner in neighbour's eq
+    upper: jnp.ndarray     # [n_int] coeff of neighbour in owner's eq
+    source: jnp.ndarray    # [nc, ncomp] rhs
+
+
+def assemble_transport(
+    m: FvMesh,
+    flux,                 # [nf] mass flux
+    gamma,                # scalar or [nf] diffusivity (times rho)
+    bc: BoundaryCoeffs,
+    n_comp: int,
+    ddt_coeff=None,       # [nc] V/dt for transient, None for steady
+    phi_old=None,         # [nc, ncomp]
+):
+    """Upwind convection + orthogonal diffusion matrix + BC/source terms."""
+    n_int = m.n_internal
+    f_i = flux[:n_int]
+    f_b = flux[n_int:]
+    gamma = jnp.broadcast_to(jnp.asarray(gamma, m.sf.dtype), (m.n_faces,))
+
+    d_i = gamma[:n_int] * m.delta
+    d_b = gamma[n_int:] * m.bd_delta
+
+    # upwind convection: owner eq gets +max(F,0) on diag, +min(F,0) on N
+    upper = jnp.minimum(f_i, 0.0) - d_i          # coeff of phi_N in owner eq
+    lower = -jnp.maximum(f_i, 0.0) - d_i         # coeff of phi_P in neighbour eq
+    diag = jnp.zeros(m.n_cells, m.sf.dtype)
+    diag = diag.at[m.owner[:n_int]].add(jnp.maximum(f_i, 0.0) + d_i)
+    diag = diag.at[m.neighbour].add(-jnp.minimum(f_i, 0.0) + d_i)
+
+    # boundary: phi_f = a phi_P + b
+    own_b = m.owner[n_int:]
+    # convection (outflow: phi_f upwinded to owner when F>0; inflow uses b)
+    conv_diag_b = jnp.maximum(f_b, 0.0) + jnp.minimum(f_b, 0.0) * bc.a
+    conv_src_b = -jnp.minimum(f_b, 0.0)[:, None] * bc.b
+    # diffusion: flux = d_b (phi_f - phi_P) = d_b ((a-1) phi_P + b)
+    diff_diag_b = d_b * (1.0 - bc.a)
+    diff_src_b = d_b[:, None] * bc.b
+    diag = diag.at[own_b].add(conv_diag_b + diff_diag_b)
+    source = jnp.zeros((m.n_cells, n_comp), m.sf.dtype)
+    source = source.at[own_b].add(conv_src_b + diff_src_b)
+
+    if ddt_coeff is not None:
+        diag = diag + ddt_coeff
+        source = source + ddt_coeff[:, None] * phi_old
+
+    return FvMatrix(diag=diag, lower=lower, upper=upper, source=source)
+
+
+def matvec(m: FvMesh, A: FvMatrix, phi):
+    """A @ phi (per component)."""
+    n_int = m.n_internal
+    out = A.diag[:, None] * phi if phi.ndim == 2 else A.diag * phi
+    po = phi[m.owner[:n_int]]
+    pn = phi[m.neighbour]
+    if phi.ndim == 2:
+        out = out.at[m.owner[:n_int]].add(A.upper[:, None] * pn)
+        out = out.at[m.neighbour].add(A.lower[:, None] * po)
+    else:
+        out = out.at[m.owner[:n_int]].add(A.upper * pn)
+        out = out.at[m.neighbour].add(A.lower * po)
+    return out
+
+
+def h_operator(m: FvMesh, A: FvMatrix, phi):
+    """H(phi) = source - offdiag @ phi (OpenFOAM's H)."""
+    return A.source - (matvec(m, A, phi) - A.diag[:, None] * phi)
+
+
+# ---------------------------------------------------------------------------
+# linear solvers (jit-able, fixed max iterations + residual exit)
+# ---------------------------------------------------------------------------
+
+
+def jacobi_solve(m: FvMesh, A: FvMatrix, b, x0, sweeps: int = 5, relax=1.0):
+    """Damped Jacobi sweeps (the smoothSolver stand-in for momentum)."""
+    inv_d = 1.0 / A.diag
+
+    def body(_, x):
+        r = b - matvec(m, A, x)
+        upd = inv_d[:, None] * r if x.ndim == 2 else inv_d * r
+        return x + relax * upd
+
+    return lax.fori_loop(0, sweeps, body, x0)
+
+
+def cg_solve(m: FvMesh, A: FvMatrix, b, x0, tol=1e-7, max_iter=500):
+    """Jacobi-preconditioned conjugate gradients for symmetric operators
+    (the pressure equation; stands in for OpenFOAM's GAMG,
+    ``TJunction/system/fvSolution:19-33``).  Returns (x, final_residual,
+    n_iterations)."""
+    inv_d = 1.0 / A.diag
+
+    def dot(a_, b_):
+        return jnp.sum(a_ * b_)
+
+    r0 = b - matvec(m, A, x0)
+    z0 = inv_d * r0
+    p0 = z0
+    rz0 = dot(r0, z0)
+    norm_b = jnp.sqrt(dot(b, b)) + 1e-300
+
+    def cond(st):
+        x, r, p, rz, it = st
+        return (jnp.sqrt(dot(r, r)) / norm_b > tol) & (it < max_iter)
+
+    def body(st):
+        x, r, p, rz, it = st
+        ap = matvec(m, A, p)
+        alpha = rz / (dot(p, ap) + 1e-300)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = inv_d * r
+        rz_new = dot(r, z)
+        beta = rz_new / (rz + 1e-300)
+        p = z + beta * p
+        return x, r, p, rz_new, it + 1
+
+    x, r, _, _, it = lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
+    return x, jnp.sqrt(dot(r, r)) / norm_b, it

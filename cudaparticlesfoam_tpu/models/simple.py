@@ -1,0 +1,256 @@
+"""Steady incompressible SIMPLE solver (the ``simpleFoam`` stand-in).
+
+The reference's uncoupled tutorial depends on an external ``simpleFoam``
+run for the frozen field (``pitzDaily/Allrun:8-12``); this module solves
+the same steady incompressible momentum/continuity system natively in JAX
+on the same polyMesh, so the whole pipeline is self-contained:
+
+    blockMesh (io.blockmesh) -> SIMPLE (here) -> particle advection
+
+Algorithm (standard collocated SIMPLE with Rhie-Chow fluxes):
+  1. assemble upwind/diffusion momentum operator with current flux
+  2. under-relaxed momentum solve (Jacobi sweeps) with -grad(p) source
+  3. pressure correction: div(rAU grad p') = div(phi*), CG solve
+  4. flux and velocity correction, pressure under-relaxation
+Laminar (constant nu); an eddy-viscosity field can be supplied per
+iteration via ``nut`` for turbulence coupling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..io import foamfile, polymesh
+from ..utils.pytree import pytree_dataclass
+from . import fv
+
+
+@pytree_dataclass
+class FlowState:
+    u: jnp.ndarray       # [nc, 3]
+    p: jnp.ndarray       # [nc]
+    flux: jnp.ndarray    # [nf]
+
+
+@dataclasses.dataclass(frozen=True)
+class SimpleConfig:
+    nu: float = 1e-5
+    alpha_u: float = 0.7
+    alpha_p: float = 0.3
+    n_jacobi: int = 8
+    p_tol: float = 1e-7
+    p_max_iter: int = 800
+    pin_pressure: bool = False   # pin cell 0 when no fixedValue p patch
+
+
+def load_flow_case(case_dir: str, pm=None, dtype=jnp.float32):
+    """Read mesh + 0/ fields + transportProperties into solver inputs."""
+    if pm is None:
+        pm = polymesh.read_polymesh(os.path.join(case_dir, "constant", "polyMesh"))
+    m = fv.fv_mesh(pm, dtype=dtype)
+
+    tp = {}
+    tp_path = os.path.join(case_dir, "constant", "transportProperties")
+    if os.path.exists(tp_path):
+        tp = foamfile.read(tp_path)
+    nu_e = tp.get("nu", 1e-5)
+    # formats: `nu [dims] v;` or `nu v;`
+    if isinstance(nu_e, list):
+        nu = float([x for x in nu_e if isinstance(x, (int, float))][-1])
+    else:
+        nu = float(nu_e)
+
+    u0_path = os.path.join(case_dir, "0", "U")
+    p0_path = os.path.join(case_dir, "0", "p")
+    u_bc_spec = polymesh.read_field_bcs(u0_path) if os.path.exists(u0_path) else {}
+    p_bc_spec = polymesh.read_field_bcs(p0_path) if os.path.exists(p0_path) else {}
+    u_bcs = fv.make_bcs(
+        m,
+        {k: (t, v if v is not None else 0.0) for k, (t, v) in u_bc_spec.items()},
+        3,
+    )
+    p_bcs = fv.make_bcs(
+        m,
+        {k: (t, v if v is not None else 0.0) for k, (t, v) in p_bc_spec.items()},
+        1,
+    )
+    pin = not any(t == "fixedValue" for t, _ in p_bc_spec.values())
+
+    u0 = (
+        polymesh.read_field(u0_path, n_cells=pm.n_cells)
+        if os.path.exists(u0_path)
+        else np.zeros((pm.n_cells, 3))
+    )
+    p0 = (
+        polymesh.read_field(p0_path, n_cells=pm.n_cells)
+        if os.path.exists(p0_path)
+        else np.zeros(pm.n_cells)
+    )
+    state = FlowState(
+        u=jnp.asarray(u0, dtype),
+        p=jnp.asarray(np.asarray(p0).reshape(-1), dtype),
+        flux=jnp.zeros(m.n_faces, dtype),
+    )
+    state = dataclasses.replace(state, flux=fv.flux_of(m, state.u, u_bcs))
+    return m, state, u_bcs, p_bcs, nu, pin
+
+
+def _pressure_matrix(m: fv.FvMesh, rau_f, p_bcs, pin: bool):
+    """Laplacian(rAU) p  operator coefficients (symmetric)."""
+    n_int = m.n_internal
+    d_i = rau_f[:n_int] * m.delta
+    d_b = rau_f[n_int:] * m.bd_delta
+    diag = jnp.zeros(m.n_cells, rau_f.dtype)
+    diag = diag.at[m.owner[:n_int]].add(d_i)
+    diag = diag.at[m.neighbour].add(d_i)
+    own_b = m.owner[n_int:]
+    diag = diag.at[own_b].add(d_b * (1.0 - p_bcs.a))
+    if pin:
+        diag = diag.at[0].add(1.0)
+    src_b = jnp.zeros(m.n_cells, rau_f.dtype).at[own_b].add(d_b * p_bcs.b[:, 0])
+    return fv.FvMatrix(diag=diag, lower=-d_i, upper=-d_i, source=src_b[:, None]), src_b
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def simple_iteration(m: fv.FvMesh, st: FlowState, u_bcs, p_bcs, cfg: SimpleConfig,
+                     nut=None):
+    """One SIMPLE outer iteration; returns (state, residuals dict)."""
+    # effective facewise viscosity: laminar + optional eddy viscosity
+    if nut is None:
+        nu_f = cfg.nu
+    else:
+        nu_f = cfg.nu + jnp.concatenate(
+            [fv.face_interp(m, nut), nut[m.owner[m.n_internal :]]]
+        )
+
+    # momentum operator (volume-integrated; rho = 1)
+    A = fv.assemble_transport(m, st.flux, nu_f, u_bcs, 3)
+
+    grad_p = fv.gradient(m, st.p, p_bcs)
+    b = A.source - grad_p * m.vol[:, None]
+
+    # under-relaxation (OpenFOAM style): aP' = aP/alpha, b += (1-a)/a aP U
+    diag_rel = A.diag / cfg.alpha_u
+    b_rel = b + ((1.0 - cfg.alpha_u) / cfg.alpha_u) * A.diag[:, None] * st.u
+    A_rel = dataclasses.replace(A, diag=diag_rel)
+
+    u_star = fv.jacobi_solve(m, A_rel, b_rel, st.u, sweeps=cfg.n_jacobi)
+    u_res = jnp.linalg.norm(b_rel - fv.matvec(m, A_rel, u_star)) / (
+        jnp.linalg.norm(b_rel) + 1e-300
+    )
+
+    # Rhie-Chow: HbyA = (b_without_gradp - offdiag U*) / aP'
+    rau = m.vol / diag_rel                      # [nc]  (V/aP)
+    hbya = (b_rel + grad_p * m.vol[:, None] - (
+        fv.matvec(m, A_rel, u_star) - A_rel.diag[:, None] * u_star
+    )) / diag_rel[:, None]
+    phi_hbya = fv.flux_of(m, hbya, u_bcs)
+
+    rau_f = jnp.concatenate(
+        [fv.face_interp(m, rau), rau[m.owner[m.n_internal :]]]
+    )
+    Ap, _ = _pressure_matrix(m, rau_f, p_bcs, cfg.pin_pressure)
+    # continuity: Ap p = S_b - sum_f phi_hbya  (Ap is the negative Laplacian,
+    # positive definite)
+    rhs = Ap.source[:, 0] - fv.surface_sum(m, phi_hbya)
+    p_new, p_res, p_iters = fv.cg_solve(
+        m, Ap, rhs, st.p, tol=cfg.p_tol, max_iter=cfg.p_max_iter
+    )
+
+    # correct flux: phi = phi_hbya - rau_f * delta * (p_N - p_O) on internal;
+    # boundary: subtract rau_f * d_b * ((a-1) p_P + b)
+    n_int = m.n_internal
+    dp = p_new[m.neighbour] - p_new[m.owner[:n_int]]
+    flux_i = phi_hbya[:n_int] - rau_f[:n_int] * m.delta * dp
+    dp_b = (p_bcs.a - 1.0) * p_new[m.owner[n_int:]] + p_bcs.b[:, 0]
+    flux_b = phi_hbya[n_int:] - rau_f[n_int:] * m.bd_delta * dp_b
+    flux = jnp.concatenate([flux_i, flux_b])
+
+    # correct velocity, relax pressure
+    grad_pn = fv.gradient(m, p_new, p_bcs)
+    u_new = hbya - rau[:, None] * grad_pn
+    p_relaxed = st.p + cfg.alpha_p * (p_new - st.p)
+
+    continuity = jnp.sum(jnp.abs(fv.surface_sum(m, flux)))
+    return (
+        FlowState(u=u_new, p=p_relaxed, flux=flux),
+        {"u_res": u_res, "p_res": p_res, "p_iters": p_iters, "continuity": continuity},
+    )
+
+
+def solve_steady(
+    case_dir: str,
+    pm=None,
+    n_iters: int = 500,
+    cfg: SimpleConfig | None = None,
+    tol: float = 1e-5,
+    dtype=jnp.float32,
+    log=print,
+    log_every: int = 50,
+):
+    """Run SIMPLE to (approximate) steadiness; returns (m, state, bcs)."""
+    m, st, u_bcs, p_bcs, nu, pin = load_flow_case(case_dir, pm=pm, dtype=dtype)
+    if cfg is None:
+        cfg = SimpleConfig(nu=nu, pin_pressure=pin)
+    else:
+        cfg = dataclasses.replace(cfg, nu=nu, pin_pressure=pin)
+    for i in range(n_iters):
+        st, res = simple_iteration(m, st, u_bcs, p_bcs, cfg)
+        if i % log_every == 0:
+            log(
+                f"SIMPLE iter {i}: Ux residual={float(res['u_res']):.3e} "
+                f"p residual={float(res['p_res']):.3e} "
+                f"(CG {int(res['p_iters'])}) continuity={float(res['continuity']):.3e}"
+            )
+        if float(res["u_res"]) < tol:
+            log(f"SIMPLE converged in {i} iterations")
+            break
+    return m, st, (u_bcs, p_bcs, cfg)
+
+
+def write_solution(case_dir: str, time_name: str, m: fv.FvMesh, st: FlowState,
+                   bc_specs: dict | None = None):
+    """Write U and p time-directory fields (OpenFOAM format)."""
+    out = os.path.join(case_dir, time_name)
+    os.makedirs(out, exist_ok=True)
+    polymesh.write_field(
+        os.path.join(out, "U"), "U", np.asarray(st.u),
+        dimensions=(0, 1, -1, 0, 0, 0, 0), location=time_name,
+        boundary_field={
+            name: {"type": "calculated"} for name, *_ in m.patch_slices
+        },
+    )
+    polymesh.write_field(
+        os.path.join(out, "p"), "p", np.asarray(st.p),
+        dimensions=(0, 2, -2, 0, 0, 0, 0), location=time_name,
+        boundary_field={
+            name: {"type": "calculated"} for name, *_ in m.patch_slices
+        },
+    )
+    return out
+
+
+def run(case_dir: str, n_iters: int | None = None, log=print):
+    """CLI entry: solve steady flow and write it at the controlDict endTime
+    (so the particle solver's latestTime pickup finds it)."""
+    from ..config import ControlConfig
+
+    ctrl = ControlConfig.from_case(case_dir)
+    pm = None
+    mesh_dir = os.path.join(case_dir, "constant", "polyMesh")
+    if not os.path.exists(os.path.join(mesh_dir, "points")):
+        from ..io import blockmesh
+
+        pm = blockmesh.generate(os.path.join(case_dir, "system", "blockMeshDict"))
+    m, st, _ = solve_steady(case_dir, pm=pm, n_iters=n_iters or 500, log=log)
+    tname = f"{ctrl.end_time:g}"
+    out = write_solution(case_dir, tname, m, st)
+    log(f"wrote steady solution to {out}")
+    return m, st

@@ -1,0 +1,135 @@
+"""Native flow solver tests: FV operators, SIMPLE (Poiseuille), PISO."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cudaparticlesfoam_tpu.io import blockmesh, polymesh
+from cudaparticlesfoam_tpu.models import fv, pimple, simple
+
+CHANNEL_BMD = """
+FoamFile { version 2.0; format ascii; class dictionary; object blockMeshDict; }
+scale 1;
+vertices (
+ (0 0 0) (2 0 0) (2 0.1 0) (0 0.1 0)
+ (0 0 0.01) (2 0 0.01) (2 0.1 0.01) (0 0.1 0.01)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) (40 16 1) simpleGrading (1 1 1) );
+edges ();
+boundary (
+ inlet { type patch; faces ((0 4 7 3)); }
+ outlet { type patch; faces ((1 2 6 5)); }
+ walls { type wall; faces ((0 1 5 4) (3 7 6 2)); }
+ frontAndBack { type empty; faces ((0 3 2 1) (4 5 6 7)); }
+);
+"""
+
+
+@pytest.fixture(scope="module")
+def channel(tmp_path_factory):
+    case = tmp_path_factory.mktemp("chan")
+    (case / "system").mkdir()
+    (case / "constant").mkdir()
+    (case / "0").mkdir()
+    (case / "system" / "blockMeshDict").write_text(CHANNEL_BMD)
+    (case / "system" / "controlDict").write_text(
+        "FoamFile { version 2.0; format ascii; class dictionary; object controlDict; }\n"
+        "application simpleFoam; startFrom latestTime; startTime 0; endTime 10; deltaT 1;\n"
+    )
+    (case / "constant" / "transportProperties").write_text(
+        "FoamFile { version 2.0; format ascii; class dictionary; object transportProperties; }\n"
+        "nu [0 2 -1 0 0 0 0] 0.01;\n"
+    )
+    (case / "0" / "U").write_text(
+        "FoamFile { version 2.0; format ascii; class volVectorField; object U; }\n"
+        "dimensions [0 1 -1 0 0 0 0];\ninternalField uniform (1 0 0);\n"
+        "boundaryField {\n inlet { type fixedValue; value uniform (1 0 0); }\n"
+        " outlet { type zeroGradient; }\n walls { type noSlip; }\n"
+        " frontAndBack { type empty; }\n}\n"
+    )
+    (case / "0" / "p").write_text(
+        "FoamFile { version 2.0; format ascii; class volScalarField; object p; }\n"
+        "dimensions [0 2 -2 0 0 0 0];\ninternalField uniform 0;\n"
+        "boundaryField {\n inlet { type zeroGradient; }\n"
+        " outlet { type fixedValue; value uniform 0; }\n"
+        " walls { type zeroGradient; }\n frontAndBack { type empty; }\n}\n"
+    )
+    pm = blockmesh.generate(str(case / "system" / "blockMeshDict"))
+    return str(case), pm
+
+
+def test_fv_operators_consistency(channel):
+    case, pm = channel
+    m = fv.fv_mesh(pm, dtype=jnp.float64)
+    # gradient of a linear field is exact on interior cells
+    phi = jnp.asarray(np.asarray(m.cc) @ np.array([2.0, -3.0, 0.0]))
+    bcs = fv.make_bcs(m, {}, 1, default="zeroGradient")
+    g = np.asarray(fv.gradient(m, phi, bcs))
+    interior = np.ones(m.n_cells, bool)
+    own_b = np.asarray(m.owner[m.n_internal:])
+    interior[own_b] = False
+    np.testing.assert_allclose(g[interior, 0], 2.0, atol=1e-9)
+    np.testing.assert_allclose(g[interior, 1], -3.0, atol=1e-9)
+    # divergence of a uniform velocity is zero (closed cells)
+    u = jnp.tile(jnp.asarray([[1.0, 2.0, 0.0]]), (m.n_cells, 1))
+    ubc = fv.make_bcs(m, {}, 3, default="zeroGradient")
+    flux = fv.flux_of(m, u, ubc)
+    div = np.asarray(fv.divergence(m, flux))
+    np.testing.assert_allclose(div, 0.0, atol=1e-9)
+
+
+def test_simple_poiseuille(channel):
+    case, pm = channel
+    m, st, _ = simple.solve_steady(
+        case, pm=pm, n_iters=400, log=lambda *a: None, dtype=jnp.float32
+    )
+    u = np.asarray(st.u)
+    cc = np.asarray(m.cc)
+    sel = np.abs(cc[:, 0] - 1.9) < 0.05
+    y = cc[sel, 1]
+    ux = u[sel, 0]
+    H = 0.1
+    ana = 6.0 * (y / H) * (1.0 - y / H)
+    assert np.abs(ux - ana).max() / 1.5 < 0.02
+    # global mass conservation
+    flux = np.asarray(st.flux)
+    names = {p[0]: p for p in m.patch_slices}
+    n_int = m.n_internal
+    for nm in ("inlet", "outlet"):
+        _, _, start, cnt = names[nm]
+        net = flux[n_int + start : n_int + start + cnt].sum()
+        assert abs(abs(net) - 1e-3) < 1e-8, nm
+
+
+def test_piso_transient_to_steady(channel):
+    case, pm = channel
+    m, st, u_bcs, p_bcs, nu, pin = simple.load_flow_case(case, pm=pm, dtype=jnp.float32)
+    cfg = pimple.PimpleConfig(nu=nu, pin_pressure=pin)
+    for _ in range(200):
+        st, res = pimple.pimple_step(m, st, u_bcs, p_bcs, cfg, 0.01)
+    u = np.asarray(st.u)
+    cc = np.asarray(m.cc)
+    sel = np.abs(cc[:, 0] - 1.9) < 0.05
+    ux = u[sel, 0]
+    y = cc[sel, 1]
+    ana = 6.0 * (y / 0.1) * (1.0 - y / 0.1)
+    assert np.abs(ux - ana).max() / 1.5 < 0.03
+    assert float(res["continuity"]) < 1e-4
+
+
+def test_courant_number(channel):
+    case, pm = channel
+    m, st, u_bcs, *_ = simple.load_flow_case(case, pm=pm, dtype=jnp.float32)
+    co = float(pimple.courant_number(m, st.flux, 0.01))
+    # u=1, dx = 2/40 = 0.05 -> Co ~ 0.2 (plus cross-terms)
+    assert 0.1 < co < 0.6
+
+
+def test_write_solution_roundtrip(channel, tmp_path):
+    case, pm = channel
+    m, st, u_bcs, *_ = simple.load_flow_case(case, pm=pm, dtype=jnp.float32)
+    out = simple.write_solution(str(tmp_path), "42", m, st)
+    u_back = polymesh.read_field(os.path.join(out, "U"), n_cells=m.n_cells)
+    np.testing.assert_allclose(u_back, np.asarray(st.u), rtol=1e-6, atol=1e-8)
