@@ -30,7 +30,8 @@ def main(argv=None):
         )
         return p
 
-    add_case_cmd("uncoupled", "frozen-field particle tracking")
+    p = add_case_cmd("uncoupled", "frozen-field particle tracking")
+    p.add_argument("--profile", default=None, help="write a jax.profiler trace here")
     add_case_cmd("replay", "particle tracking over recorded U snapshots")
     p = add_case_cmd("coupled", "native PIMPLE flow + particle tracking")
     p.add_argument("--steps", type=int, default=None)
@@ -61,7 +62,11 @@ def main(argv=None):
         from .models import uncoupled
 
         uncoupled.run(
-            args.case, out_dir=args.out, write_output=not args.no_write, dtype=dtype
+            args.case,
+            out_dir=args.out,
+            write_output=not args.no_write,
+            dtype=dtype,
+            profile_dir=args.profile,
         )
     elif args.cmd == "replay":
         from .models import coupled

@@ -22,6 +22,7 @@ import numpy as np
 from ..io import vtu
 from ..ops import advect as advect_ops
 from ..stepper import n_cycles_for, run_cycles
+from ..utils.profiling import PhaseTimer, device_trace
 from . import case as caselib
 
 
@@ -41,15 +42,19 @@ def run(
     dtype=None,
     log=print,
     trajectories: bool | None = None,
+    profile_dir: str | None = None,
 ):
     """Run the uncoupled case end-to-end.  Returns (case, final_state, stats)."""
-    case = caselib.load_case(case_dir, dtype=dtype, log=log)
+    timer = PhaseTimer()
+    with timer.phase("Init"):
+        case = caselib.load_case(case_dir, dtype=dtype, log=log)
     pcfg = case.particles
     ctrl = case.control
     out_dir = out_dir or case_dir
 
     t = case.time_value
-    state = caselib.init_particles(case, log=log)
+    with timer.phase("Seed"):
+        state = caselib.init_particles(case, log=log)
     cfg = pcfg.step_config()
 
     # warm-up advect: initCuda.H:184-199 computes vel/disp once (no move)
@@ -66,7 +71,8 @@ def run(
 
     stats = {"frames": [], "cycles": 0, "wall_s": 0.0}
     if write_output:
-        path = vtu.write_particles_vtu(0, state, out_dir=out_dir, verbose=True)
+        with timer.phase("IO"):
+            path = vtu.write_particles_vtu(0, state, out_dir=out_dir, verbose=True)
         stats["frames"].append(path)
 
     if not (pcfg.start_time <= t <= pcfg.end_time):
@@ -85,26 +91,29 @@ def run(
     state = dataclasses.replace(state, disp=np.zeros_like(state.disp))
 
     wall0 = time.perf_counter()
-    i = 0
-    while i < n_cycles:
-        # run up to the next write boundary in one fused program
-        if i % pcfg.save_interval == 0:
-            chunk = 1
-        else:
-            next_write = ((i // pcfg.save_interval) + 1) * pcfg.save_interval
-            chunk = min(next_write, n_cycles) - i
-        state = run_cycles(case.tet_mesh, state, cfg, chunk, cycle_dt)
-        prev = i
-        i += chunk
-        if prev % pcfg.save_interval == 0:
-            if track is not None:
-                track.append(state)
-            if write_output:
-                path = vtu.write_particles_vtu(
-                    prev + 1, state, out_dir=out_dir, verbose=True
-                )
-                stats["frames"].append(path)
-    jax.block_until_ready(state.pos)
+    with device_trace(profile_dir):
+        i = 0
+        while i < n_cycles:
+            # run up to the next write boundary in one fused program
+            if i % pcfg.save_interval == 0:
+                chunk = 1
+            else:
+                next_write = ((i // pcfg.save_interval) + 1) * pcfg.save_interval
+                chunk = min(next_write, n_cycles) - i
+            with timer.phase("Advect"):
+                state = run_cycles(case.tet_mesh, state, cfg, chunk, cycle_dt)
+            prev = i
+            i += chunk
+            if prev % pcfg.save_interval == 0:
+                if track is not None:
+                    track.append(state)
+                if write_output:
+                    with timer.phase("IO"):
+                        path = vtu.write_particles_vtu(
+                            prev + 1, state, out_dir=out_dir, verbose=True
+                        )
+                    stats["frames"].append(path)
+        jax.block_until_ready(state.pos)
     stats["wall_s"] = time.perf_counter() - wall0
     stats["cycles"] = n_cycles
     rate = state.n_particles * n_cycles / max(stats["wall_s"], 1e-12)
@@ -112,6 +121,8 @@ def run(
         f"#adv: Simulation RunTime={stats['wall_s']*1e3:.1f} ms "
         f"({rate/1e6:.2f}M particle-steps/s)"
     )
+    timer.report(log=log)
+    stats["phases"] = dict(timer.totals)
     if track is not None:
         track.save_vtk(f"{out_dir}/Streamline.vtk")
     return case, state, stats

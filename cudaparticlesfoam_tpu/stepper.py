@@ -45,12 +45,17 @@ class StepConfig:
     # the interpolation mode allows it.
     engine: str = "auto"
     walk_capacity_frac: float = 0.25      # compaction buffer / n
+    # cell-location algorithm: "bary" = barycentric sign walk (RTX build,
+    # query/RTQuery.cu), "convex" = exact segment/face tracing (ConvexPoly
+    # build, query/ConvexQuery.cu)
+    locate_mode: str = "bary"
 
     def resolved_engine(self) -> str:
         if self.engine == "auto":
             return (
                 "cached"
                 if self.velocity_interp == advect_ops.TET_VELOCITY
+                and self.locate_mode == "bary"
                 else "simple"
             )
         return self.engine
@@ -72,16 +77,29 @@ def cycle(mesh: TetMesh, state: ParticleState, cfg: StepConfig, dt) -> ParticleS
         key = jax.random.fold_in(state.rng_key, state.step)
         disp = advect_ops.brownian(disp, active, key, dt, cfg.diffusion_coeff)
 
-    # locate: walk from previous tet to pos + disp
-    tet_id, _ = locate_ops.walk(
-        mesh, pos + disp, tet_id, max_hops=cfg.max_hops
-    )
+    if cfg.locate_mode == "convex":
+        # ConvexPoly mode: exact segment tracing + its reflector
+        from .ops import convex as convex_ops
 
-    # reflect wall hits (specular, all boundaries — reference TODO semantics)
-    if cfg.reflect_wall:
-        disp, vel, tet_id = locate_ops.reflect_walls(
-            mesh, pos, disp, vel, tet_id, max_bounces=cfg.max_bounces
+        tet_id, stop_tet, p_cross = convex_ops.trace_segment(
+            mesh, pos, disp, tet_id, active=active, max_tets=cfg.max_hops
         )
+        if cfg.reflect_wall:
+            pos, disp, vel, tet_id = convex_ops.convex_reflect(
+                mesh, pos, disp, vel, tet_id, stop_tet, p_cross
+            )
+    else:
+        # locate: walk from previous tet to pos + disp
+        tet_id, _ = locate_ops.walk(
+            mesh, pos + disp, tet_id, max_hops=cfg.max_hops
+        )
+
+        # reflect wall hits (specular, all boundaries — reference TODO
+        # semantics)
+        if cfg.reflect_wall:
+            disp, vel, tet_id = locate_ops.reflect_walls(
+                mesh, pos, disp, vel, tet_id, max_bounces=cfg.max_bounces
+            )
 
     # move: pos += disp; disp = 0
     pos, disp = advect_ops.move(pos, disp, active)

@@ -1,0 +1,76 @@
+"""ConvexPoly locate mode (query/ConvexQuery.cu semantics) vs the
+barycentric walk: both algorithms must produce identical trajectories."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cudaparticlesfoam_tpu import (
+    StepConfig,
+    box_mesh,
+    build_grid_locator,
+    locate_seeds,
+    replace_velocity,
+    run_cycles,
+    seed_in_box,
+)
+from cudaparticlesfoam_tpu.ops import convex
+from cudaparticlesfoam_tpu.state import replace as rs
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = box_mesh(6, 6, 6)
+    loc = build_grid_locator(mesh)
+    pts = np.asarray(mesh.points, dtype=np.float64)
+    cen = pts[np.asarray(mesh.tets)].mean(axis=1)
+    outward = cen - 3.0
+    outward /= np.linalg.norm(outward, axis=1, keepdims=True) + 1e-12
+    mesh = replace_velocity(mesh, tet_vel=outward * 1.5)
+    st = seed_in_box(256, (0.5,) * 3, (5.5,) * 3, method="threefry")
+    st = rs(st, tet_id=locate_seeds(mesh, loc, st.pos))
+    return mesh, st
+
+
+def test_trace_segment_basic(setup):
+    mesh, st = setup
+    # zero displacement: stays put, same tet
+    code, stop_tet, p_cross = convex.trace_segment(
+        mesh, st.pos, jnp.zeros_like(st.pos), st.tet_id
+    )
+    np.testing.assert_array_equal(np.asarray(code), np.asarray(st.tet_id))
+    # long displacement out of the domain: wall code -(startTet+1)
+    disp = jnp.tile(jnp.asarray([[100.0, 0.0, 0.0]]), (st.n_particles, 1))
+    code, stop_tet, p_cross = convex.trace_segment(mesh, st.pos, disp, st.tet_id)
+    code = np.asarray(code)
+    assert (code < 0).all()
+    np.testing.assert_array_equal(-code - 1, np.asarray(st.tet_id))
+    # hit points on the x=6 wall
+    np.testing.assert_allclose(np.asarray(p_cross)[:, 0], 6.0, atol=1e-9)
+
+
+def test_convex_matches_bary(setup):
+    mesh, st = setup
+    a = run_cycles(
+        mesh, st,
+        StepConfig(dt=0.08, use_brownian=False, locate_mode="bary", engine="simple"),
+        100,
+    )
+    b = run_cycles(
+        mesh, st, StepConfig(dt=0.08, use_brownian=False, locate_mode="convex"), 100
+    )
+    np.testing.assert_array_equal(np.asarray(a.tet_id), np.asarray(b.tet_id))
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-12)
+    assert np.asarray(b.active).all()
+
+
+def test_convex_with_brownian_containment(setup):
+    mesh, st = setup
+    out = run_cycles(
+        mesh, st,
+        StepConfig(dt=0.08, diffusion_coeff=1e-3, locate_mode="convex"),
+        100,
+    )
+    pos = np.asarray(out.pos)
+    assert (pos >= -1e-9).all() and (pos <= 6.0 + 1e-9).all()
+    assert (np.asarray(out.tet_id) >= 0).all()
