@@ -114,7 +114,7 @@ def trace_segment(mesh: TetMesh, pos, disp, tet_id, active=None,
         return p0, tet, inlet, done, hit_wall, i + 1
 
     inlet0 = jnp.full((n,), -2, jnp.int32)
-    p0, stop_tet, _, done, hit_wall, _ = lax.while_loop(
+    p0, stop_tet, last_face, done, hit_wall, _ = lax.while_loop(
         cond,
         body,
         (pos, jnp.maximum(tet_id, 0), inlet0, ~live0, jnp.zeros(n, bool),
@@ -122,27 +122,30 @@ def trace_segment(mesh: TetMesh, pos, disp, tet_id, active=None,
     )
     code = jnp.where(hit_wall, -(start_tet + 1), stop_tet)
     code = jnp.where(live0, code, tet_id)
-    return code, stop_tet, p0
+    return code, stop_tet, p0, last_face
 
 
-def _hit_face_plane(mesh: TetMesh, stop_tet, p_cross):
-    """Outward plane (n, d) of the boundary face of ``stop_tet`` whose
-    plane contains ``p_cross`` (the face that terminated the trace —
-    reflectInTet identifies it by its dT==tol signature,
-    ``ConvexQuery.cu:286``)."""
+def _hit_face_plane(mesh: TetMesh, stop_tet, p_cross, last_face):
+    """Outward plane (n, d) of the face that terminated the trace: matched
+    by the crossed face id carried through the trace (the reference's
+    reflectInTet re-identifies it by its dT==tol signature,
+    ``ConvexQuery.cu:286``; carrying the id is exact at corners)."""
     safe = jnp.maximum(stop_tet, 0)
     nrm = mesh.tet_face_n[safe]
     dpl = mesh.tet_face_d[safe]
+    fids = mesh.tet_faces[safe]
+    match = fids == last_face[:, None]
+    # fallback: nearest boundary plane when no id match (shouldn't happen)
     dist = jnp.abs(dpl - jnp.sum(nrm * p_cross[:, None, :], axis=-1))
     is_bd = mesh.tet_nbr[safe] < 0
-    dist = jnp.where(is_bd, dist, jnp.inf)
-    slot = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+    score = jnp.where(match, -1.0, jnp.where(is_bd, dist, jnp.inf))
+    slot = jnp.argmin(score, axis=-1).astype(jnp.int32)
     lane = jnp.arange(stop_tet.shape[0])
     return nrm[lane, slot], dpl[lane, slot]
 
 
 def convex_reflect(mesh: TetMesh, pos, disp, vel, tet_id, stop_tet, p_cross,
-                   max_bounces: int = MAX_BOUNCES):
+                   hit_face, max_bounces: int = MAX_BOUNCES):
     """Vectorized ``convexReflector`` for wall-hit lanes (tet_id < 0).
 
     Returns (pos, disp, vel, tet_id)."""
@@ -154,8 +157,8 @@ def convex_reflect(mesh: TetMesh, pos, disp, vel, tet_id, stop_tet, p_cross,
     tet_c = jnp.where(hit, stop_tet, jnp.maximum(tet_id, 0))
     settled = ~hit
 
-    def mirror(p_end, u, tet, p_at, refl):
-        nsel, dsel = _hit_face_plane(mesh, tet, p_at)
+    def mirror(p_end, u, tet, p_at, fid, refl):
+        nsel, dsel = _hit_face_plane(mesh, tet, p_at, fid)
         pe = p_end - 2.0 * (jnp.sum(p_end * nsel, -1) - dsel)[:, None] * nsel
         un = u - 2.0 * jnp.sum(u * nsel, -1)[:, None] * nsel
         return (
@@ -164,7 +167,7 @@ def convex_reflect(mesh: TetMesh, pos, disp, vel, tet_id, stop_tet, p_cross,
         )
 
     # first bounce: mirror across the face found by the main trace
-    p_end, u = mirror(p_end, u, tet_c, p_cross, ~settled)
+    p_end, u = mirror(p_end, u, tet_c, p_cross, hit_face, ~settled)
 
     def cond(c):
         p_start, p_end, p_hit, u, tet, settled, b = c
@@ -173,7 +176,7 @@ def convex_reflect(mesh: TetMesh, pos, disp, vel, tet_id, stop_tet, p_cross,
     def body(c):
         p_start, p_end, p_hit, u, tet, settled, b = c
         refl = ~settled
-        code, s_tet, p_cr = trace_segment(
+        code, s_tet, p_cr, l_face = trace_segment(
             mesh, p_start, p_end - p_start, jnp.maximum(tet, 0), active=refl
         )
         landed = refl & (code >= 0)
@@ -183,7 +186,7 @@ def convex_reflect(mesh: TetMesh, pos, disp, vel, tet_id, stop_tet, p_cross,
         # still hitting a wall: mirror again from the new hit point
         p_hit = jnp.where(refl[:, None], p_cr, p_hit)
         p_start = jnp.where(refl[:, None], p_cr, p_start)
-        p_end, u = mirror(p_end, u, tet, p_cr, refl)
+        p_end, u = mirror(p_end, u, tet, p_cr, l_face, refl)
         return p_start, p_end, p_hit, u, tet, settled, b + 1
 
     p_start, p_end, p_hit, u, tet_c, settled, _ = lax.while_loop(

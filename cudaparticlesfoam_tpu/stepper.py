@@ -49,6 +49,13 @@ class StepConfig:
     # query/RTQuery.cu), "convex" = exact segment/face tracing (ConvexPoly
     # build, query/ConvexQuery.cu)
     locate_mode: str = "bary"
+    # safety net for convex mode: the reference's tracer cannot re-detect a
+    # face once a particle sits a hair outside it (tol asymmetry,
+    # ConvexQuery.cu:95), so corner-reflection dust can leak out of the
+    # domain (their testNStracing replays such cases).  This runs a
+    # barycentric re-check + reflect after the convex step; disable for
+    # strict reference behavior.
+    convex_bary_fix: bool = True
 
     def resolved_engine(self) -> str:
         if self.engine == "auto":
@@ -81,13 +88,23 @@ def cycle(mesh: TetMesh, state: ParticleState, cfg: StepConfig, dt) -> ParticleS
         # ConvexPoly mode: exact segment tracing + its reflector
         from .ops import convex as convex_ops
 
-        tet_id, stop_tet, p_cross = convex_ops.trace_segment(
+        tet_id, stop_tet, p_cross, hit_face = convex_ops.trace_segment(
             mesh, pos, disp, tet_id, active=active, max_tets=cfg.max_hops
         )
         if cfg.reflect_wall:
             pos, disp, vel, tet_id = convex_ops.convex_reflect(
-                mesh, pos, disp, vel, tet_id, stop_tet, p_cross
+                mesh, pos, disp, vel, tet_id, stop_tet, p_cross, hit_face
             )
+            if cfg.convex_bary_fix:
+                # barycentric consistency pass on the landed position
+                p_land = pos + jnp.where(active[:, None], disp, 0.0)
+                tet_chk, _ = locate_ops.walk(mesh, p_land, tet_id)
+                zero = jnp.zeros_like(disp)
+                d_fix, vel, tet_id = locate_ops.reflect_walls(
+                    mesh, p_land, zero, vel, tet_chk,
+                    max_bounces=cfg.max_bounces,
+                )
+                disp = jnp.where(active[:, None], disp + d_fix, disp)
     else:
         # locate: walk from previous tet to pos + disp
         tet_id, _ = locate_ops.walk(
