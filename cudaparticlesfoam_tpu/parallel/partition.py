@@ -1,0 +1,516 @@
+"""Spatially partitioned meshes with cross-shard particle migration.
+
+The second multi-chip regime (SURVEY.md §2.3): when the tet mesh is too
+large to replicate per chip, shard it spatially and let particles ride
+their shard, migrating over ICI when they cross a partition boundary.
+This *inverts* the reference's distribution (every rank gathers mesh and
+particles to the MPI master which owns the only GPU,
+``src/initCuda.H:209-322``): here no device ever sees the whole problem.
+
+Design:
+* Host-side partition: tets sorted by centroid along the domain's longest
+  axis into equal contiguous slabs (tet ids are renumbered so
+  ``shard_of(tet) = tet // tets_per_shard`` — the shard map needs no
+  table).  Each shard holds only its slab of the packed walk table.
+* The per-shard sub-step runs the standard advect/Brownian/walk/reflect
+  cycle (reference semantics) except that a hop whose neighbor tet lives
+  on another shard *pauses*: the particle is handed off with its global
+  target tet, and the destination shard's next hop-0 barycentric check
+  resumes the relocation.  Since dt keeps walks to 1-2 cells, a handoff
+  is almost always already in the destination tet.
+* Migration is a fixed-capacity ``lax.all_to_all`` over the shard axis
+  inside ``shard_map`` — the collective rides ICI, scheduled by XLA.
+  Slot bookkeeping (free-slot compaction, overflow deferral) is fully
+  static-shape.
+
+Determinism note: Brownian noise is keyed by (step, shard), so particle
+noise streams are iid but not stable across migrations; disable Brownian
+for bitwise multi-device equivalence tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..mesh import TetMesh
+from ..stepper import StepConfig
+from ..utils.pytree import pytree_dataclass
+
+
+@pytree_dataclass(meta_fields=("n_shards", "tets_per_shard", "n_tets"))
+class PartitionedMesh:
+    """Slab-partitioned walk tables; arrays carry a leading shard axis."""
+
+    tet_row: jnp.ndarray    # [S, P, 20]  (neighbor codes remain GLOBAL ids)
+    tet_nbr: jnp.ndarray    # [S, P, 4]   int32 global codes
+    perm: jnp.ndarray       # [nt] old tet id -> new (sorted) id
+    inv_perm: jnp.ndarray   # [nt] new -> old
+    n_shards: int
+    tets_per_shard: int
+    n_tets: int
+
+
+@pytree_dataclass(meta_fields=("n_shards", "capacity",))
+class ShardedParticles:
+    """Per-shard particle slots; [S, C, ...] with a residency mask."""
+
+    pos: jnp.ndarray        # [S, C, 3]
+    vel: jnp.ndarray        # [S, C, 3]
+    tet: jnp.ndarray        # [S, C] int32, GLOBAL new-numbering ids
+    active: jnp.ndarray     # [S, C] bool (particle alive)
+    resident: jnp.ndarray   # [S, C] bool (slot occupied)
+    pid: jnp.ndarray        # [S, C] int32 global particle id (-1 = empty)
+    rng_key: jnp.ndarray
+    step: jnp.ndarray
+    n_shards: int
+    capacity: int
+
+
+def partition_mesh(mesh: TetMesh, n_shards: int) -> PartitionedMesh:
+    """Slab-partition along the longest bounding-box axis."""
+    pts = np.asarray(mesh.points, dtype=np.float64)
+    tets = np.asarray(mesh.tets)
+    cen = pts[tets].mean(axis=1)
+    extent = np.asarray(mesh.bounds_hi) - np.asarray(mesh.bounds_lo)
+    axis = int(np.argmax(extent))
+    order = np.argsort(cen[:, axis], kind="stable")     # old ids in new order
+    nt = len(order)
+    per = -(-nt // n_shards)
+    pad = per * n_shards - nt
+
+    inv_perm = order.astype(np.int32)                   # new -> old
+    perm = np.empty(nt, np.int32)                       # old -> new
+    perm[order] = np.arange(nt, dtype=np.int32)
+
+    row = np.asarray(mesh.tet_row)[inv_perm]            # [nt,20]
+    nbr_old = np.asarray(mesh.tet_nbr)[inv_perm]        # [nt,4] old codes
+    nbr = np.where(nbr_old >= 0, perm[np.clip(nbr_old, 0, nt - 1)], nbr_old)
+    # renumber the neighbor codes embedded in the packed rows
+    row = row.copy()
+    row[:, 15:19] = nbr.astype(row.dtype)
+
+    if pad:
+        # padding tets: self-contained dummies (all-boundary) never reached
+        prow = np.zeros((pad, 20), row.dtype)
+        prow[:, 3] = prow[:, 7] = prow[:, 11] = 1.0      # identity Tinv
+        prow[:, 15:19] = -1.0
+        row = np.concatenate([row, prow])
+        nbr = np.concatenate([nbr, np.full((pad, 4), -1, np.int32)])
+
+    return PartitionedMesh(
+        tet_row=jnp.asarray(row.reshape(n_shards, per, 20)),
+        tet_nbr=jnp.asarray(nbr.reshape(n_shards, per, 4), jnp.int32),
+        perm=jnp.asarray(perm),
+        inv_perm=jnp.asarray(inv_perm),
+        n_shards=n_shards,
+        tets_per_shard=per,
+        n_tets=nt,
+    )
+
+
+def distribute_particles(
+    pm: PartitionedMesh, pos, vel, tet_old, active, rng_key=None,
+    slack: float = 2.0,
+) -> ShardedParticles:
+    """Host-side: route particles to the shard owning their tet."""
+    S, per = pm.n_shards, pm.tets_per_shard
+    pos = np.asarray(pos)
+    vel = np.asarray(vel)
+    tet_old = np.asarray(tet_old)
+    active = np.asarray(active)
+    n = len(pos)
+    perm = np.asarray(pm.perm)
+    tet_new = np.where(tet_old >= 0, perm[np.clip(tet_old, 0, pm.n_tets - 1)], tet_old)
+    dest = np.clip(np.where(tet_new >= 0, tet_new // per, 0), 0, S - 1)
+    cap = max(int(n / S * slack), 64)
+
+    out = ShardedParticles(
+        pos=jnp.zeros((S, cap, 3), jnp.asarray(pos).dtype),
+        vel=jnp.zeros((S, cap, 3), jnp.asarray(pos).dtype),
+        tet=jnp.full((S, cap), -1, jnp.int32),
+        active=jnp.zeros((S, cap), bool),
+        resident=jnp.zeros((S, cap), bool),
+        pid=jnp.full((S, cap), -1, jnp.int32),
+        rng_key=rng_key if rng_key is not None else jax.random.PRNGKey(0),
+        step=jnp.zeros((), jnp.int32),
+        n_shards=S,
+        capacity=cap,
+    )
+    ppos = np.zeros((S, cap, 3))
+    pvel = np.zeros((S, cap, 3))
+    ptet = np.full((S, cap), -1, np.int32)
+    pact = np.zeros((S, cap), bool)
+    pres = np.zeros((S, cap), bool)
+    ppid = np.full((S, cap), -1, np.int32)
+    fill = np.zeros(S, np.int64)
+    for i in range(n):
+        s = dest[i]
+        k = fill[s]
+        if k >= cap:
+            raise ValueError("shard capacity exceeded at distribution")
+        ppos[s, k] = pos[i]
+        pvel[s, k] = vel[i]
+        ptet[s, k] = tet_new[i]
+        pact[s, k] = active[i]
+        pres[s, k] = True
+        ppid[s, k] = i
+        fill[s] += 1
+    return dataclasses.replace(
+        out,
+        pos=jnp.asarray(ppos, out.pos.dtype),
+        vel=jnp.asarray(pvel, out.pos.dtype),
+        tet=jnp.asarray(ptet),
+        active=jnp.asarray(pact),
+        resident=jnp.asarray(pres),
+        pid=jnp.asarray(ppid),
+    )
+
+
+def collect_particles(pm: PartitionedMesh, sp: ShardedParticles, n_particles: int):
+    """Host-side: gather shards back into globally-ordered arrays."""
+    pos = np.zeros((n_particles, 3))
+    vel = np.zeros((n_particles, 3))
+    tet = np.full(n_particles, -1, np.int32)
+    act = np.zeros(n_particles, bool)
+    pids = np.asarray(sp.pid)
+    res = np.asarray(sp.resident)
+    inv = np.asarray(pm.inv_perm)
+    ppos, pvel, ptet, pact = (
+        np.asarray(sp.pos), np.asarray(sp.vel), np.asarray(sp.tet),
+        np.asarray(sp.active),
+    )
+    for s in range(sp.n_shards):
+        sel = res[s]
+        ids = pids[s][sel]
+        pos[ids] = ppos[s][sel]
+        vel[ids] = pvel[s][sel]
+        t = ptet[s][sel]
+        tet[ids] = np.where(t >= 0, inv[np.clip(t, 0, pm.n_tets - 1)], t)
+        act[ids] = pact[s][sel]
+    return pos, vel, tet, act
+
+
+# ---------------------------------------------------------------------------
+# per-shard cycle (inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _local_cycle(rows, nbrs, shard_id, per, pos, vel, tet, act, res, key, step, cfg, dt):
+    """Reference cycle on one shard's residents; walks pause at remote
+    neighbors (tet left as a remote GLOBAL id).  Lanes that arrived by
+    migration with an unfinished relocation are settled (walk+reflect
+    toward their current position) BEFORE the advect, so trajectories
+    match the single-device run."""
+    lo = shard_id * per
+
+    def local_rows(g):
+        return rows[jnp.clip(g - lo, 0, per - 1)]
+
+    in_shard = lambda g: (g >= lo) & (g < lo + per)
+
+    def bary(row, p):
+        rx = p[:, 0] - row[:, 0]
+        ry = p[:, 1] - row[:, 1]
+        rz = p[:, 2] - row[:, 2]
+        wb = row[:, 3] * rx + row[:, 4] * ry + row[:, 5] * rz
+        wc = row[:, 6] * rx + row[:, 7] * ry + row[:, 8] * rz
+        wd = row[:, 9] * rx + row[:, 10] * ry + row[:, 11] * rz
+        return 1.0 - wb - wc - wd, wb, wc, wd
+
+    def walk(target, tet0, act_mask):
+        def cond(c):
+            tet, done, prev_slot, i = c
+            return (i < cfg.max_hops) & ~jnp.all(done)
+
+        def body(c):
+            tet, done, slotc, i = c
+            row = local_rows(jnp.maximum(tet, 0))
+            wa, wb, wc, wd = bary(row, target)
+            best = wa
+            slot = jnp.zeros(wa.shape, jnp.int32)
+            for j, w in ((1, wb), (2, wc), (3, wd)):
+                upd = w < best
+                best = jnp.where(upd, w, best)
+                slot = jnp.where(upd, j, slot)
+            inside = best >= 0.0
+            stepping = (~done) & (~inside)
+            nbr_row = nbrs[jnp.clip(jnp.maximum(tet, 0) - lo, 0, per - 1)]
+            lane = jnp.arange(tet.shape[0])
+            code = nbr_row[lane, slot]
+            out = stepping & (code < 0)
+            remote = stepping & (code >= 0) & ~in_shard(code)
+            tet_next = jnp.where(
+                stepping,
+                jnp.where(out, -(tet + 1), code),
+                tet,
+            )
+            slotc = jnp.where(stepping, slot, slotc)
+            done = done | inside | out | remote
+            return tet_next, done, slotc, i + 1
+
+        done0 = (~act_mask) | (tet0 < 0) | ~in_shard(tet0)
+        t, _, slotc, _ = lax.while_loop(
+            cond, body, (tet0, done0, jnp.zeros_like(tet0), jnp.zeros((), jnp.int32))
+        )
+        return t, slotc
+
+    def relocate(target, tet0, act_mask):
+        """walk + (optional) reflect toward ``target``; remote hops pause."""
+        tet2, slot2 = walk(target, tet0, act_mask)
+        if not cfg.reflect_wall:
+            return target, tet2
+        hit = act_mask & (tet2 < 0)
+        tet_bd = jnp.where(hit, -(tet2 + 1), jnp.maximum(tet2, 0))
+        p_ref = target
+        settled = ~hit
+
+        def rcond(c):
+            p, tet, s, settled, b = c
+            return (b < cfg.max_bounces) & ~jnp.all(settled)
+
+        def rbody(c):
+            p, tet, s, settled, b = c
+            refl = ~settled
+            row = local_rows(jnp.maximum(tet, 0))
+            # gradient of bary slot s
+            def comp(o):
+                g0 = -(row[:, 3 + o] + row[:, 6 + o] + row[:, 9 + o])
+                return jnp.where(
+                    s == 0, g0,
+                    jnp.where(s == 1, row[:, 3 + o],
+                              jnp.where(s == 2, row[:, 6 + o], row[:, 9 + o])),
+                )
+            gx, gy, gz = comp(0), comp(1), comp(2)
+            rx = p[:, 0] - row[:, 0]
+            ry = p[:, 1] - row[:, 1]
+            rz = p[:, 2] - row[:, 2]
+            wb = row[:, 3] * rx + row[:, 4] * ry + row[:, 5] * rz
+            wc = row[:, 6] * rx + row[:, 7] * ry + row[:, 8] * rz
+            wd = row[:, 9] * rx + row[:, 10] * ry + row[:, 11] * rz
+            wa = 1.0 - wb - wc - wd
+            wv = jnp.where(s == 0, wa, jnp.where(s == 1, wb, jnp.where(s == 2, wc, wd)))
+            ig2 = 1.0 / (gx * gx + gy * gy + gz * gz)
+            f = 2.0 * wv * ig2
+            p = jnp.where(
+                refl[:, None],
+                jnp.stack([p[:, 0] - f * gx, p[:, 1] - f * gy, p[:, 2] - f * gz], -1),
+                p,
+            )
+            wtet, wslot = walk(p, jnp.maximum(tet, 0), refl)
+            in_dom = wtet >= 0
+            newly = refl & in_dom
+            tet = jnp.where(newly, wtet, jnp.where(refl, -(wtet + 1), tet))
+            s = jnp.where(refl & ~in_dom, wslot, s)
+            settled = settled | newly
+            return p, tet, s, settled, b + 1
+
+        p_ref, tet_bd, _, settled, _ = lax.while_loop(
+            rcond, rbody, (p_ref, tet_bd, slot2, settled, jnp.zeros((), jnp.int32))
+        )
+        target = jnp.where(hit[:, None], p_ref, target)
+        tet2 = jnp.where(hit, tet_bd, tet2)
+        return target, tet2
+
+    # --- settle migrated arrivals: finish their interrupted relocation ---
+    live0 = res & act & (tet >= 0) & in_shard(tet)
+    pos_s, tet_s = relocate(pos, tet, live0)
+    pos = jnp.where(live0[:, None], pos_s, pos)
+    tet = jnp.where(live0, tet_s, tet)
+
+    # --- advect + brownian (reference cycle) ---
+    live = res & act & (tet >= 0) & in_shard(tet)
+    row = local_rows(jnp.maximum(tet, 0))
+    u = row[:, 12:15]
+    if cfg.use_advection:
+        vel = jnp.where(live[:, None], u, vel)
+        disp = jnp.where(live[:, None], u * dt, 0.0)
+    else:
+        disp = jnp.zeros_like(pos)
+    if cfg.use_brownian:
+        k = jax.random.fold_in(jax.random.fold_in(key, step), shard_id)
+        sigma = jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(pos.dtype)
+        disp = disp + jnp.where(
+            live[:, None], sigma * jax.random.normal(k, pos.shape, pos.dtype), 0.0
+        )
+    target = pos + disp
+    if cfg.use_advection:
+        act = act & ((tet >= 0) | ~res)
+
+    target, tet2 = relocate(target, tet, live)
+    pos = jnp.where(live[:, None], target, pos)
+    return pos, vel, tet2, act
+
+
+def _migrate(pos, vel, tet, act, res, pid, shard_id, per, n_shards, cap_out):
+    """Fixed-capacity ``all_to_all`` exchange of lanes owned by other shards.
+
+    Loss-free: senders respect a per-destination quota derived from an
+    all-gathered free-slot count (quota = free // S, so concurrent senders
+    can never overflow a receiver).  Lanes over quota stay resident and
+    retry next cycle ("in limbo": they idle, since their tet is remote)."""
+    S = n_shards
+    dest = jnp.where((tet >= 0) & res, tet // per, shard_id)
+    leaving = res & (dest != shard_id)
+
+    # 2-phase admission: (1) exchange per-destination request counts,
+    # (2) each receiver waterfills its free slots over the requesting
+    # senders (deterministic source order) and returns exact grants, so
+    # transfers never overflow and capacity is fully utilized.
+    onehot_req = (dest[:, None] == jnp.arange(S)[None, :]) & leaving[:, None]
+    req = jnp.sum(onehot_req.astype(jnp.int32), axis=0)    # [S] my requests per dst
+    req_in = lax.all_to_all(req, "s", split_axis=0, concat_axis=0)  # [S] per src
+    my_free = jnp.sum((~res).astype(jnp.int32))
+    cum_prev = jnp.cumsum(req_in) - req_in
+    admit = jnp.clip(my_free - cum_prev, 0, req_in)        # [S] grant per src
+    grant = lax.all_to_all(admit, "s", split_axis=0, concat_axis=0)  # [S] per dst
+
+    # pack per destination: slot = rank of lane among its dest group
+    payload = jnp.concatenate(
+        [pos, vel, tet[:, None].astype(pos.dtype), act[:, None].astype(pos.dtype),
+         pid[:, None].astype(pos.dtype)], axis=1
+    )                                                     # [C, 9]
+    W = payload.shape[1]
+    send = jnp.zeros((S, cap_out, W), pos.dtype)
+    # rank within destination group via segment cumsum
+    onehot = (dest[:, None] == jnp.arange(S)[None, :]) & leaving[:, None]
+    ranks = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1   # [C, S]
+    lane_rank = jnp.sum(jnp.where(onehot, ranks, 0), axis=1)
+    fits = leaving & (lane_rank < cap_out) & (
+        lane_rank < grant[jnp.clip(dest, 0, S - 1)]
+    )
+    send = send.at[
+        jnp.where(fits, dest, S),           # out-of-bounds when not sending
+        jnp.where(fits, lane_rank, 0),
+    ].set(payload, mode="drop")
+    # validity channel
+    valid = jnp.zeros((S, cap_out), bool).at[
+        jnp.where(fits, dest, S), jnp.where(fits, lane_rank, 0)
+    ].set(True, mode="drop")
+    send = jnp.concatenate([send, valid[..., None].astype(pos.dtype)], axis=-1)
+
+    # exchange over the shard axis
+    recv = lax.all_to_all(send, "s", split_axis=0, concat_axis=0, tiled=False)
+    # recv: [S, cap_out, W+1] — chunks from every source shard
+    recv = recv.reshape(S * cap_out, W + 1)
+    rvalid = recv[:, W] > 0.5
+
+    # drop sent lanes locally (only those that fit)
+    res = res & ~fits
+
+    # place received into free slots (guaranteed to fit by the quota)
+    free = ~res
+    rrank = jnp.cumsum(rvalid.astype(jnp.int32)) - 1
+    n_free = jnp.sum(free.astype(jnp.int32))
+    can_place = rvalid & (rrank < n_free)
+    # free slot index per rank: compact free slots
+    C = pos.shape[0]
+    free_slots = jnp.nonzero(free, size=C, fill_value=C - 1)[0].astype(jnp.int32)
+    slot_for = free_slots[jnp.clip(rrank, 0, C - 1)]
+    tgt = jnp.where(can_place, slot_for, C)
+
+    def put(arr, vals):
+        return arr.at[tgt].set(vals, mode="drop")
+
+    pos = put(pos, recv[:, 0:3])
+    vel = put(vel, recv[:, 3:6])
+    tet = put(tet, recv[:, 6].astype(jnp.int32))
+    act = put(act, recv[:, 7] > 0.5)
+    pid = put(pid, recv[:, 8].astype(jnp.int32))
+    res = put(res, can_place)
+    deferred = jnp.sum((leaving & ~fits).astype(jnp.int32))
+    return pos, vel, tet, act, res, pid, deferred
+
+
+def make_partitioned_step(pm: PartitionedMesh, cfg: StepConfig, device_mesh: Mesh,
+                          cap_out_frac: float = 0.25):
+    """Build the jitted multi-device step: shard_map over the shard axis of
+    (mesh slabs + particle slots), one cycle + one migration round."""
+    S = pm.n_shards
+    per = pm.tets_per_shard
+
+    def shard_body(rows, nbrs, pos, vel, tet, act, res, pid, key, step, dt):
+        rows, nbrs = rows[0], nbrs[0]
+        pos, vel, tet, act, res, pid = (
+            x[0] for x in (pos, vel, tet, act, res, pid)
+        )
+        sid = lax.axis_index("s")
+        pos, vel, tet, act = _local_cycle(
+            rows, nbrs, sid, per, pos, vel, tet, act, res, key, step, cfg, dt
+        )
+        cap_out = max(int(pos.shape[0] * cap_out_frac), 16)
+        pos, vel, tet, act, res, pid, dropped = _migrate(
+            pos, vel, tet, act, res, pid, sid, per, S, cap_out
+        )
+        return (
+            pos[None], vel[None], tet[None], act[None], res[None], pid[None],
+            dropped[None],
+        )
+
+    spec_s = P("s")
+    smapped = shard_map(
+        shard_body,
+        mesh=device_mesh,
+        in_specs=(spec_s,) * 8 + (P(), P(), P()),
+        out_specs=(spec_s,) * 7,
+    )
+
+    @jax.jit
+    def step(pmesh: PartitionedMesh, sp: ShardedParticles, dt):
+        pos, vel, tet, act, res, pid, dropped = smapped(
+            pmesh.tet_row, pmesh.tet_nbr,
+            sp.pos, sp.vel, sp.tet, sp.active, sp.resident, sp.pid,
+            sp.rng_key, sp.step, jnp.asarray(dt, sp.pos.dtype),
+        )
+        return (
+            dataclasses.replace(
+                sp, pos=pos, vel=vel, tet=tet, active=act, resident=res,
+                pid=pid, step=sp.step + 1,
+            ),
+            jnp.sum(dropped),
+        )
+
+    return step
+
+
+def make_settle_step(pm: PartitionedMesh, cfg: StepConfig, device_mesh: Mesh):
+    """A displacement-free step (no advect, no Brownian): finishes pending
+    migration handoffs (settle walk + reflect + one migration round).  Run
+    once before collecting results so snapshots match the single-device
+    trajectory exactly (handoffs otherwise lag one cycle)."""
+    import dataclasses as _dc
+
+    cfg2 = _dc.replace(cfg, use_advection=False, use_brownian=False)
+    return make_partitioned_step(pm, cfg2, device_mesh)
+
+
+def shard_arrays(pm: PartitionedMesh, sp: ShardedParticles, device_mesh: Mesh):
+    """Place the leading shard axis of all arrays over the device mesh."""
+    sh = NamedSharding(device_mesh, P("s"))
+    rep = NamedSharding(device_mesh, P())
+    pm = dataclasses.replace(
+        pm,
+        tet_row=jax.device_put(pm.tet_row, sh),
+        tet_nbr=jax.device_put(pm.tet_nbr, sh),
+        perm=jax.device_put(pm.perm, rep),
+        inv_perm=jax.device_put(pm.inv_perm, rep),
+    )
+    sp = dataclasses.replace(
+        sp,
+        pos=jax.device_put(sp.pos, sh),
+        vel=jax.device_put(sp.vel, sh),
+        tet=jax.device_put(sp.tet, sh),
+        active=jax.device_put(sp.active, sh),
+        resident=jax.device_put(sp.resident, sh),
+        pid=jax.device_put(sp.pid, sh),
+        rng_key=jax.device_put(sp.rng_key, rep),
+        step=jax.device_put(sp.step, rep),
+    )
+    return pm, sp

@@ -1,0 +1,112 @@
+"""Spatially partitioned multi-device stepping: exactness vs the
+single-device engine, loss-free migration under load skew."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cudaparticlesfoam_tpu import (
+    StepConfig,
+    box_mesh,
+    build_grid_locator,
+    locate_seeds,
+    replace_velocity,
+    run_cycles,
+    seed_in_box,
+)
+from cudaparticlesfoam_tpu.state import replace as rs
+from cudaparticlesfoam_tpu.parallel import partition, sharding
+
+S = 8
+
+
+@pytest.fixture(scope="module")
+def circulating():
+    mesh = box_mesh(8, 8, 8)
+    loc = build_grid_locator(mesh)
+    cen = np.asarray(mesh.points, dtype=np.float64)[np.asarray(mesh.tets)].mean(axis=1)
+    r = cen[:, :2] - 4.0
+    u = np.zeros_like(cen)
+    u[:, 0] = -r[:, 1] * 0.3
+    u[:, 1] = r[:, 0] * 0.3
+    mesh = replace_velocity(mesh, tet_vel=u)
+    st = seed_in_box(512, (0.5,) * 3, (7.5,) * 3, method="threefry")
+    st = rs(st, tet_id=locate_seeds(mesh, loc, st.pos))
+    return mesh, st
+
+
+def n_cpu_devices():
+    try:
+        return len(jax.devices("cpu"))
+    except RuntimeError:
+        return 0
+
+
+@pytest.mark.skipif(n_cpu_devices() < S, reason="needs 8 virtual devices")
+def test_partitioned_matches_single_device(circulating):
+    mesh, st = circulating
+    cfg = StepConfig(dt=0.05, use_brownian=False, engine="simple")
+    ref = run_cycles(mesh, st, cfg, 40)
+
+    pm = partition.partition_mesh(mesh, S)
+    dmesh = sharding.make_device_mesh(S, axis="s")
+    sp = partition.distribute_particles(
+        pm, st.pos, st.vel, st.tet_id, st.active, rng_key=st.rng_key
+    )
+    pm, sp = partition.shard_arrays(pm, sp, dmesh)
+    step = partition.make_partitioned_step(pm, cfg, dmesh)
+    settle = partition.make_settle_step(pm, cfg, dmesh)
+    deferred = 0
+    for _ in range(40):
+        sp, d = step(pm, sp, 0.05)
+        deferred += int(d)
+    sp, _ = settle(pm, sp, 0.05)
+    pos, vel, tet, act = partition.collect_particles(pm, sp, st.n_particles)
+
+    assert int(np.asarray(sp.resident).sum()) == st.n_particles  # loss-free
+    np.testing.assert_allclose(pos, np.asarray(ref.pos), atol=1e-6)
+    np.testing.assert_array_equal(tet, np.asarray(ref.tet_id))
+    np.testing.assert_array_equal(act, np.asarray(ref.active))
+
+
+@pytest.mark.skipif(n_cpu_devices() < S, reason="needs 8 virtual devices")
+def test_partitioned_no_loss_under_skew(circulating):
+    # uniform +x flow piles particles into the last slab: the admission
+    # protocol must defer, never drop
+    mesh, st = circulating
+    cen = np.asarray(mesh.points, dtype=np.float64)[np.asarray(mesh.tets)].mean(axis=1)
+    u = np.zeros_like(cen)
+    u[:, 0] = 1.0
+    mesh = replace_velocity(mesh, tet_vel=u)
+    cfg = StepConfig(dt=0.05, use_brownian=False, engine="simple")
+    pm = partition.partition_mesh(mesh, S)
+    dmesh = sharding.make_device_mesh(S, axis="s")
+    sp = partition.distribute_particles(
+        pm, st.pos, st.vel, st.tet_id, st.active, slack=8.0
+    )
+    pm, sp = partition.shard_arrays(pm, sp, dmesh)
+    step = partition.make_partitioned_step(pm, cfg, dmesh)
+    for _ in range(60):
+        sp, d = step(pm, sp, 0.05)
+    assert int(np.asarray(sp.resident).sum()) == st.n_particles
+    pos, vel, tet, act = partition.collect_particles(pm, sp, st.n_particles)
+    # everyone ended up bouncing at the right wall, all in-domain
+    assert (tet >= 0).all()
+    assert (pos[:, 0] > 4.0).mean() > 0.9
+
+
+def test_partition_mesh_structure(circulating):
+    mesh, _ = circulating
+    pm = partition.partition_mesh(mesh, S)
+    assert pm.tet_row.shape == (S, pm.tets_per_shard, 20)
+    # permutations are inverse of each other
+    perm = np.asarray(pm.perm)
+    inv = np.asarray(pm.inv_perm)
+    np.testing.assert_array_equal(perm[inv], np.arange(mesh.n_tets))
+    # slabs are ordered along x (centroid means increase)
+    pts = np.asarray(mesh.points, dtype=np.float64)
+    cen = pts[np.asarray(mesh.tets)].mean(axis=1)[inv]
+    per = pm.tets_per_shard
+    means = [cen[s * per:(s + 1) * per, 0].mean() for s in range(S - 1)]
+    assert all(means[i] <= means[i + 1] + 1e-9 for i in range(len(means) - 1))
