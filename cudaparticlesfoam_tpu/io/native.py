@@ -1,0 +1,133 @@
+"""ctypes loader for the native I/O runtime (csrc/fastio.cpp).
+
+Compiles the shared library on first use (g++, cached next to csrc/) and
+exposes typed wrappers; every caller has a pure-Python fallback, so a
+missing toolchain only costs speed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+
+
+def _build_and_load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        src = os.path.abspath(os.path.join(_CSRC, "fastio.cpp"))
+        so = os.path.abspath(os.path.join(_CSRC, "libfastio.so"))
+        try:
+            if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", src, "-o", so],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(so)
+        except Exception:
+            return None
+
+        lib.parse_doubles.restype = ctypes.c_long
+        lib.parse_doubles.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            np.ctypeslib.ndpointer(np.float64, flags="C"), ctypes.c_long,
+        ]
+        lib.parse_longs.restype = ctypes.c_long
+        lib.parse_longs.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            np.ctypeslib.ndpointer(np.int64, flags="C"), ctypes.c_long,
+        ]
+        lib.write_particles_vtu.restype = ctypes.c_int
+        lib.write_particles_vtu.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            ctypes.c_void_p,            # convex ids or NULL
+            ctypes.c_long, ctypes.c_int,
+        ]
+        lib.write_particles_obj.restype = ctypes.c_int
+        lib.write_particles_obj.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            ctypes.c_long,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _build_and_load() is not None
+
+
+def parse_doubles(text: str) -> np.ndarray | None:
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    raw = text.encode()
+    # one generous-bound pass: numbers are >= 2 chars apart on average in
+    # these files; cap = len/2 + 1 always suffices
+    cap = len(raw) // 2 + 2
+    out = np.empty(cap, np.float64)
+    n = lib.parse_doubles(raw, len(raw), out, cap)
+    if n > cap:  # paranoia: re-run with the exact size
+        out = np.empty(n, np.float64)
+        n = lib.parse_doubles(raw, len(raw), out, n)
+    return out[:n].copy()
+
+
+def parse_longs(text: str) -> np.ndarray | None:
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    raw = text.encode()
+    cap = len(raw) // 2 + 2
+    out = np.empty(cap, np.int64)
+    n = lib.parse_longs(raw, len(raw), out, cap)
+    if n > cap:
+        out = np.empty(n, np.int64)
+        n = lib.parse_longs(raw, len(raw), out, n)
+    return out[:n].copy()
+
+
+def write_particles_vtu(
+    path: str, pos, vel, tet_ids, types, convex_ids=None, ke_quirk=True
+) -> bool:
+    lib = _build_and_load()
+    if lib is None:
+        return False
+    pos = np.ascontiguousarray(pos, np.float64)
+    vel = np.ascontiguousarray(vel, np.float64)
+    tet_ids = np.ascontiguousarray(tet_ids, np.int32)
+    types = np.ascontiguousarray(types, np.int32)
+    if convex_ids is not None:
+        convex_ids = np.ascontiguousarray(convex_ids, np.int32)
+        cptr = convex_ids.ctypes.data_as(ctypes.c_void_p)
+    else:
+        cptr = None
+    rc = lib.write_particles_vtu(
+        path.encode(), pos, vel, tet_ids, types, cptr, len(pos), int(ke_quirk)
+    )
+    return rc == 0
+
+
+def write_particles_obj(path: str, pos) -> bool:
+    lib = _build_and_load()
+    if lib is None:
+        return False
+    pos = np.ascontiguousarray(pos, np.float64)
+    return lib.write_particles_obj(path.encode(), pos, len(pos)) == 0

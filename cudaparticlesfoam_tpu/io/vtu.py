@@ -60,6 +60,18 @@ def write_particles_vtu(
     n = len(pos)
     ids = np.arange(n, dtype=np.int64)
 
+    # native fast path (csrc/fastio.cpp); byte-identical to the text below
+    from . import native
+
+    if convex_tet_id is None and native.write_particles_vtu(
+        path, pos, vel, tet, active, ke_quirk=reference_quirks
+    ):
+        if verbose:
+            total_ke = float(np.nansum(0.5 * np.sum(vel * vel, axis=-1)))
+            print(f"#adv: Write particles to file {path}...")
+            print(f"#adv: System Kinetic Energy={total_ke:f}")
+        return path
+
     buf = _io.StringIO()
     w = buf.write
     w(
