@@ -126,17 +126,36 @@ class FlowSolver:
 
     @classmethod
     def from_case(cls, case, log=print, **cfg_kw):
+        from .simple import turbulence_model
+
         m, st, u_bcs, p_bcs, nu, pin = load_flow_case(
             case.case_dir, pm=case.poly, dtype=jnp.float32
         )
         cfg = PimpleConfig(nu=nu, pin_pressure=pin, **cfg_kw)
+        solver = cls(m, st, u_bcs, p_bcs, cfg, log=log)
+        solver.kes = solver.k_bcs = solver.e_bcs = solver.wi = None
+        if turbulence_model(case.case_dir) == "kEpsilon":
+            from . import turbulence as turb
+
+            solver.kes, solver.k_bcs, solver.e_bcs, solver.wi = turb.init_from_case(
+                case.case_dir, m
+            )
+            log("#flow: kEpsilon closure active")
         log(f"#flow: PIMPLE solver on {m.n_cells} cells, nu={nu}")
-        return cls(m, st, u_bcs, p_bcs, cfg, log=log)
+        return solver
 
     def advance(self, dt_e: float):
+        nut = None if getattr(self, "kes", None) is None else self.kes.nut
         self.state, res = pimple_step(
-            self.m, self.state, self.u_bcs, self.p_bcs, self.cfg, dt_e
+            self.m, self.state, self.u_bcs, self.p_bcs, self.cfg, dt_e, nut=nut
         )
+        if getattr(self, "kes", None) is not None:
+            from . import turbulence as turb
+
+            self.kes = turb.k_epsilon_step(
+                self.m, self.kes, self.state.u, self.u_bcs, self.state.flux,
+                self.k_bcs, self.e_bcs, self.wi, self.cfg.nu, dt=dt_e,
+            )
         self.log(
             f"#flow: U residual={float(res['u_res']):.3e} "
             f"p residual={float(res['p_res']):.3e} "

@@ -185,6 +185,22 @@ def simple_iteration(m: fv.FvMesh, st: FlowState, u_bcs, p_bcs, cfg: SimpleConfi
     )
 
 
+def turbulence_model(case_dir: str) -> str:
+    """simulationType/RASModel from constant/turbulenceProperties."""
+    path = os.path.join(case_dir, "constant", "turbulenceProperties")
+    if not os.path.exists(path):
+        return "laminar"
+    d = foamfile.read(path)
+    sim = str(d.get("simulationType", "laminar"))
+    if sim == "laminar":
+        return "laminar"
+    ras = d.get("RAS", {})
+    if isinstance(ras, dict) and str(ras.get("RASModel", "")) == "kEpsilon":
+        if str(ras.get("turbulence", "on")) in ("on", "true", "yes", "1"):
+            return "kEpsilon"
+    return "laminar"
+
+
 def solve_steady(
     case_dir: str,
     pm=None,
@@ -194,6 +210,7 @@ def solve_steady(
     dtype=jnp.float32,
     log=print,
     log_every: int = 50,
+    turbulence: str | None = None,
 ):
     """Run SIMPLE to (approximate) steadiness; returns (m, state, bcs)."""
     m, st, u_bcs, p_bcs, nu, pin = load_flow_case(case_dir, pm=pm, dtype=dtype)
@@ -201,8 +218,23 @@ def solve_steady(
         cfg = SimpleConfig(nu=nu, pin_pressure=pin)
     else:
         cfg = dataclasses.replace(cfg, nu=nu, pin_pressure=pin)
+    turbulence = turbulence if turbulence is not None else turbulence_model(case_dir)
+    kes = k_bcs = e_bcs = wi = None
+    if turbulence == "kEpsilon":
+        from . import turbulence as turb
+
+        kes, k_bcs, e_bcs, wi = turb.init_from_case(case_dir, m, dtype=dtype)
+        log(f"#flow: kEpsilon closure active ({len(np.asarray(wi.wall_cell))} wall cells)")
     for i in range(n_iters):
-        st, res = simple_iteration(m, st, u_bcs, p_bcs, cfg)
+        st, res = simple_iteration(
+            m, st, u_bcs, p_bcs, cfg, nut=None if kes is None else kes.nut
+        )
+        if kes is not None:
+            from . import turbulence as turb
+
+            kes = turb.k_epsilon_step(
+                m, kes, st.u, u_bcs, st.flux, k_bcs, e_bcs, wi, cfg.nu
+            )
         if i % log_every == 0:
             log(
                 f"SIMPLE iter {i}: Ux residual={float(res['u_res']):.3e} "

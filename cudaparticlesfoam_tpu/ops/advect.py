@@ -34,18 +34,41 @@ def interp_velocity(mesh: TetMesh, pos, tet_id, vel_prev, mode: str):
     raise ValueError(f"unknown velocity interpolation mode {mode!r}")
 
 
-def advect(mesh: TetMesh, pos, vel, tet_id, active, dt, mode: str = TET_VELOCITY):
-    """Euler advection (``cudaAdvect``, ``particles.cu:403-448``).
+def advect(mesh: TetMesh, pos, vel, tet_id, active, dt, mode: str = TET_VELOCITY,
+           integrator: str = "euler"):
+    """Advection displacement (``cudaAdvect``, ``particles.cu:403-448``).
+
+    integrator="euler" is the reference's first-order step
+    (``particles.cu:297-302``); "rk4" is the north-star upgrade
+    (BASELINE.json): classical RK4 with each stage relocated by a bounded
+    tet walk so stage velocities come from the right cell.
 
     Kills particles whose tet_id went negative (left domain with wall
     reflection off — ``particles.cu:333-338``).  Returns (disp, vel, active).
     """
     alive = active & (tet_id >= 0)
     v = interp_velocity(mesh, pos, tet_id, vel, mode)
-    disp = v * dt
+    if integrator == "rk4":
+        from . import locate as locate_ops
+
+        def vel_at(p):
+            t, _ = locate_ops.walk(mesh, p, tet_id, active=alive)
+            t_ok = jnp.where(t >= 0, t, tet_id)
+            return interp_velocity(mesh, p, t_ok, vel, mode)
+
+        k1 = v
+        k2 = vel_at(pos + 0.5 * dt * k1)
+        k3 = vel_at(pos + 0.5 * dt * k2)
+        k4 = vel_at(pos + dt * k3)
+        v_eff = (k1 + 2.0 * k2 + 2.0 * k3 + k4) / 6.0
+    elif integrator == "euler":
+        v_eff = v
+    else:
+        raise ValueError(f"unknown integrator {integrator!r}")
+    disp = v_eff * dt
     zeros = jnp.zeros_like(disp)
     disp = jnp.where(alive[..., None], disp, zeros)
-    new_vel = jnp.where(alive[..., None], v, vel)
+    new_vel = jnp.where(alive[..., None], v_eff, vel)
     return disp, new_vel, alive
 
 

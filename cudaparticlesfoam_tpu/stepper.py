@@ -49,6 +49,9 @@ class StepConfig:
     # query/RTQuery.cu), "convex" = exact segment/face tracing (ConvexPoly
     # build, query/ConvexQuery.cu)
     locate_mode: str = "bary"
+    # time integrator: "euler" (reference, particles.cu:297-302) or "rk4"
+    # (north-star mode; simple engine only)
+    integrator: str = "euler"
     # safety net for convex mode: the reference's tracer cannot re-detect a
     # face once a particle sits a hair outside it (tol asymmetry,
     # ConvexQuery.cu:95), so corner-reflection dust can leak out of the
@@ -63,6 +66,7 @@ class StepConfig:
                 "cached"
                 if self.velocity_interp == advect_ops.TET_VELOCITY
                 and self.locate_mode == "bary"
+                and self.integrator == "euler"
                 else "simple"
             )
         return self.engine
@@ -76,7 +80,8 @@ def cycle(mesh: TetMesh, state: ParticleState, cfg: StepConfig, dt) -> ParticleS
     # advect: disp = dt * u(x); kills lanes with negative tet ids
     if cfg.use_advection:
         disp, vel, active = advect_ops.advect(
-            mesh, pos, vel, tet_id, active, dt, cfg.velocity_interp
+            mesh, pos, vel, tet_id, active, dt, cfg.velocity_interp,
+            integrator=cfg.integrator,
         )
 
     # brownian: disp += sqrt(2 D dt) N(0,1)

@@ -133,3 +133,67 @@ def test_write_solution_roundtrip(channel, tmp_path):
     out = simple.write_solution(str(tmp_path), "42", m, st)
     u_back = polymesh.read_field(os.path.join(out, "U"), n_cells=m.n_cells)
     np.testing.assert_allclose(u_back, np.asarray(st.u), rtol=1e-6, atol=1e-8)
+
+
+def test_kepsilon_channel(channel, tmp_path):
+    # turbulent channel (Re ~ 1e4): kEpsilon runs stably and flattens the
+    # profile vs the laminar parabola (max/mean 1.5 -> ~1.2-1.35)
+    import shutil
+
+    case, pm = channel
+    tcase = str(tmp_path / "tchan")
+    shutil.copytree(case, tcase)
+    with open(f"{tcase}/constant/transportProperties", "w") as fh:
+        fh.write("FoamFile { version 2.0; format ascii; class dictionary; "
+                 "object transportProperties; }\nnu [0 2 -1 0 0 0 0] 1e-05;\n")
+    with open(f"{tcase}/constant/turbulenceProperties", "w") as fh:
+        fh.write("FoamFile { version 2.0; format ascii; class dictionary; "
+                 "object turbulenceProperties; }\nsimulationType RAS;\n"
+                 "RAS { RASModel kEpsilon; turbulence on; }\n")
+    with open(f"{tcase}/0/k", "w") as fh:
+        fh.write("FoamFile { version 2.0; format ascii; class volScalarField; object k; }\n"
+                 "dimensions [0 2 -2 0 0 0 0];\ninternalField uniform 0.00375;\n"
+                 "boundaryField {\n inlet { type fixedValue; value uniform 0.00375; }\n"
+                 " outlet { type zeroGradient; }\n walls { type kqRWallFunction; value uniform 0.00375; }\n"
+                 " frontAndBack { type empty; }\n}\n")
+    with open(f"{tcase}/0/epsilon", "w") as fh:
+        fh.write("FoamFile { version 2.0; format ascii; class volScalarField; object epsilon; }\n"
+                 "dimensions [0 2 -3 0 0 0 0];\ninternalField uniform 0.000765;\n"
+                 "boundaryField {\n inlet { type fixedValue; value uniform 0.000765; }\n"
+                 " outlet { type zeroGradient; }\n walls { type epsilonWallFunction; value uniform 0.000765; }\n"
+                 " frontAndBack { type empty; }\n}\n")
+    assert simple.turbulence_model(tcase) == "kEpsilon"
+    m, st, _ = simple.solve_steady(tcase, pm=pm, n_iters=250, log=lambda *a: None)
+    u = np.asarray(st.u)
+    assert not np.isnan(u).any()
+    cc = np.asarray(m.cc)
+    sel = np.abs(cc[:, 0] - 1.9) < 0.05
+    ux = u[sel, 0]
+    assert 1.05 < ux.max() / max(ux.mean(), 1e-9) < 1.45  # flatter than laminar
+
+
+def test_rk4_high_order_trajectory():
+    from cudaparticlesfoam_tpu import (
+        StepConfig, box_mesh, build_grid_locator, locate_seeds,
+        replace_velocity, run_cycles, seed_in_box,
+    )
+    from cudaparticlesfoam_tpu.state import replace as rs
+
+    mesh = box_mesh(8, 8, 8)
+    pts = np.asarray(mesh.points, dtype=np.float64)
+    vv = np.zeros_like(pts)
+    vv[:, 0] = pts[:, 0] * 0.1        # u = 0.1 x -> x(t) = x0 exp(0.1 t)
+    mesh = replace_velocity(mesh, vert_vel=vv)
+    loc = build_grid_locator(mesh)
+    st = seed_in_box(32, (1.0, 0.5, 0.5), (2.0, 7.5, 7.5), method="threefry")
+    st = rs(st, tet_id=locate_seeds(mesh, loc, st.pos))
+    T, n = 5.0, 100
+    exact = np.asarray(st.pos)[:, 0] * np.exp(0.1 * T)
+    errs = {}
+    for integ in ("euler", "rk4"):
+        cfg = StepConfig(dt=T / n, use_brownian=False,
+                         velocity_interp="VertexVelocity", integrator=integ)
+        out = run_cycles(mesh, st, cfg, n)
+        errs[integ] = np.abs(np.asarray(out.pos)[:, 0] - exact).max()
+    assert errs["rk4"] < 1e-8
+    assert errs["rk4"] < errs["euler"] * 1e-4
