@@ -139,3 +139,46 @@ def test_cli_blockmesh(tmp_path):
     shutil.rmtree(os.path.join(case_dir, "constant", "polyMesh"), ignore_errors=True)
     assert main(["blockmesh", case_dir]) == 0
     assert os.path.exists(os.path.join(case_dir, "constant", "polyMesh", "points"))
+
+
+def test_full_self_contained_pitzdaily(tmp_path):
+    """The complete Allrun equivalent without OpenFOAM: blockMesh ->
+    turbulent SIMPLE (kEpsilon) -> uncoupled particle tracking."""
+    from cudaparticlesfoam_tpu.io import blockmesh
+    from cudaparticlesfoam_tpu.models import simple as sm, uncoupled
+
+    case_dir = str(tmp_path / "pitz")
+    shutil.copytree(PITZ, case_dir)
+    d = foamfile.read(os.path.join(case_dir, "system", "cudaParticlesDict"))
+    d.pop("FoamFile", None)
+    d["numParticles"] = 1000
+    foamfile.write(os.path.join(case_dir, "system", "cudaParticlesDict"), d,
+                   obj_name="cudaParticlesDict")
+    cd = foamfile.read(os.path.join(case_dir, "system", "controlDict"))
+    cd.pop("FoamFile", None)
+    cd.pop("functions", None)
+    cd["deltaT"] = 0.005            # 50 sub-steps
+    cd["endTime"] = 282             # steady field written inside the window
+    foamfile.write(os.path.join(case_dir, "system", "controlDict"), cd,
+                   obj_name="controlDict")
+
+    pm = blockmesh.generate(os.path.join(case_dir, "system", "blockMeshDict"))
+    assert sm.turbulence_model(case_dir) == "kEpsilon"
+    m, st, _ = sm.solve_steady(case_dir, pm=pm, n_iters=120, log=lambda *a: None)
+    u = np.asarray(st.u)
+    assert not np.isnan(u).any()
+    assert np.linalg.norm(u, axis=1).max() < 50.0     # bounded (inlet 10 m/s)
+    sm.write_solution(case_dir, "282", m, st)
+    polymesh.write_polymesh(pm, os.path.join(case_dir, "constant", "polyMesh"))
+
+    out = tmp_path / "out"
+    case, state, stats = uncoupled.run(
+        case_dir, out_dir=str(out), log=lambda *a: None
+    )
+    assert stats["cycles"] == 50
+    act = np.asarray(state.active)
+    tet = np.asarray(state.tet_id)
+    assert act.all() and (tet >= 0).all()
+    # inlet seeds advected downstream (+x) by the solved field
+    pos = np.asarray(state.pos)
+    assert pos[:, 0].mean() > 0.0
