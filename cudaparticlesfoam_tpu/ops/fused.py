@@ -174,9 +174,19 @@ def _walk_mega(mesh: TetMesh, mc, px, py, pz, act, max_hops=MAX_HOPS):
         done_next = done | inside | out
         return tet_next, done_next, slot_next, mc_next, hops + 1
 
-    tet, _, slot, mc, _ = lax.while_loop(
-        cond, body, (tet0, done0, slot0, mc, jnp.zeros((), jnp.int32))
-    )
+    # unroll the common case (walks are 1-2 hops at sane dt) and enter the
+    # bounded loop only for straggler lanes: each while iteration costs a
+    # full-buffer gather, and one deep lane would otherwise make every lane
+    # pay for max-hops-in-batch iterations
+    c = (tet0, done0, slot0, mc, jnp.zeros((), jnp.int32))
+    c = body(c)
+    c = body(c)
+
+    def deep(c):
+        return lax.while_loop(cond, body, c)
+
+    c = lax.cond(jnp.any(~c[1]), deep, lambda c: c, c)
+    tet, _, slot, mc, _ = c
     return mc, tet, slot
 
 
@@ -291,8 +301,22 @@ def mega_cycle(mesh: TetMesh, m, rng_key, step, cfg, dt):
         with final pos/tet/row/vel."""
         mc2, code, slot = _walk_mega(mesh, mc, qx, qy, qz, lanes_act)
         if cfg.reflect_wall:
-            mc3, rx, ry, rz, tet_f = _reflect_mega(
-                mesh, mc2, qx, qy, qz, code, slot, lanes_act, cfg.max_bounces
+            # skip the whole reflection phase when no lane hit a wall (the
+            # common case away from boundaries)
+            def do_reflect(args):
+                mc2, code, slot = args
+                return _reflect_mega(
+                    mesh, mc2, qx, qy, qz, code, slot, lanes_act,
+                    cfg.max_bounces,
+                )
+
+            def no_reflect(args):
+                mc2, code, slot = args
+                return mc2, qx, qy, qz, code
+
+            mc3, rx, ry, rz, tet_f = lax.cond(
+                jnp.any(lanes_act & (code < 0)), do_reflect, no_reflect,
+                (mc2, code, slot),
             )
         else:
             mc3, rx, ry, rz, tet_f = mc2, qx, qy, qz, code
@@ -311,22 +335,24 @@ def mega_cycle(mesh: TetMesh, m, rng_key, step, cfg, dt):
     m = m.at[:, 29].set(py)
     m = m.at[:, 30].set(pz)
 
-    def compact_branch(m):
-        idx = jnp.nonzero(need, size=cap, fill_value=0)[0].astype(jnp.int32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
-        valid = lane < jnp.minimum(count, cap)
-        mc = m[idx]                                   # ONE [cap,32] gather
-        mc = run_lanes(mc, mc[:, 28], mc[:, 29], mc[:, 30], valid)
-        # merge back by GATHER, not scatter (TPU scatters into large arrays
-        # are ~3x slower than gathers): lane i's compact slot is its
-        # exclusive cumsum position.
-        slot = jnp.cumsum(need.astype(jnp.int32)) - 1
-        merged = mc[jnp.clip(slot, 0, cap - 1)]       # ONE [n,32] gather
-        take = need & (slot < cap)
-        return jnp.where(take[:, None], merged, m)
+    # --- compact pass, unconditional: wrapping the common path in lax.cond
+    # costs more in conditional buffer traffic than it saves ---
+    idx = jnp.nonzero(need, size=cap, fill_value=0)[0].astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+    valid = lane < jnp.minimum(count, cap)
+    mc = m[idx]                                   # ONE [cap,32] gather
+    mc = run_lanes(mc, mc[:, 28], mc[:, 29], mc[:, 30], valid)
+    # merge back by GATHER, not scatter (TPU scatters into large arrays
+    # are ~3x slower): lane i's compact slot is its exclusive cumsum rank
+    slot = jnp.cumsum(need.astype(jnp.int32)) - 1
+    merged = mc[jnp.clip(slot, 0, cap - 1)]       # ONE [n,32] gather
+    take = need & (slot < cap)
+    m = jnp.where(take[:, None], merged, m)
 
-    def full_branch(m):
-        return run_lanes(m, px, py, pz, need)
+    def overflow_branch(m):
+        # crossers beyond capacity (pathological dt): full-batch pass from
+        # the merged state — already-handled lanes converge in one bary test
+        return run_lanes(m, m[:, 28], m[:, 29], m[:, 30], need & ~take)
 
-    m = lax.cond(count > cap, full_branch, compact_branch, m)
+    m = lax.cond(count > cap, overflow_branch, lambda m: m, m)
     return m
