@@ -45,6 +45,9 @@ class ParticlesConfig:
     # (data-driven fix for the reference's reflect-everywhere TODO,
     # RTQuery.cu:165-166); empty = reference-compatible reflect-all
     escape_patches: tuple = ()
+    # dump mesh.vtk / mesh_faces.vtk at init like the reference's OptiX
+    # layer does at BVH build (OptixTetQuery.cpp:331-417)
+    write_mesh_vtk: bool = False
 
     def step_config(self) -> StepConfig:
         return StepConfig(
@@ -81,6 +84,7 @@ class ParticlesConfig:
                 d["escapePatches"] if isinstance(d.get("escapePatches"), list)
                 else ([d["escapePatches"]] if "escapePatches" in d else [])
             ),
+            write_mesh_vtk=bool(g(d, "writeMeshVtk", 0)),
         )
 
     @staticmethod

@@ -482,6 +482,11 @@ def read_field_bcs(path: str) -> dict:
                 mv = re.match(r"uniform\s+([-+0-9.eE]+)", v)
                 if mv:
                     value = float(mv.group(1))
+        if "p0" in entries:
+            # uniformTotalPressure with a p0 table: use the first entry
+            nums = re.findall(r"[-+0-9.eE]+", entries["p0"])
+            if len(nums) >= 2:
+                value = float(nums[1])
         out[name] = (btype, value)
     return out
 

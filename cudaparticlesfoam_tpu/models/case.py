@@ -119,6 +119,15 @@ def load_case(case_dir: str, dtype=None, log=print, write_mesh: bool = False) ->
         f"{tet_mesh.n_bd_faces} boundary tris "
         f"({(time.perf_counter()-wall)*1e3:.1f} ms)"
     )
+    if pcfg.write_mesh_vtk:
+        from ..io import vtu as vtu_io
+
+        vtu_io.write_tet_mesh_vtk(os.path.join(case_dir, "mesh.vtk"), tet_mesh)
+        vtu_io.write_face_mesh_vtk(
+            os.path.join(case_dir, "mesh_faces.vtk"), tet_mesh
+        )
+        log("#adv: wrote mesh.vtk / mesh_faces.vtk")
+
     wall = time.perf_counter()
     locator = locate_ops.build_grid_locator(tet_mesh)
     # the TPU analogue of '#adv BVH Construction Time' (initCuda.H:139)

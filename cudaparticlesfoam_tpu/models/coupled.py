@@ -121,6 +121,39 @@ def run_coupled(
     if write_output:
         vtu.write_particles_vtu(0, state, out_dir=out_dir, verbose=True)
 
+    # function objects from controlDict (probes / scalarTransport,
+    # TJunction/system/controlDict:53-133)
+    from ..io import foamfile
+    from . import functions as fo
+
+    fns = foamfile.read(
+        __import__("os").path.join(case_dir, "system", "controlDict")
+    ).get("functions", {})
+    probes = None
+    scalar = None
+    if isinstance(fns, dict):
+        for name, spec in fns.items():
+            if not isinstance(spec, dict):
+                continue
+            if spec.get("type") == "probes" and "probeLocations" in spec:
+                probes = fo.Probes(flow.m, spec["probeLocations"], name=str(name))
+                log(f"#fo: probes at {len(spec['probeLocations'])} locations")
+            if spec.get("type") == "scalarTransport":
+                field = str(spec.get("field", "s"))
+                su = 0.0
+                try:
+                    src = spec["fvOptions"]["unitySource"][
+                        "scalarSemiImplicitSourceCoeffs"
+                    ]["injectionRateSuSp"][field]
+                    su = float(src[0])
+                except (KeyError, TypeError, IndexError):
+                    pass
+                scalar = fo.ScalarTransport(
+                    case_dir, flow.m, field=field, diffusivity=flow.cfg.nu,
+                    source_su=su,
+                )
+                log(f"#fo: scalarTransport '{field}' (Su={su})")
+
     t = case.time_value
     step0 = 0
     k = 0
@@ -131,6 +164,10 @@ def run_coupled(
         t += dt_e
         k += 1
         log(f"Time = {t:g}  (deltaT {dt_e:g})")
+        if probes is not None:
+            probes.sample(t, {"p": flow.state.p, "U": flow.state.u})
+        if scalar is not None:
+            scalar.advance(flow.state.flux, dt_e)
         if pcfg.start_time <= t <= pcfg.end_time:
             case.update_velocity(flow.cell_velocity())
             state, step0 = _advance_interval(
@@ -138,4 +175,8 @@ def run_coupled(
             )
         if n_steps is not None and k >= n_steps:
             break
+    if write_output and probes is not None:
+        probes.write(out_dir)
+    if write_output and scalar is not None:
+        scalar.write(out_dir, f"{t:g}")
     return case, state, {"cycles": step0, "time": t}

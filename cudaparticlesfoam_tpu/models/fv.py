@@ -120,25 +120,35 @@ class BoundaryCoeffs:
 def make_bcs(m: FvMesh, spec: dict, n_comp: int, default="zeroGradient", dtype=None):
     """Build affine BC coefficients from a {patch: (type, value)} spec.
 
-    Supported types: fixedValue, zeroGradient, noSlip, empty, slip
-    (slip ~ zeroGradient here), calculated (zeroGradient).
+    Supported types: fixedValue, zeroGradient, noSlip, empty, slip,
+    calculated; pressure-coupled OpenFOAM types are mapped to their
+    affine essence: totalPressure/uniformTotalPressure -> fixedValue (at
+    the supplied value), inletOutlet / pressureInletOutletVelocity /
+    outletInlet / pressureInletOutletParSlipVelocity -> zeroGradient (the
+    outflow branch; backflow limiting is not modeled).
     """
     dtype = dtype or m.sf.dtype
     n_bd = m.n_faces - m.n_internal
     a = np.ones(n_bd)
     b = np.zeros((n_bd, n_comp))
+    fixed_types = ("fixedValue", "noSlip", "totalPressure", "uniformTotalPressure",
+                   "uniformFixedValue")
+    grad_types = ("zeroGradient", "empty", "slip", "calculated", "symmetry",
+                  "inletOutlet", "outletInlet", "pressureInletOutletVelocity",
+                  "pressureInletOutletParSlipVelocity", "waveTransmissive")
     for name, ptype, start, cnt in m.patch_slices:
         entry = spec.get(name)
         btype = entry[0] if entry else default
         val = entry[1] if entry and len(entry) > 1 else 0.0
         sl = slice(start, start + cnt)
-        if btype in ("fixedValue", "noSlip"):
+        if btype in fixed_types:
             a[sl] = 0.0
             b[sl] = np.broadcast_to(
-                np.zeros(n_comp) if btype == "noSlip" else np.asarray(val, float),
+                np.zeros(n_comp) if btype == "noSlip"
+                else np.asarray(0.0 if val is None else val, float),
                 (cnt, n_comp),
             )
-        elif btype in ("zeroGradient", "empty", "slip", "calculated", "symmetry"):
+        elif btype in grad_types:
             a[sl] = 1.0
             b[sl] = 0.0
         else:

@@ -89,11 +89,18 @@ def init_from_case(case_dir: str, m: fv.FvMesh, dtype=None):
     e_spec = polymesh.read_field_bcs(e_path) if os.path.exists(e_path) else {}
 
     def to_bcs(spec):
-        # wall functions behave as zeroGradient for the transported value
+        # wall functions behave as zeroGradient for the transported value;
+        # turbulent inlet generators reduce to fixedValue at their init value
         mapped = {}
         for name, (t, v) in spec.items():
-            if "WallFunction" in t or t in ("kqRWallFunction", "epsilonWallFunction"):
+            if "WallFunction" in t:
                 mapped[name] = ("zeroGradient", 0.0)
+            elif t in (
+                "turbulentIntensityKineticEnergyInlet",
+                "turbulentMixingLengthDissipationRateInlet",
+                "turbulentMixingLengthFrequencyInlet",
+            ):
+                mapped[name] = ("fixedValue", v if v is not None else 1e-3)
             else:
                 mapped[name] = (t, v if v is not None else 0.0)
         return fv.make_bcs(m, mapped, 1)
