@@ -48,6 +48,11 @@ class ParticlesConfig:
     # dump mesh.vtk / mesh_faces.vtk at init like the reference's OptiX
     # layer does at BVH build (OptixTetQuery.cpp:331-417)
     write_mesh_vtk: bool = False
+    # continuous injection (new capability; the reference only kills
+    # particles): every injectionInterval sub-steps, re-seed up to
+    # injectionCount dead slots in the seeding box
+    injection_interval: int = 0
+    injection_count: int = 0
 
     def step_config(self) -> StepConfig:
         return StepConfig(
@@ -85,6 +90,8 @@ class ParticlesConfig:
                 else ([d["escapePatches"]] if "escapePatches" in d else [])
             ),
             write_mesh_vtk=bool(g(d, "writeMeshVtk", 0)),
+            injection_interval=int(g(d, "injectionInterval", 0.0)),
+            injection_count=int(g(d, "injectionCount", 0.0)),
         )
 
     @staticmethod

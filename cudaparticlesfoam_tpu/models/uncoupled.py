@@ -104,6 +104,19 @@ def run(
                 state = run_cycles(case.tet_mesh, state, cfg, chunk, cycle_dt)
             prev = i
             i += chunk
+            if (
+                pcfg.injection_interval > 0
+                and prev % pcfg.injection_interval == 0
+            ):
+                from ..state import inject
+
+                state, n_inj = inject(
+                    state, case.tet_mesh, case.locator,
+                    pcfg.seeding_box_lo, pcfg.seeding_box_hi,
+                    pcfg.injection_count, rng_seed=pcfg.rng_seed,
+                )
+                if n_inj:
+                    log(f"#adv: injected {n_inj} particles at step {prev}")
             if prev % pcfg.save_interval == 0:
                 if track is not None:
                     track.append(state)

@@ -161,3 +161,51 @@ def save_particle_file(path: str, state: ParticleState) -> None:
 
 def replace(state: ParticleState, **kw) -> ParticleState:
     return dataclasses.replace(state, **kw)
+
+
+def inject(
+    state: ParticleState,
+    mesh,
+    locator,
+    box_lo,
+    box_hi,
+    count: int,
+    rng_seed: int = 0,
+) -> tuple[ParticleState, int]:
+    """Continuous injection with slot reuse (BASELINE.json config 4):
+    re-seed up to ``count`` dead slots uniformly in the box, locate them,
+    and reactivate.  Dead slots come from absorbing boundaries
+    (escapePatches) or reflection-off runs.  Returns (state, n_injected).
+
+    Host-side (runs between fused chunks, like VTU writes); the reference
+    has no injection machinery at all — particles only ever die
+    (``particles.cu:262-266``).
+    """
+    import numpy as np
+
+    from .ops import locate as locate_ops
+
+    dead = np.nonzero(~np.asarray(state.active))[0]
+    if len(dead) == 0 or count <= 0:
+        return state, 0
+    slots = dead[:count]
+    k = len(slots)
+    key = jax.random.fold_in(state.rng_key, int(state.step) + 7919 + rng_seed)
+    u = jax.random.uniform(key, (k, 3), dtype=state.pos.dtype)
+    lo = jnp.asarray(box_lo, state.pos.dtype)
+    hi = jnp.asarray(box_hi, state.pos.dtype)
+    new_pos = lo + u * (hi - lo)
+    tet = locate_ops.locate_seeds(mesh, locator, new_pos)
+    ok = np.asarray(tet) >= 0
+    sl = jnp.asarray(slots, jnp.int32)
+    pos = state.pos.at[sl].set(new_pos)
+    vel = state.vel.at[sl].set(0.0)
+    disp = state.disp.at[sl].set(0.0)
+    tid = state.tet_id.at[sl].set(jnp.asarray(tet))
+    act = state.active.at[sl].set(jnp.asarray(ok))
+    return (
+        dataclasses.replace(
+            state, pos=pos, vel=vel, disp=disp, tet_id=tid, active=act
+        ),
+        int(ok.sum()),
+    )

@@ -133,3 +133,30 @@ def test_eval_timestep(box):
     # unit cells split into tets; velocity constraint dt <= 0.5 h / |u|
     assert 0.0 < float(dt_min) <= 0.5 * 1.0 / 2.0 + 1e-9
     assert float(dt_max) >= float(dt_min)
+
+
+def test_injection_slot_reuse(box, grid):
+    from cudaparticlesfoam_tpu.mesh import set_boundary_escape
+    from cudaparticlesfoam_tpu.state import inject
+    from cudaparticlesfoam_tpu import run_cycles
+
+    # absorbing walls + outward flow: particles die; injection refills
+    pts = np.asarray(box.points, dtype=np.float64)
+    cen = pts[np.asarray(box.tets)].mean(axis=1)
+    outward = cen - 2.0
+    outward /= np.linalg.norm(outward, axis=1, keepdims=True) + 1e-12
+    m = replace_velocity(box, tet_vel=outward * 2.0)
+    m = set_boundary_escape(m, [0])
+    st = seeded(m, grid, n=128)
+    cfg = StepConfig(dt=0.05, use_brownian=False)
+    out = run_cycles(m, st, cfg, 100)
+    n_dead = int((~np.asarray(out.active)).sum())
+    assert n_dead == 128  # all absorbed
+    out2, n_inj = inject(out, m, grid, (1.5,) * 3, (2.5,) * 3, 50)
+    assert n_inj == 50
+    assert int(np.asarray(out2.active).sum()) == 50
+    tet = np.asarray(out2.tet_id)[np.asarray(out2.active)]
+    assert (tet >= 0).all()
+    # injected particles advect normally
+    out3 = run_cycles(m, out2, cfg, 5)
+    assert int(np.asarray(out3.active).sum()) == 50
