@@ -50,7 +50,7 @@ def main():
     u = np.zeros_like(cen)
     u[:, 0] = -r[:, 1] * (2.0 / n_side)
     u[:, 1] = r[:, 0] * (2.0 / n_side)
-    u[:, 2] = 0.3
+    u[:, 2] = 0.0
     from cudaparticlesfoam_tpu import replace_velocity
 
     mesh = replace_velocity(mesh, tet_vel=u)
@@ -70,8 +70,16 @@ def main():
     # sub-step (the tutorial-scale CFL regime)
     cfg = StepConfig(dt=0.05, diffusion_coeff=1e-3, walk_capacity_frac=0.125)
 
-    dmesh, rmesh, sst = sharding.distribute(mesh, st)
-    run = sharding.run_cycles_sharded
+    if len(jax.devices()) > 1:
+        dmesh, rmesh, sst = sharding.distribute(mesh, st)
+        run = sharding.run_cycles_sharded
+    else:
+        # single chip: plain jit (the trivial 1-device sharding machinery
+        # measured ~20% dispatch overhead)
+        from cudaparticlesfoam_tpu import run_cycles
+
+        rmesh, sst = mesh, st
+        run = run_cycles
 
     # warm up THE SAME program shape that is timed (each n_cycles value is
     # its own XLA program; first execution includes its compile)

@@ -183,7 +183,54 @@ def _walk_mega(mesh: TetMesh, mc, px, py, pz, act, max_hops=MAX_HOPS):
     c = body(c)
 
     def deep(c):
-        return lax.while_loop(cond, body, c)
+        # second-level compaction: the stragglers are a tiny fraction of
+        # the buffer, but the while-loop pays full-buffer gathers per trip;
+        # pull them into a small sub-buffer first
+        tet, done, slot, mc, hops = c
+        cap2 = max(n // 8, 256)
+        undone = ~done
+        cnt2 = jnp.sum(undone.astype(jnp.int32))
+
+        def sub(c):
+            tet, done, slot, mc, hops = c
+            idx2 = jnp.nonzero(undone, size=cap2, fill_value=0)[0].astype(jnp.int32)
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, (cap2, 1), 0)[:, 0]
+            valid2 = lane2 < jnp.minimum(cnt2, cap2)
+            qx, qy, qz = px[idx2], py[idx2], pz[idx2]
+
+            def body2(c2):
+                tet2, done2, slot2, mc2, h2 = c2
+                wa, wb, wc_, wd = _bary4(mc2, RA, qx, qy, qz)
+                s, wmin = _argmin4(wa, wb, wc_, wd)
+                inside = wmin >= 0.0
+                stepping = (~done2) & (~inside)
+                code = _pick4(mc2, RN, s).astype(jnp.int32)
+                out = stepping & (code < 0)
+                tet_n = jnp.where(stepping, jnp.where(out, -(tet2 + 1), code), tet2)
+                slot_n = jnp.where(stepping, s, slot2)
+                moved = stepping & (code >= 0)
+                rows = mesh.tet_row[jnp.where(moved, code, 0)]
+                mc_n = jnp.where(moved[:, None], _set_row(mc2, rows), mc2)
+                return tet_n, done2 | inside | out, slot_n, mc_n, h2 + 1
+
+            def cond2(c2):
+                return (c2[4] < max_hops) & jnp.logical_not(jnp.all(c2[1]))
+
+            c2 = (tet[idx2], ~valid2, slot[idx2], mc[idx2], hops)
+            tet2, _, slot2, mc2, _ = lax.while_loop(cond2, body2, c2)
+            # merge the sub-buffer back by gather (exclusive cumsum ranks)
+            rank = jnp.cumsum(undone.astype(jnp.int32)) - 1
+            take = undone & (rank < cap2)
+            safe_rank = jnp.clip(rank, 0, cap2 - 1)
+            tet = jnp.where(take, tet2[safe_rank], tet)
+            slot = jnp.where(take, slot2[safe_rank], slot)
+            mc = jnp.where(take[:, None], mc2[safe_rank], mc)
+            done = done | take
+            return tet, done, slot, mc, hops
+
+        # overflow of the sub-buffer (pathological): full-buffer while
+        c = lax.cond(cnt2 > cap2, lambda c: lax.while_loop(cond, body, c), sub, c)
+        return c
 
     c = lax.cond(jnp.any(~c[1]), deep, lambda c: c, c)
     tet, _, slot, mc, _ = c
