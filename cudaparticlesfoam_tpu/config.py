@@ -13,8 +13,6 @@ from __future__ import annotations
 import dataclasses
 import os
 
-import numpy as np
-
 from .io import foamfile
 from .stepper import StepConfig
 

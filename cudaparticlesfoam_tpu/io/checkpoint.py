@@ -22,7 +22,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..state import ParticleState
-from ..utils.pytree import pytree_dataclass  # noqa: F401  (import keeps cycle clean)
 
 
 def save(path: str, state: ParticleState, meta: dict | None = None) -> str:

@@ -18,11 +18,9 @@ Two modes mirroring ``cudaParticlesPimpleFoam``
 
 from __future__ import annotations
 
-import dataclasses
 import time
 
 import jax
-import numpy as np
 
 from ..io import vtu
 from ..stepper import n_cycles_for, run_cycles

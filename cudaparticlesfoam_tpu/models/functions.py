@@ -157,8 +157,6 @@ def trace_streamlines(
     st = rs(st, tet_id=jnp.asarray(tet))
 
     # normalize tet velocities -> arc-length stepping
-    import dataclasses as _dc
-
     from .. import replace_velocity
 
     tv = np.asarray(tet_mesh.tet_vel, dtype=np.float64)

@@ -21,10 +21,7 @@ Discretization notes (kept deliberately standard):
 
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

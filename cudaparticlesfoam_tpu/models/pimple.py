@@ -23,9 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..io import polymesh
 from . import fv
-from .simple import FlowState, SimpleConfig, _pressure_matrix, load_flow_case
+from .simple import FlowState, _pressure_matrix, load_flow_case
 
 
 @dataclasses.dataclass(frozen=True)

@@ -23,7 +23,6 @@ TPU-native replacement for the reference's two locators:
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -31,7 +31,6 @@ for bitwise multi-device equivalence tests.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import numpy as np
 import jax
