@@ -334,24 +334,24 @@ def read_dataset(
         header = fh.readline().split()
         nv = int(header[-1])
         fh.readline()  # column comment
-        points = np.loadtxt(fh, max_rows=nv)
+        points = np.loadtxt(fh, max_rows=nv, ndmin=2)
     with open(cell_fname) as fh:
         header = fh.readline().split()
         nt = int(header[-1])
         fh.readline()
-        tets = np.loadtxt(fh, dtype=np.int64, max_rows=nt)
+        tets = np.loadtxt(fh, dtype=np.int64, max_rows=nt, ndmin=2)
 
     vert_vel = None
     tet_vel = None
     if solv_fname:
         with open(solv_fname) as fh:
             fh.readline()
-            sol = np.loadtxt(fh, max_rows=nv)
+            sol = np.loadtxt(fh, max_rows=nv, ndmin=2)
         vert_vel = sol[:, 1:4]
     elif solc_fname:
         with open(solc_fname) as fh:
             fh.readline()
-            sol = np.loadtxt(fh, max_rows=nt)
+            sol = np.loadtxt(fh, max_rows=nt, ndmin=2)
         tet_vel = sol[:, 1:4]
 
     return from_arrays(points, tets, tet_vel=tet_vel, vert_vel=vert_vel, dtype=dtype)

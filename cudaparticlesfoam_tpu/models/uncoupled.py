@@ -69,10 +69,18 @@ def run(
         trajectories if trajectories is not None else pcfg.save_streamlines
     ) else None
 
+    # ConvexPoly builds write an extra ConvexTetID column (utils.cpp:216-228)
+    convex_ids = (lambda st: np.asarray(st.tet_id)) if (
+        cfg.locate_mode == "convex"
+    ) else (lambda st: None)
+
     stats = {"frames": [], "cycles": 0, "wall_s": 0.0}
     if write_output:
         with timer.phase("IO"):
-            path = vtu.write_particles_vtu(0, state, out_dir=out_dir, verbose=True)
+            path = vtu.write_particles_vtu(
+                0, state, convex_tet_id=convex_ids(state), out_dir=out_dir,
+                verbose=True,
+            )
         stats["frames"].append(path)
 
     if not (pcfg.start_time <= t <= pcfg.end_time):
@@ -123,7 +131,8 @@ def run(
                 if write_output:
                     with timer.phase("IO"):
                         path = vtu.write_particles_vtu(
-                            prev + 1, state, out_dir=out_dir, verbose=True
+                            prev + 1, state, convex_tet_id=convex_ids(state),
+                            out_dir=out_dir, verbose=True,
                         )
                     stats["frames"].append(path)
         jax.block_until_ready(state.pos)

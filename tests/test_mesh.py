@@ -142,3 +142,23 @@ def test_replace_velocity():
     np.testing.assert_allclose(np.asarray(m2.tet_vel), 1.0)
     # untouched fields shared
     assert m2.points is m.points
+
+
+def test_read_dataset_ascii(tmp_path):
+    # the reference's ASCII vert/cell/solution format (HostTetMesh.h:146-262)
+    vert = tmp_path / "vert.dat"
+    cell = tmp_path / "cell.dat"
+    solc = tmp_path / "solc.dat"
+    vert.write_text(
+        "NumTetVerts = 4\nx y z\n0 0 0\n1 0 0\n0 1 0\n0 0 1\n"
+    )
+    # negative-volume winding on purpose: reader must fix it
+    cell.write_text("NumTetCells = 1\nid1 id2 id3 id4\n1 0 2 3\n")
+    solc.write_text("p u v w\n-0.5 1.0 2.0 3.0\n")
+    m = meshlib.read_dataset(str(vert), str(cell), solc_fname=str(solc))
+    assert m.n_tets == 1 and m.n_points == 4
+    np.testing.assert_allclose(np.asarray(m.tet_vel)[0], [1.0, 2.0, 3.0])
+    pts = np.asarray(m.points)
+    t = np.asarray(m.tets)[0]
+    a, b, c, d = pts[t[0]], pts[t[1]], pts[t[2]], pts[t[3]]
+    assert np.dot(d - a, np.cross(b - a, c - a)) > 0
