@@ -483,10 +483,19 @@ def read_field_bcs(path: str) -> dict:
                 if mv:
                     value = float(mv.group(1))
         if "p0" in entries:
-            # uniformTotalPressure with a p0 table: use the first entry
-            nums = re.findall(r"[-+0-9.eE]+", entries["p0"])
+            # uniformTotalPressure with a p0 table: value = first entry;
+            # full (t, p0) table appended for time-varying BCs
+            nums = re.findall(
+                r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?", entries["p0"]
+            )
             if len(nums) >= 2:
                 value = float(nums[1])
+                table = [
+                    (float(nums[i]), float(nums[i + 1]))
+                    for i in range(0, len(nums) - 1, 2)
+                ]
+                out[name] = (btype, value, table)
+                continue
         out[name] = (btype, value)
     return out
 

@@ -127,11 +127,13 @@ class FlowSolver:
     def from_case(cls, case, log=print, **cfg_kw):
         from .simple import turbulence_model
 
-        m, st, u_bcs, p_bcs, nu, pin = load_flow_case(
+        m, st, u_bcs, p_bcs, nu, pin, p_tables = load_flow_case(
             case.case_dir, pm=case.poly, dtype=jnp.float32
         )
         cfg = PimpleConfig(nu=nu, pin_pressure=pin, **cfg_kw)
         solver = cls(m, st, u_bcs, p_bcs, cfg, log=log)
+        solver.p_tables = p_tables
+        solver.time = case.time_value
         solver.kes = solver.k_bcs = solver.e_bcs = solver.wi = None
         if turbulence_model(case.case_dir) == "kEpsilon":
             from . import turbulence as turb
@@ -143,7 +145,29 @@ class FlowSolver:
         log(f"#flow: PIMPLE solver on {m.n_cells} cells, nu={nu}")
         return solver
 
+    def _apply_p_tables(self, t: float):
+        """Interpolate time tables (uniformTotalPressure p0 ramps) into the
+        pressure BC offsets for the current time."""
+        import dataclasses as _dc
+
+        tables = getattr(self, "p_tables", None)
+        if not tables:
+            return
+        b = self.p_bcs.b
+        names = {p[0]: p for p in self.m.patch_slices}
+        for patch, tab in tables.items():
+            if patch not in names:
+                continue
+            ts = np.array([x[0] for x in tab])
+            vs = np.array([x[1] for x in tab])
+            val = float(np.interp(t, ts, vs))
+            _, _, start, cnt = names[patch]
+            b = b.at[start : start + cnt, 0].set(val)
+        self.p_bcs = _dc.replace(self.p_bcs, b=b)
+
     def advance(self, dt_e: float):
+        self.time = getattr(self, "time", 0.0) + dt_e
+        self._apply_p_tables(self.time)
         nut = None if getattr(self, "kes", None) is None else self.kes.nut
         self.state, res = pimple_step(
             self.m, self.state, self.u_bcs, self.p_bcs, self.cfg, dt_e, nut=nut

@@ -73,15 +73,21 @@ def load_flow_case(case_dir: str, pm=None, dtype=jnp.float32):
     p_bc_spec = polymesh.read_field_bcs(p0_path) if os.path.exists(p0_path) else {}
     u_bcs = fv.make_bcs(
         m,
-        {k: (t, v if v is not None else 0.0) for k, (t, v) in u_bc_spec.items()},
+        {k: (e[0], e[1] if e[1] is not None else 0.0) for k, e in u_bc_spec.items()},
         3,
     )
     p_bcs = fv.make_bcs(
         m,
-        {k: (t, v if v is not None else 0.0) for k, (t, v) in p_bc_spec.items()},
+        {k: (e[0], e[1] if e[1] is not None else 0.0) for k, e in p_bc_spec.items()},
         1,
     )
-    pin = not any(t == "fixedValue" for t, _ in p_bc_spec.values())
+    # time-varying pressure tables (uniformTotalPressure p0 ramps,
+    # TJunction/0/p): {patch: [(t, p0), ...]}
+    p_tables = {k: e[2] for k, e in p_bc_spec.items() if len(e) > 2}
+    pin = not any(
+        e[0] in ("fixedValue", "totalPressure", "uniformTotalPressure")
+        for e in p_bc_spec.values()
+    )
 
     u0 = (
         polymesh.read_field(u0_path, n_cells=pm.n_cells)
@@ -99,7 +105,7 @@ def load_flow_case(case_dir: str, pm=None, dtype=jnp.float32):
         flux=jnp.zeros(m.n_faces, dtype),
     )
     state = dataclasses.replace(state, flux=fv.flux_of(m, state.u, u_bcs))
-    return m, state, u_bcs, p_bcs, nu, pin
+    return m, state, u_bcs, p_bcs, nu, pin, p_tables
 
 
 def _pressure_matrix(m: fv.FvMesh, rau_f, p_bcs, pin: bool):
@@ -213,7 +219,7 @@ def solve_steady(
     turbulence: str | None = None,
 ):
     """Run SIMPLE to (approximate) steadiness; returns (m, state, bcs)."""
-    m, st, u_bcs, p_bcs, nu, pin = load_flow_case(case_dir, pm=pm, dtype=dtype)
+    m, st, u_bcs, p_bcs, nu, pin, _ = load_flow_case(case_dir, pm=pm, dtype=dtype)
     if cfg is None:
         cfg = SimpleConfig(nu=nu, pin_pressure=pin)
     else:

@@ -105,7 +105,7 @@ def test_simple_poiseuille(channel):
 
 def test_piso_transient_to_steady(channel):
     case, pm = channel
-    m, st, u_bcs, p_bcs, nu, pin = simple.load_flow_case(case, pm=pm, dtype=jnp.float32)
+    m, st, u_bcs, p_bcs, nu, pin, _ = simple.load_flow_case(case, pm=pm, dtype=jnp.float32)
     cfg = pimple.PimpleConfig(nu=nu, pin_pressure=pin)
     for _ in range(200):
         st, res = pimple.pimple_step(m, st, u_bcs, p_bcs, cfg, 0.01)
@@ -197,3 +197,54 @@ def test_rk4_high_order_trajectory():
         errs[integ] = np.abs(np.asarray(out.pos)[:, 0] - exact).max()
     assert errs["rk4"] < 1e-8
     assert errs["rk4"] < errs["euler"] * 1e-4
+
+
+def test_time_varying_pressure_table(channel, tmp_path):
+    # a p0 ramp table (TJunction/0/p style) drives the pressure BC per step
+    import shutil
+
+    case, pm = channel
+    tcase = str(tmp_path / "ramp")
+    shutil.copytree(case, tcase)
+    with open(f"{tcase}/0/p", "w") as fh:
+        fh.write(
+            "FoamFile { version 2.0; format ascii; class volScalarField; object p; }\n"
+            "dimensions [0 2 -2 0 0 0 0];\ninternalField uniform 0;\n"
+            "boundaryField {\n"
+            " inlet { type uniformTotalPressure;\n"
+            "   p0 table ( (0 40) (1 10) );\n value uniform 40; }\n"
+            " outlet { type fixedValue; value uniform 0; }\n"
+            " walls { type zeroGradient; }\n frontAndBack { type empty; }\n}\n"
+        )
+    with open(f"{tcase}/0/U", "w") as fh:
+        fh.write(
+            "FoamFile { version 2.0; format ascii; class volVectorField; object U; }\n"
+            "dimensions [0 1 -1 0 0 0 0];\ninternalField uniform (0 0 0);\n"
+            "boundaryField {\n inlet { type pressureInletOutletVelocity; value uniform (0 0 0); }\n"
+            " outlet { type inletOutlet; inletValue uniform (0 0 0); value uniform (0 0 0); }\n"
+            " walls { type noSlip; }\n frontAndBack { type empty; }\n}\n"
+        )
+    spec = polymesh.read_field_bcs(f"{tcase}/0/p")
+    assert spec["inlet"][0] == "uniformTotalPressure"
+    assert spec["inlet"][2] == [(0.0, 40.0), (1.0, 10.0)]
+
+    import types
+
+    from cudaparticlesfoam_tpu.models.pimple import FlowSolver, PimpleConfig
+
+    m, st, u_bcs, p_bcs, nu, pin, p_tables = simple.load_flow_case(tcase, pm=pm)
+    assert not pin                      # total-pressure inlet pins the level
+    solver = FlowSolver(m, st, u_bcs, p_bcs, PimpleConfig(nu=nu, pin_pressure=pin))
+    solver.p_tables = p_tables
+    solver.time = 0.0
+    # at t=0.5 the ramp should be midway (25)
+    solver.advance(0.5)
+    names = {p[0]: p for p in m.patch_slices}
+    _, _, start, cnt = names["inlet"]
+    b = np.asarray(solver.p_bcs.b)[start : start + cnt, 0]
+    np.testing.assert_allclose(b, 25.0)
+    # pressure-driven flow developed into the channel (inlet p > outlet p)
+    for _ in range(20):
+        solver.advance(0.02)
+    u = np.asarray(solver.state.u)
+    assert u[:, 0].mean() > 0.1
