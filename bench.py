@@ -68,7 +68,8 @@ def main():
 
     # dt: speeds ~O(1) on unit cells -> a few percent of a cell per
     # sub-step (the tutorial-scale CFL regime)
-    cfg = StepConfig(dt=0.05, diffusion_coeff=1e-3, walk_capacity_frac=0.125)
+    frac = 0.125 if n_particles <= 4_000_000 else 0.0625
+    cfg = StepConfig(dt=0.05, diffusion_coeff=1e-3, walk_capacity_frac=frac)
 
     if len(jax.devices()) > 1:
         dmesh, rmesh, sst = sharding.distribute(mesh, st)
