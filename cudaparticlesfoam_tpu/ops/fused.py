@@ -13,22 +13,28 @@ microbenchmarks in this repo's round-1 notes):
   gather compacts a lane, one scatter writes it back.
 * Elementwise streaming over [n,*] is effectively free (XLA flattens it).
 
-The cycle:
+The cycle (v2 — round-2 redesign, measured on device profiles):
 
 1. Stream the mega rows: advect velocity, Brownian noise, tentative move,
    and the hop-0 barycentric inside-test all come from the cached tet row
    embedded in the mega row.  Particles that stay in their tet (the common
    case — dt moves a fraction of a cell, ``advect.H:36-37``) touch no
    random memory at all.
-2. Face-crossers are compacted (``jnp.nonzero`` with a static capacity)
-   and walked — ``baryTetSearch`` semantics (``RTQuery.cu:35-90``) with one
-   packed ``tet_row`` gather per hop — then specularly reflected off walls
-   (``RTreflection``, ``RTQuery.cu:109-186``) using barycentric-gradient
-   mirror planes (rows of Tinv — the identical plane the reference derives
-   from face vertices at ``RTQuery.cu:92-107``).
-3. One ``[cap,32]`` scatter merges the results back.
-4. Buffer overflow (pathological dt) falls back to a full-batch walk under
-   ``lax.cond`` — exact semantics always.
+2. **Inline hop-1**: the single-face crossing (the dominant crosser case)
+   is resolved with ONE full-batch ``tet_row`` gather using masked indices
+   (non-crossers re-fetch their own row).  Device measurements show a
+   full-batch gather costs the same as one ``jnp.nonzero`` compaction
+   (~8.5 ns/index), so compacting before hop 1 can never win.
+3. **Rare stage** (multi-hop walkers + wall hits, O(f²) of the batch):
+   two-stage *block* compaction — ``jnp.nonzero`` over n/8 block flags
+   (8x cheaper than lane-level), gather whole 8-lane blocks, run the
+   bounded tet-walk (``baryTetSearch`` semantics, ``RTQuery.cu:35-90``)
+   and specular reflection (``RTreflection``, ``RTQuery.cu:109-186``)
+   inside the small buffer, scatter the blocks back.  The stage loops
+   (``lax.while_loop``) until no lane is pending, so buffer overflow costs
+   extra rounds instead of a full-batch fallback — and there is no
+   ``lax.cond`` over the [n,32] state anywhere (measured: big-operand
+   conds cost ms even untaken).
 
 Restricted to cell-constant velocity ("TetVelocity", the reference default
 ``src/initCuda.H:72``) and meshes < 2^24 tets in f32 (neighbor codes are
@@ -38,6 +44,8 @@ Mega-row layout (32 cols):
   0:3 pos | 3:6 vel | 6 tet (float int) | 7 active flag |
   8:28 cached tet_row (A 8:11, Tinv 11:20, u 20:23, nbr 23:27, pad 27) |
   28:32 pad
+(the rare-stage pending flag lives in a separate [n] array — a mega
+column would force a full [n,32] stream per reduce)
 """
 
 from __future__ import annotations
@@ -55,6 +63,7 @@ MAX_HOPS = locate_ops.MAX_HOPS
 P0, V0, TET, ACT, ROW = 0, 3, 6, 7, 8
 RA, RT, RU, RN = ROW, ROW + 3, ROW + 12, ROW + 15   # A, Tinv, u, nbr
 WIDTH = 32
+BLOCK = 8                                           # rare-stage block width
 
 
 def pack_state(mesh: TetMesh, pos, vel, tet_id, active):
@@ -298,9 +307,18 @@ def _reflect_mega(mesh: TetMesh, mc, px, py, pz, code, slot, act, max_bounces=10
 
 
 def mega_cycle(mesh: TetMesh, m, rng_key, step, cfg, dt):
-    """One sub-step over the mega-row state."""
+    """One sub-step over the mega-row state (see module docstring)."""
     n = m.shape[0]
-    cap = max(int(n * cfg.walk_capacity_frac), min(n, 256))
+    if n % BLOCK:
+        pad = BLOCK - n % BLOCK
+        mp = jnp.pad(m, ((0, pad), (0, 0)))
+        return _mega_cycle_aligned(mesh, mp, rng_key, step, cfg, dt)[:n]
+    return _mega_cycle_aligned(mesh, m, rng_key, step, cfg, dt)
+
+
+def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
+    n = m.shape[0]
+    nb = n // BLOCK
 
     tet = m[:, TET].astype(jnp.int32)
     act = m[:, ACT] > 0.5
@@ -333,23 +351,45 @@ def mega_cycle(mesh: TetMesh, m, rng_key, step, cfg, dt):
     pz = m[:, P0 + 2] + dz
 
     wa, wb, wc_, wd = _bary4(m, RA, px, py, pz)
-    wmin = jnp.minimum(jnp.minimum(wa, wb), jnp.minimum(wc_, wd))
-    inside = (wmin >= 0.0) | (tet < 0)
-    need = ~inside
-    count = jnp.sum(need.astype(jnp.int32))
+    s0, wmin = _argmin4(wa, wb, wc_, wd)
+    need = (wmin < 0.0) & (tet >= 0)
 
-    # optimistic move for in-tet lanes
+    # optimistic move for in-tet lanes (the walk only refines tet/row; wall
+    # reflection in the rare stage rewrites pos for its own lanes)
     m = m.at[:, P0].set(jnp.where(alive, px, m[:, P0]))
     m = m.at[:, P0 + 1].set(jnp.where(alive, py, m[:, P0 + 1]))
     m = m.at[:, P0 + 2].set(jnp.where(alive, pz, m[:, P0 + 2]))
 
-    def run_lanes(mc, qx, qy, qz, lanes_act):
-        """walk + reflect lanes toward (qx,qy,qz); returns updated mega rows
-        with final pos/tet/row/vel."""
-        mc2, code, slot = _walk_mega(mesh, mc, qx, qy, qz, lanes_act)
+    # --- inline hop 1 (full batch, masked indices): the dominant crosser
+    # case is a single face crossing into the neighbor.  A full-batch row
+    # gather costs the same as one n-sized nonzero, so compaction before
+    # this hop can never win.  Non-crossers re-fetch their own row. ---
+    code1 = _pick4(m, RN, s0).astype(jnp.int32)
+    move1 = need & (code1 >= 0)
+    idx1 = jnp.where(move1, code1, jnp.maximum(tet, 0))
+    rows1 = mesh.tet_row[idx1]                     # ONE [n,20] gather
+    m = m.at[:, ROW : ROW + 20].set(
+        jnp.where(move1[:, None], rows1, m[:, ROW : ROW + 20])
+    )
+    tet1 = jnp.where(move1, code1, tet)
+    m = m.at[:, TET].set(tet1.astype(m.dtype))
+    wa, wb, wc_, wd = _bary4(m, RA, px, py, pz)
+    wmin1 = jnp.minimum(jnp.minimum(wa, wb), jnp.minimum(wc_, wd))
+    # pending: multi-hop walkers + wall hits (walked/reflected below).
+    # Kept as a separate [n] array, NOT a mega column: the rare stage
+    # reduces over it twice per cycle, and a column reduce would stream
+    # the whole [n,32] array each time.
+    pending = (need & (code1 < 0)) | (move1 & (wmin1 < 0.0))
+
+    def run_lanes(mc, lanes_act):
+        """walk + reflect lanes toward their pos columns; returns updated
+        mega rows with final pos/tet/row/vel."""
+        qx, qy, qz = mc[:, P0], mc[:, P0 + 1], mc[:, P0 + 2]
+        mc2, code, slot = _walk_mega(mesh, mc, qx, qy, qz, lanes_act,
+                                     cfg.max_hops)
         if cfg.reflect_wall:
             # skip the whole reflection phase when no lane hit a wall (the
-            # common case away from boundaries)
+            # common case away from boundaries; operands here are small)
             def do_reflect(args):
                 mc2, code, slot = args
                 return _reflect_mega(
@@ -376,30 +416,57 @@ def mega_cycle(mesh: TetMesh, m, rng_key, step, cfg, dt):
         )
         return mc3
 
-    # stash the walk target in the scratch columns so ONE row gather carries
-    # everything the compacted lanes need
-    m = m.at[:, 28].set(px)
-    m = m.at[:, 29].set(py)
-    m = m.at[:, 30].set(pz)
+    # --- rare stage: two-stage BLOCK compaction (nonzero over n/8 block
+    # flags is 8x cheaper than lane-level), processed in rounds until no
+    # lane is pending.  Overflowing the round buffer costs an extra round,
+    # never a full-batch fallback, and no lax.cond ever carries [n,32]. ---
+    capb = min(max(int(nb * cfg.walk_capacity_frac), 32), nb)
+    nl = capb * BLOCK   # arena lanes
+    # exact-stage lane capacity: pending density inside a pending block is
+    # typically 1-2 of 8 lanes; leftovers just stay pending for a new round
+    cap_l = max(nl // 4, 64)
+    # static bound: every round retires min(cap_l lanes, capb blocks) —
+    # generous; the while cond exits as soon as nothing is pending
+    max_rounds = -(-n // cap_l) + -(-nb // capb)
 
-    # --- compact pass, unconditional: wrapping the common path in lax.cond
-    # costs more in conditional buffer traffic than it saves ---
-    idx = jnp.nonzero(need, size=cap, fill_value=0)[0].astype(jnp.int32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
-    valid = lane < jnp.minimum(count, cap)
-    mc = m[idx]                                   # ONE [cap,32] gather
-    mc = run_lanes(mc, mc[:, 28], mc[:, 29], mc[:, 30], valid)
-    # merge back by GATHER, not scatter (TPU scatters into large arrays
-    # are ~3x slower): lane i's compact slot is its exclusive cumsum rank
-    slot = jnp.cumsum(need.astype(jnp.int32)) - 1
-    merged = mc[jnp.clip(slot, 0, cap - 1)]       # ONE [n,32] gather
-    take = need & (slot < cap)
-    m = jnp.where(take[:, None], merged, m)
+    def rare_cond(carry):
+        m, pending, r = carry
+        return (r < max_rounds) & jnp.any(pending)
 
-    def overflow_branch(m):
-        # crossers beyond capacity (pathological dt): full-batch pass from
-        # the merged state — already-handled lanes converge in one bary test
-        return run_lanes(m, m[:, 28], m[:, 29], m[:, 30], need & ~take)
+    def rare_round(carry):
+        m, pending, r = carry
+        m3 = m.reshape(nb, BLOCK, WIDTH)
+        pend2 = pending.reshape(nb, BLOCK)
+        bpend = jnp.any(pend2, axis=1)
+        nbp = jnp.sum(bpend.astype(jnp.int32))
+        bidx = jnp.nonzero(bpend, size=capb, fill_value=nb)[0].astype(jnp.int32)
+        safe_b = jnp.minimum(bidx, nb - 1)
+        mb = m3[safe_b].reshape(nl, WIDTH)             # [capb,8,W] block gather
+        lane_b = lax.broadcasted_iota(jnp.int32, (capb, BLOCK), 0)
+        inrange = lane_b < jnp.minimum(nbp, capb)
+        lanes_act = (pend2[safe_b] & inrange).reshape(-1)
+        # exact second-stage compaction inside the small arena (a nonzero
+        # here is ~n/16-sized; the walk's hop gathers then touch only truly
+        # pending lanes instead of every arena lane)
+        cnt_l = jnp.sum(lanes_act.astype(jnp.int32))
+        idxl = jnp.nonzero(lanes_act, size=cap_l, fill_value=nl)[0].astype(jnp.int32)
+        sub = mb[jnp.minimum(idxl, nl - 1)]            # [cap_l,W] lane gather
+        subact = lax.broadcasted_iota(jnp.int32, (cap_l, 1), 0)[:, 0] < jnp.minimum(
+            cnt_l, cap_l
+        )
+        sub = run_lanes(sub, subact)
+        mb = mb.at[idxl].set(sub, mode="drop")         # [cap_l,W] lane scatter
+        rank = jnp.cumsum(lanes_act.astype(jnp.int32)) - 1
+        handled = lanes_act & (rank < cap_l)
+        m3 = m3.at[bidx].set(
+            mb.reshape(capb, BLOCK, WIDTH), mode="drop"
+        )                                              # [capb,8,W] block scatter
+        pend2 = pend2.at[bidx].set(
+            pend2[safe_b] & ~handled.reshape(capb, BLOCK), mode="drop"
+        )
+        return m3.reshape(n, WIDTH), pend2.reshape(n), r + 1
 
-    m = lax.cond(count > cap, overflow_branch, lambda m: m, m)
+    m, _, _ = lax.while_loop(
+        rare_cond, rare_round, (m, pending, jnp.zeros((), jnp.int32))
+    )
     return m

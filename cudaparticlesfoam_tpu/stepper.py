@@ -44,7 +44,10 @@ class StepConfig:
     # "simple" = straightforward vectorized ops, "auto" picks cached when
     # the interpolation mode allows it.
     engine: str = "auto"
-    walk_capacity_frac: float = 0.25      # compaction buffer / n
+    # rare-stage round buffer: fraction of the n/8 lane-blocks gathered per
+    # round (pending lanes after the inline hop — multi-hop walkers + wall
+    # hits).  Undersizing costs extra rounds, never correctness.
+    walk_capacity_frac: float = 0.125
     # cell-location algorithm: "bary" = barycentric sign walk (RTX build,
     # query/RTQuery.cu), "convex" = exact segment/face tracing (ConvexPoly
     # build, query/ConvexQuery.cu)
