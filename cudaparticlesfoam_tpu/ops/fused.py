@@ -102,6 +102,45 @@ def _bary4(m, base, px, py, pz):
     return wa, wb, wc, wd
 
 
+def _bary4_rows(rows, px, py, pz):
+    """Barycentric components against a standalone [n,20] row block
+    (A at 0:3, Tinv at 3:12 — same packing as the mega-row cache)."""
+    rx = px - rows[:, 0]
+    ry = py - rows[:, 1]
+    rz = pz - rows[:, 2]
+    wb = rows[:, 3] * rx + rows[:, 4] * ry + rows[:, 5] * rz
+    wc = rows[:, 6] * rx + rows[:, 7] * ry + rows[:, 8] * rz
+    wd = rows[:, 9] * rx + rows[:, 10] * ry + rows[:, 11] * rz
+    wa = 1.0 - wb - wc - wd
+    return wa, wb, wc, wd
+
+
+def _brownian_noise(rng_key, step, n, dtype, cfg):
+    """Per-cycle standard-normal noise [n,3].
+
+    "threefry" (default): counter-based jax.random — bit-identical to the
+    simple engine's Brownian kick.  "rbg": the TPU hardware bit generator
+    + Box-Muller — statistically equivalent (the reference itself only
+    needs curand-quality normals, ``particles.cu:551-599``) and several
+    VPU passes cheaper per cycle; keyed by (rng_key, step) so runs stay
+    reproducible on the same backend.
+    """
+    if getattr(cfg, "brownian_rng", "threefry") == "rbg":
+        k4 = jnp.concatenate(
+            [
+                jnp.asarray(rng_key, jnp.uint32).reshape(-1)[:2],
+                jnp.asarray([0x9E3779B9], jnp.uint32),
+                jnp.asarray(step, jnp.uint32).reshape(1),
+            ]
+        )
+        _, bits = lax.rng_bit_generator(k4, (n, 6), dtype=jnp.uint32)
+        u = bits.astype(dtype) * (1.0 / 4294967296.0) + (0.5 / 4294967296.0)
+        r = jnp.sqrt(-2.0 * jnp.log(u[:, :3]))
+        return r * jnp.cos((2.0 * jnp.pi) * u[:, 3:])
+    key = jax.random.fold_in(rng_key, step)
+    return jax.random.normal(key, (n, 3), dtype=dtype)
+
+
 def _argmin4(wa, wb, wc, wd):
     """First-minimum argmin (owl arg_min scan semantics: strict '<')."""
     best = wa
@@ -329,23 +368,24 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
     if cfg.use_advection:
         dx, dy, dz = alf * ux * dt, alf * uy * dt, alf * uz * dt
         # advected velocity into vel columns (particles.cu:361)
-        m = m.at[:, V0].set(jnp.where(alive, ux, m[:, V0]))
-        m = m.at[:, V0 + 1].set(jnp.where(alive, uy, m[:, V0 + 1]))
-        m = m.at[:, V0 + 2].set(jnp.where(alive, uz, m[:, V0 + 2]))
+        vx = jnp.where(alive, ux, m[:, V0])
+        vy = jnp.where(alive, uy, m[:, V0 + 1])
+        vz = jnp.where(alive, uz, m[:, V0 + 2])
     else:
         dx = dy = dz = jnp.zeros_like(ux)
+        vx, vy, vz = m[:, V0], m[:, V0 + 1], m[:, V0 + 2]
     if cfg.use_brownian:
-        key = jax.random.fold_in(rng_key, step)
         sigma = jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(m.dtype)
-        xi = jax.random.normal(key, (n, 3), dtype=m.dtype)
+        xi = _brownian_noise(rng_key, step, n, m.dtype, cfg)
         dx = dx + alf * sigma * xi[:, 0]
         dy = dy + alf * sigma * xi[:, 1]
         dz = dz + alf * sigma * xi[:, 2]
 
     # advect kill (particles.cu:333-338)
-    if cfg.use_advection:
-        m = m.at[:, ACT].set(alf)
+    actf = alf if cfg.use_advection else m[:, ACT]
 
+    # optimistic move (dx is zero for dead lanes; the walk only refines
+    # tet/row; wall reflection in the rare stage rewrites pos for its lanes)
     px = m[:, P0] + dx
     py = m[:, P0 + 1] + dy
     pz = m[:, P0 + 2] + dz
@@ -353,12 +393,6 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
     wa, wb, wc_, wd = _bary4(m, RA, px, py, pz)
     s0, wmin = _argmin4(wa, wb, wc_, wd)
     need = (wmin < 0.0) & (tet >= 0)
-
-    # optimistic move for in-tet lanes (the walk only refines tet/row; wall
-    # reflection in the rare stage rewrites pos for its own lanes)
-    m = m.at[:, P0].set(jnp.where(alive, px, m[:, P0]))
-    m = m.at[:, P0 + 1].set(jnp.where(alive, py, m[:, P0 + 1]))
-    m = m.at[:, P0 + 2].set(jnp.where(alive, pz, m[:, P0 + 2]))
 
     # --- inline hop 1 (full batch, masked indices): the dominant crosser
     # case is a single face crossing into the neighbor.  A full-batch row
@@ -368,18 +402,29 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
     move1 = need & (code1 >= 0)
     idx1 = jnp.where(move1, code1, jnp.maximum(tet, 0))
     rows1 = mesh.tet_row[idx1]                     # ONE [n,20] gather
-    m = m.at[:, ROW : ROW + 20].set(
-        jnp.where(move1[:, None], rows1, m[:, ROW : ROW + 20])
-    )
+    rows_new = jnp.where(move1[:, None], rows1, m[:, ROW : ROW + 20])
     tet1 = jnp.where(move1, code1, tet)
-    m = m.at[:, TET].set(tet1.astype(m.dtype))
-    wa, wb, wc_, wd = _bary4(m, RA, px, py, pz)
+    wa, wb, wc_, wd = _bary4_rows(rows_new, px, py, pz)
     wmin1 = jnp.minimum(jnp.minimum(wa, wb), jnp.minimum(wc_, wd))
     # pending: multi-hop walkers + wall hits (walked/reflected below).
     # Kept as a separate [n] array, NOT a mega column: the rare stage
     # reduces over it twice per cycle, and a column reduce would stream
     # the whole [n,32] array each time.
     pending = (need & (code1 < 0)) | (move1 & (wmin1 < 0.0))
+
+    # assemble the post-hop mega state in ONE materialization: chained
+    # .at[:,col].set updates forced XLA to insert defensive whole-array
+    # copies (in-place DUS aliasing) worth ~1.3 ms/cycle at 1M lanes
+    m = jnp.concatenate(
+        [
+            px[:, None], py[:, None], pz[:, None],
+            vx[:, None], vy[:, None], vz[:, None],
+            tet1[:, None].astype(m.dtype), actf[:, None],
+            rows_new,
+            jnp.zeros((n, WIDTH - ROW - 20), m.dtype),
+        ],
+        axis=1,
+    )
 
     def run_lanes(mc, lanes_act):
         """walk + reflect lanes toward their pos columns; returns updated

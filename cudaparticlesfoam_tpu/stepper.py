@@ -55,6 +55,10 @@ class StepConfig:
     # time integrator: "euler" (reference, particles.cu:297-302) or "rk4"
     # (north-star mode; simple engine only)
     integrator: str = "euler"
+    # Brownian noise source (cached engine): "threefry" = counter-based
+    # jax.random, bit-identical to the simple engine; "rbg" = TPU hardware
+    # bit generator + Box-Muller, statistically equivalent and cheaper
+    brownian_rng: str = "threefry"
     # safety net for convex mode: the reference's tracer cannot re-detect a
     # face once a particle sits a hair outside it (tol asymmetry,
     # ConvexQuery.cu:95), so corner-reflection dust can leak out of the

@@ -100,11 +100,13 @@ def main():
     n_particles = int(float(sys.argv[2])) if len(sys.argv) > 2 else 1_000_000
     n_cycles = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.125
+    rng = sys.argv[5] if len(sys.argv) > 5 else "threefry"
 
     t0 = time.perf_counter()
     mesh, st = build(n_side, n_particles)
     print(f"build {time.perf_counter()-t0:.1f}s; {mesh.n_tets} tets", file=sys.stderr)
-    cfg = StepConfig(dt=0.05, diffusion_coeff=1e-3, walk_capacity_frac=frac)
+    cfg = StepConfig(dt=0.05, diffusion_coeff=1e-3, walk_capacity_frac=frac,
+                     brownian_rng=rng)
 
     t0 = time.perf_counter()
     st2 = run_cycles(mesh, st, cfg, n_cycles)
