@@ -60,6 +60,7 @@ class ParticlesConfig:
             use_brownian=self.use_brownian,
             reflect_wall=self.reflect_wall,
             velocity_interp=self.velocity_interp,
+            escape_faces=bool(self.escape_patches),
         )
 
     @staticmethod

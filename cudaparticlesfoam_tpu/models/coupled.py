@@ -23,7 +23,7 @@ import time
 import jax
 
 from ..io import vtu
-from ..stepper import n_cycles_for, run_cycles
+from ..stepper import n_cycles_for, run_cycles, suggest_tuning
 from . import case as caselib
 
 
@@ -60,7 +60,7 @@ def run_replay(
     case = caselib.load_case(case_dir, dtype=dtype, log=log)
     pcfg = case.particles
     out_dir = out_dir or case_dir
-    cfg = pcfg.step_config()
+    cfg = suggest_tuning(case.tet_mesh, pcfg.step_config())
 
     tdirs = caselib.time_dirs(case_dir)
     # start at the first snapshot; advance between consecutive snapshots
@@ -112,7 +112,7 @@ def run_coupled(
     pcfg = case.particles
     ctrl = case.control
     out_dir = out_dir or case_dir
-    cfg = pcfg.step_config()
+    cfg = suggest_tuning(case.tet_mesh, pcfg.step_config())
 
     flow = pimplelib.FlowSolver.from_case(case, log=log)
     state = caselib.init_particles(case, log=log)

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..io import vtu
 from ..ops import advect as advect_ops
-from ..stepper import n_cycles_for, run_cycles
+from ..stepper import n_cycles_for, run_cycles, suggest_tuning
 from ..utils.profiling import PhaseTimer, device_trace
 from . import case as caselib
 
@@ -55,7 +55,7 @@ def run(
     t = case.time_value
     with timer.phase("Seed"):
         state = caselib.init_particles(case, log=log)
-    cfg = pcfg.step_config()
+    cfg = suggest_tuning(case.tet_mesh, pcfg.step_config())
 
     # warm-up advect: initCuda.H:184-199 computes vel/disp once (no move)
     # so frame 0 carries velocities; reproduce via the advect op alone.

@@ -141,6 +141,38 @@ def _brownian_noise(rng_key, step, n, dtype, cfg):
     return jax.random.normal(key, (n, 3), dtype=dtype)
 
 
+def _grad_rows(rows, slot):
+    """Gradient of barycentric component ``slot`` from a standalone
+    [n,20] row block (Tinv at 3:12): row (slot-1) of Tinv, or -(sum of
+    rows) for slot 0 (cf. ``_grad_cols``)."""
+    def comp(o):
+        g0 = -(rows[:, 3 + o] + rows[:, 6 + o] + rows[:, 9 + o])
+        return jnp.where(
+            slot == 0,
+            g0,
+            jnp.where(
+                slot == 1,
+                rows[:, 3 + o],
+                jnp.where(slot == 2, rows[:, 6 + o], rows[:, 9 + o]),
+            ),
+        )
+
+    return comp(0), comp(1), comp(2)
+
+
+def _pick_rows(rows, off, slot):
+    """rows[:, off+slot] for per-lane slot in 0..3 (column arithmetic)."""
+    return jnp.where(
+        slot == 0,
+        rows[:, off],
+        jnp.where(
+            slot == 1,
+            rows[:, off + 1],
+            jnp.where(slot == 2, rows[:, off + 2], rows[:, off + 3]),
+        ),
+    )
+
+
 def _argmin4(wa, wb, wc, wd):
     """First-minimum argmin (owl arg_min scan semantics: strict '<')."""
     best = wa
@@ -394,23 +426,81 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
     s0, wmin = _argmin4(wa, wb, wc_, wd)
     need = (wmin < 0.0) & (tet >= 0)
 
-    # --- inline hop 1 (full batch, masked indices): the dominant crosser
-    # case is a single face crossing into the neighbor.  A full-batch row
-    # gather costs the same as one n-sized nonzero, so compaction before
-    # this hop can never win.  Non-crossers re-fetch their own row. ---
-    code1 = _pick4(m, RN, s0).astype(jnp.int32)
-    move1 = need & (code1 >= 0)
-    idx1 = jnp.where(move1, code1, jnp.maximum(tet, 0))
-    rows1 = mesh.tet_row[idx1]                     # ONE [n,20] gather
-    rows_new = jnp.where(move1[:, None], rows1, m[:, ROW : ROW + 20])
-    tet1 = jnp.where(move1, code1, tet)
-    wa, wb, wc_, wd = _bary4_rows(rows_new, px, py, pz)
-    wmin1 = jnp.minimum(jnp.minimum(wa, wb), jnp.minimum(wc_, wd))
-    # pending: multi-hop walkers + wall hits (walked/reflected below).
+    # --- inline hops (full batch, masked indices): a face crossing into
+    # the neighbor is resolved with one [n,20] row gather per hop — a
+    # full-batch gather costs the same as one n-sized nonzero, so
+    # compacting before these hops can never win.  Non-crossers re-fetch
+    # their own row.  inline_hops is tuned to the expected crossings per
+    # sub-step (1 at tutorial-coupled CFL, 3-4 at ~1 cell/sub-step). ---
+    cur_rows = m[:, ROW : ROW + 20]
+    cur_tet = tet
+    unresolved = need      # current row does not contain the target point
+    wall = jnp.zeros_like(need)   # hit a boundary code
+    wall_slot = jnp.zeros_like(s0)
+    s_cur = s0
+    bw = (wa, wb, wc_, wd)
+    for _ in range(max(int(getattr(cfg, "inline_hops", 1)), 1)):
+        code = _pick_rows(cur_rows, RN - ROW, s_cur).astype(jnp.int32)
+        mv = unresolved & (code >= 0)
+        new_wall = unresolved & (code < 0)
+        wall_slot = jnp.where(new_wall, s_cur, wall_slot)
+        wall = wall | new_wall
+        idx = jnp.where(mv, code, jnp.maximum(cur_tet, 0))
+        rows_g = mesh.tet_row[idx]                 # ONE [n,20] gather per hop
+        cur_rows = jnp.where(mv[:, None], rows_g, cur_rows)
+        cur_tet = jnp.where(mv, code, cur_tet)
+        bw = _bary4_rows(cur_rows, px, py, pz)
+        s_cur, wmin_h = _argmin4(*bw)
+        unresolved = mv & (wmin_h < 0.0)
+
+    # --- inline single bounce (the dominant wall case): mirror pos and
+    # vel across the exit-face plane of the boundary-adjacent tet
+    # (``RTreflection`` bounce 1, RTQuery.cu:92-186 — the bary-gradient
+    # mirror plane is identical to the face-vertex construction) and
+    # re-test in the same tet.  Wall grinding (boundary-layer particles
+    # re-hitting every sub-step) otherwise floods the rare stage. ---
+    if cfg.reflect_wall and getattr(cfg, "inline_bounce", True):
+        refl = wall
+        esc = jnp.zeros_like(wall)
+        if getattr(cfg, "escape_faces", False):
+            # absorbing (outlet) patches: deactivate instead of reflecting
+            code_w = _pick_rows(cur_rows, RN - ROW, wall_slot).astype(jnp.int32)
+            bd = jnp.clip(-code_w - 1, 0, max(mesh.n_bd_faces - 1, 0))
+            esc = wall & (code_w < 0) & mesh.bd_escape[bd]
+            refl = wall & ~esc
+        rf = refl.astype(m.dtype)
+        gx, gy, gz = _grad_rows(cur_rows, wall_slot)
+        wv = jnp.where(
+            wall_slot == 0, bw[0],
+            jnp.where(wall_slot == 1, bw[1],
+                      jnp.where(wall_slot == 2, bw[2], bw[3])),
+        )
+        gg = gx * gx + gy * gy + gz * gz
+        # rf-masked reciprocal: dead lanes may carry zero gradients and a
+        # bare 1/gg would poison the 0-masked products with NaN
+        inv_g2 = rf / (gg + (1.0 - rf))
+        f = 2.0 * wv * inv_g2
+        px = px - f * gx
+        py = py - f * gy
+        pz = pz - f * gz
+        fu = 2.0 * (vx * gx + vy * gy + vz * gz) * inv_g2
+        vx = vx - fu * gx
+        vy = vy - fu * gy
+        vz = vz - fu * gz
+        wa2, wb2, wc2, wd2 = _bary4_rows(cur_rows, px, py, pz)
+        wmin2 = jnp.minimum(jnp.minimum(wa2, wb2), jnp.minimum(wc2, wd2))
+        landed = refl & (wmin2 >= 0.0)
+        wall = refl & ~landed
+        tet1 = jnp.where(esc, -(cur_tet + 1), cur_tet)
+        actf = jnp.where(esc, jnp.zeros_like(actf), actf)
+    else:
+        tet1 = cur_tet
+    rows_new = cur_rows
+    # pending: deeper walkers + multi-bounce wall lanes (handled below).
     # Kept as a separate [n] array, NOT a mega column: the rare stage
     # reduces over it twice per cycle, and a column reduce would stream
     # the whole [n,32] array each time.
-    pending = (need & (code1 < 0)) | (move1 & (wmin1 < 0.0))
+    pending = unresolved | wall
 
     # assemble the post-hop mega state in ONE materialization: chained
     # .at[:,col].set updates forced XLA to insert defensive whole-array
@@ -464,7 +554,7 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
     # --- rare stage: two-stage BLOCK compaction (nonzero over n/8 block
     # flags is 8x cheaper than lane-level), processed in rounds until no
     # lane is pending.  Overflowing the round buffer costs an extra round,
-    # never a full-batch fallback, and no lax.cond ever carries [n,32]. ---
+    # never a full-batch fallback, and no lax.cond ever carries [n,32].
     capb = min(max(int(nb * cfg.walk_capacity_frac), 32), nb)
     nl = capb * BLOCK   # arena lanes
     # exact-stage lane capacity: pending density inside a pending block is

@@ -59,6 +59,19 @@ class StepConfig:
     # jax.random, bit-identical to the simple engine; "rbg" = TPU hardware
     # bit generator + Box-Muller, statistically equivalent and cheaper
     brownian_rng: str = "threefry"
+    # full-batch inline walk hops per sub-step before the compacted rare
+    # stage takes over: 1 for low-CFL regimes (<~15% of particles cross a
+    # tet face per sub-step), 3-4 when particles cross ~a cell per
+    # sub-step (e.g. the pitzDaily tutorial's frozen-field replay).
+    # See suggest_tuning() for the data-driven choice.
+    inline_hops: int = 1
+    # resolve the dominant single-bounce wall reflection inline (full
+    # batch, column math) before the rare stage; semantics identical to
+    # bounce 1 of RTreflection (RTQuery.cu:92-186)
+    inline_bounce: bool = True
+    # set by the case drivers when absorbing (escape) patches exist so the
+    # inline bounce checks bd_escape; the rare-stage reflector always does
+    escape_faces: bool = False
     # safety net for convex mode: the reference's tracer cannot re-detect a
     # face once a particle sits a hair outside it (tol asymmetry,
     # ConvexQuery.cu:95), so corner-reflection dust can leak out of the
@@ -197,6 +210,56 @@ def run_cycles(
 def step_once(mesh: TetMesh, state: ParticleState, cfg: StepConfig, dt) -> ParticleState:
     """Single sub-step (jitted), for tests and interactive use."""
     return cycle(mesh, state, cfg, jnp.asarray(dt, dtype=state.dtype))
+
+
+def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None) -> StepConfig:
+    """Profile-guided static tuning of the cached engine's knobs.
+
+    Estimates the expected tet-face crossings per particle per sub-step
+    from the mesh's per-tet velocity magnitude, tet size, and the Brownian
+    RMS kick, then picks ``inline_hops`` (full-batch walk hops) and
+    ``walk_capacity_frac`` (rare-stage round buffer) to match the regime.
+    Cheap (one host-side pass over the tet arrays at setup); exactness is
+    never at stake — these knobs trade kernel launches vs buffer sizes.
+    """
+    import numpy as np
+
+    dt = float(cfg.dt if dt is None else dt)
+    pts = np.asarray(mesh.points, dtype=np.float64)
+    tets = np.asarray(mesh.tets)
+    u = np.asarray(mesh.tet_vel, dtype=np.float64)
+    a = pts[tets[:, 0]]
+    vol = np.abs(
+        np.einsum(
+            "ij,ij->i",
+            pts[tets[:, 1]] - a,
+            np.cross(pts[tets[:, 2]] - a, pts[tets[:, 3]] - a),
+        )
+        / 6.0
+    )
+    h = np.cbrt(np.maximum(vol * 6.0, 1e-300))   # tet characteristic length
+    speed = np.sqrt((u * u).sum(axis=1))
+    if cfg.use_brownian:
+        # per-axis RMS Brownian displacement rate over one sub-step
+        speed = speed + np.sqrt(2.0 * cfg.diffusion_coeff / max(dt, 1e-300)) * 1.7
+    # mean tets crossed per sub-step (the 1.5 accounts for the Kuhn split's
+    # internal diagonal faces being crossed more often than cell faces)
+    crossings = float(np.mean(np.minimum(speed * dt / np.maximum(h, 1e-300), 50.0)) * 1.5)
+    # measured on v5e (tools/profile_cycle.py): at ~2.3 mean crossings the
+    # per-cycle cost keeps dropping through ~5-7 inline hops because every
+    # rare-stage round costs several kernel launches; at <0.2 crossings a
+    # single hop resolves ~95% of crossers
+    if crossings < 0.4:
+        hops, frac = 1, 1 / 16
+    elif crossings < 0.8:
+        hops, frac = 2, 1 / 8
+    elif crossings < 1.5:
+        hops, frac = 4, 1 / 4
+    else:
+        hops, frac = min(4 + int(crossings + 1.0), 8), 1 / 4
+    return dataclasses.replace(
+        cfg, inline_hops=hops, walk_capacity_frac=frac
+    )
 
 
 def n_cycles_for(delta_t_euler: float, dt_lagrange: float) -> tuple[int, float]:

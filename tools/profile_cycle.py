@@ -33,11 +33,14 @@ def build(n_side, n_particles):
     from cudaparticlesfoam_tpu.state import replace as replace_state
 
     mesh = box_mesh(n_side, n_side, n_side)
+    # confined vortex (same field as bench.py)
     cen = np.asarray(mesh.points, dtype=np.float64)[np.asarray(mesh.tets)].mean(axis=1)
     r = cen[:, :2] - n_side / 2.0
+    r2 = (r * r).sum(axis=1) / (n_side / 2.0) ** 2
+    omega = (5.2 / n_side) * np.maximum(1.0 - r2, 0.0)
     u = np.zeros_like(cen)
-    u[:, 0] = -r[:, 1] * (2.0 / n_side)
-    u[:, 1] = r[:, 0] * (2.0 / n_side)
+    u[:, 0] = -r[:, 1] * omega
+    u[:, 1] = r[:, 0] * omega
     mesh = replace_velocity(mesh, tet_vel=u)
     loc = build_grid_locator(mesh)
     lo, hi = 0.05 * n_side, 0.95 * n_side
@@ -101,12 +104,22 @@ def main():
     n_cycles = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.125
     rng = sys.argv[5] if len(sys.argv) > 5 else "threefry"
+    dt = float(sys.argv[6]) if len(sys.argv) > 6 else 0.05
 
     t0 = time.perf_counter()
     mesh, st = build(n_side, n_particles)
     print(f"build {time.perf_counter()-t0:.1f}s; {mesh.n_tets} tets", file=sys.stderr)
-    cfg = StepConfig(dt=0.05, diffusion_coeff=1e-3, walk_capacity_frac=frac,
+    cfg = StepConfig(dt=dt, diffusion_coeff=1e-3, walk_capacity_frac=frac,
                      brownian_rng=rng)
+    if len(sys.argv) > 7:
+        if sys.argv[7] == "auto":
+            from cudaparticlesfoam_tpu.stepper import suggest_tuning
+            cfg = suggest_tuning(mesh, cfg)
+        else:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, inline_hops=int(sys.argv[7]))
+    print("cfg:", cfg.inline_hops, "hops, frac", cfg.walk_capacity_frac,
+          file=sys.stderr)
 
     t0 = time.perf_counter()
     st2 = run_cycles(mesh, st, cfg, n_cycles)
