@@ -41,7 +41,31 @@ def main(argv=None):
     p = sub.add_parser("blockmesh", help="generate constant/polyMesh from blockMeshDict")
     p.add_argument("case")
 
+    p = sub.add_parser(
+        "dict", help="read/modify a dictionary entry (foamDictionary equivalent)"
+    )
+    p.add_argument("file")
+    p.add_argument("-entry", required=True)
+    p.add_argument("-set", dest="value", default=None)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "dict":
+        from .io import foamfile
+
+        d = foamfile.read(args.file)
+        obj = d.pop("FoamFile", {}).get("object") or os.path.basename(args.file)
+        if args.value is None:
+            print(d.get(args.entry))
+            return 0
+        try:
+            val = float(args.value)
+            val = int(val) if val.is_integer() and "." not in args.value else val
+        except ValueError:
+            val = args.value
+        d[args.entry] = val
+        foamfile.write(args.file, d, obj_name=str(obj))
+        return 0
 
     if getattr(args, "f64", False):
         import jax

@@ -11,8 +11,12 @@ import pytest
 
 from cudaparticlesfoam_tpu.io import polymesh, foamfile
 
-PITZ = (
-    "/root/reference/tutorials/incompressible/cudaParticlesUncoupledFoam/pitzDaily"
+TUTORIALS = os.path.join(os.path.dirname(__file__), "..", "tutorials")
+PITZ = os.path.join(
+    TUTORIALS, "incompressible", "cudaParticlesUncoupledFoam", "pitzDaily"
+)
+TJUNC = os.path.join(
+    TUTORIALS, "incompressible", "cudaParticlesPimpleFoam", "TJunction"
 )
 
 

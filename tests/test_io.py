@@ -10,7 +10,7 @@ import pytest
 from cudaparticlesfoam_tpu.io import blockmesh, foamfile, polymesh, vtu
 from cudaparticlesfoam_tpu import make_state
 
-REF = "/root/reference/tutorials/incompressible"
+REF = os.path.join(os.path.dirname(__file__), "..", "tutorials", "incompressible")
 PITZ = f"{REF}/cudaParticlesUncoupledFoam/pitzDaily"
 TJUNC = f"{REF}/cudaParticlesPimpleFoam/TJunction"
 
