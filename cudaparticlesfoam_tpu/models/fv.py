@@ -112,6 +112,11 @@ def fv_mesh(pm: PolyMesh, dtype=jnp.float32) -> FvMesh:
 class BoundaryCoeffs:
     a: jnp.ndarray   # [n_bd] or [n_bd,1] multiplier on owner value
     b: jnp.ndarray   # [n_bd, ncomp] offset
+    # inletOutlet-family switching (OpenFOAM inletOutlet: zeroGradient on
+    # outflow, fixedValue(inletValue) on backflow): faces flagged here flip
+    # per outer iteration based on the current flux sign
+    io_mask: jnp.ndarray | None = None    # [n_bd] bool
+    io_value: jnp.ndarray | None = None   # [n_bd, ncomp]
 
 
 def make_bcs(m: FvMesh, spec: dict, n_comp: int, default="zeroGradient", dtype=None):
@@ -128,11 +133,14 @@ def make_bcs(m: FvMesh, spec: dict, n_comp: int, default="zeroGradient", dtype=N
     n_bd = m.n_faces - m.n_internal
     a = np.ones(n_bd)
     b = np.zeros((n_bd, n_comp))
+    io_mask = np.zeros(n_bd, bool)
+    io_value = np.zeros((n_bd, n_comp))
     fixed_types = ("fixedValue", "noSlip", "totalPressure", "uniformTotalPressure",
                    "uniformFixedValue")
     grad_types = ("zeroGradient", "empty", "slip", "calculated", "symmetry",
-                  "inletOutlet", "outletInlet", "pressureInletOutletVelocity",
+                  "outletInlet",
                   "pressureInletOutletParSlipVelocity", "waveTransmissive")
+    io_types = ("inletOutlet", "pressureInletOutletVelocity")
     for name, ptype, start, cnt in m.patch_slices:
         entry = spec.get(name)
         btype = entry[0] if entry else default
@@ -148,11 +156,38 @@ def make_bcs(m: FvMesh, spec: dict, n_comp: int, default="zeroGradient", dtype=N
         elif btype in grad_types:
             a[sl] = 1.0
             b[sl] = 0.0
+        elif btype in io_types:
+            # outflow branch (zeroGradient) as the base; backflow flips to
+            # fixedValue(inletValue) via effective_bcs per outer iteration
+            a[sl] = 1.0
+            b[sl] = 0.0
+            io_mask[sl] = True
+            io_value[sl] = np.broadcast_to(
+                np.asarray(0.0 if val is None else val, float), (cnt, n_comp)
+            )
         else:
             raise ValueError(f"unsupported BC type {btype!r} on patch {name!r}")
     return BoundaryCoeffs(
-        a=jnp.asarray(a, dtype), b=jnp.asarray(b, dtype).reshape(n_bd, n_comp)
+        a=jnp.asarray(a, dtype),
+        b=jnp.asarray(b, dtype).reshape(n_bd, n_comp),
+        io_mask=jnp.asarray(io_mask),
+        io_value=jnp.asarray(io_value, dtype).reshape(n_bd, n_comp),
     )
+
+
+def effective_bcs(bc: BoundaryCoeffs, flux_b) -> BoundaryCoeffs:
+    """Per-iteration inletOutlet switching: faces with inflow (flux < 0)
+    become fixedValue(inletValue); outflow faces stay zeroGradient
+    (OpenFOAM inletOutlet / pressureInletOutletVelocity semantics — the
+    backflow limiting the round-1 build collapsed to zeroGradient)."""
+    if bc.io_mask is None:
+        return bc
+    import dataclasses as _dc
+
+    inflow = bc.io_mask & (flux_b < 0.0)
+    a = jnp.where(inflow, 0.0, bc.a)
+    b = jnp.where(inflow[:, None], bc.io_value, bc.b)
+    return _dc.replace(bc, a=a, b=b)
 
 
 def boundary_value(m: FvMesh, bc: BoundaryCoeffs, phi):
@@ -206,6 +241,91 @@ def flux_of(m: FvMesh, u, bc_u: BoundaryCoeffs):
     uf_b = boundary_value(m, bc_u, u)
     uf = jnp.concatenate([uf_i, uf_b])
     return jnp.sum(uf * m.sf, axis=-1)
+
+
+def convection_correction(m: FvMesh, flux, phi, bc: BoundaryCoeffs, scheme: str):
+    """Deferred second-order convection correction source [nc, ncomp].
+
+    The implicit matrix stays first-order upwind (bounded, diagonally
+    dominant); the difference between the high-order face value and the
+    upwind value is added explicitly:  b += -sum_f F (phi_HO - phi_UD).
+    Schemes (``system/fvSchemes`` divSchemes):
+
+    * ``linearUpwind``: phi_HO = phi_UP + grad(phi)_UP . (Cf - C_UP)
+      (``bounded Gauss linearUpwind grad(U)``, pitzDaily fvSchemes:31)
+    * ``limitedLinear`` (k=1): phi_HO = phi_UD + psi (phi_lin - phi_UD)
+      with the OpenFOAM limiter psi = clamp(2 r, 0, 1),
+      r = 2 (d . grad(phi)_UP) / (phi_D - phi_UP) - 1; for vectors the
+      face limiter is the min over components (the ``V``-scheme's
+      conservative direction, ``Gauss limitedLinearV 1``,
+      TJunction fvSchemes:31)
+    * ``linear``: unlimited central difference (deferred)
+    """
+    if scheme in ("upwind", "", None):
+        nc = m.n_cells
+        ncomp = 1 if phi.ndim == 1 else phi.shape[1]
+        return jnp.zeros((nc, ncomp), m.sf.dtype)
+    ph = phi[:, None] if phi.ndim == 1 else phi
+    n_int = m.n_internal
+    f_i = flux[:n_int]
+    own = m.owner[:n_int]
+    nei = m.neighbour
+    up = jnp.where(f_i >= 0.0, own, nei)
+    dn = jnp.where(f_i >= 0.0, nei, own)
+    phi_up = ph[up]
+    phi_dn = ph[dn]
+    w = m.w[:, None]
+    phi_lin = w * ph[own] + (1.0 - w) * ph[nei]
+
+    # per-component Gauss gradient (one surface sum for all components)
+    pf_i = w * ph[own] + (1.0 - w) * ph[nei]
+    pf_b = boundary_value(m, bc, ph)
+    pf = jnp.concatenate([pf_i, pf_b])
+    grad = surface_sum(m, pf[:, :, None] * m.sf[:, None, :]) / m.vol[:, None, None]
+
+    if scheme == "linearUpwind":
+        d_up = m.cf[:n_int] - m.cc[up]
+        phi_ho = phi_up + jnp.einsum("fcd,fd->fc", grad[up], d_up)
+    elif scheme == "limitedLinear":
+        d = m.cc[nei] - m.cc[own]
+        # r in upwind orientation: d points up->down for F>=0, down->up else
+        dsign = jnp.where(f_i >= 0.0, 1.0, -1.0)[:, None]
+        dgrad = jnp.einsum("fcd,fd->fc", grad[up], d) * dsign
+        denom = phi_dn - phi_up
+        r = 2.0 * dgrad / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30) - 1.0
+        psi = jnp.clip(2.0 * r, 0.0, 1.0)
+        psi = jnp.min(psi, axis=1, keepdims=True)      # V-scheme direction
+        phi_ho = phi_up + psi * (phi_lin - phi_up)
+    elif scheme == "linear":
+        phi_ho = phi_lin
+    else:
+        raise ValueError(f"unknown convection scheme {scheme!r}")
+
+    corr_f = f_i[:, None] * (phi_ho - phi_up)
+    out = jnp.zeros((m.n_cells, ph.shape[1]), m.sf.dtype)
+    out = out.at[own].add(-corr_f)
+    out = out.at[nei].add(corr_f)
+    return out
+
+
+def nonortho_flux(m: FvMesh, rau_f, p, p_bcs: BoundaryCoeffs):
+    """Explicit non-orthogonal pressure-diffusion flux on internal faces:
+    rau_f (k . grad(p)_f) with k the over-relaxed correction vector
+    (``pEqn.H:42-57`` non-orthogonal corrector loop)."""
+    n_int = m.n_internal
+    gp = gradient(m, p, p_bcs)
+    w = m.w[:, None]
+    gpf = w * gp[m.owner[:n_int]] + (1.0 - w) * gp[m.neighbour]
+    return rau_f[:n_int] * jnp.sum(m.nonortho * gpf, axis=-1)
+
+
+def surface_sum_internal(m: FvMesh, face_vals):
+    """surface_sum restricted to internal faces."""
+    nc = m.n_cells
+    out = jnp.zeros((nc,) + face_vals.shape[1:], dtype=face_vals.dtype)
+    out = out.at[m.owner[: m.n_internal]].add(face_vals)
+    out = out.at[m.neighbour].add(-face_vals)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -290,6 +410,163 @@ def matvec(m: FvMesh, A: FvMatrix, phi):
 def h_operator(m: FvMesh, A: FvMatrix, phi):
     """H(phi) = source - offdiag @ phi (OpenFOAM's H)."""
     return A.source - (matvec(m, A, phi) - A.diag[:, None] * phi)
+
+
+# ---------------------------------------------------------------------------
+# algebraic multigrid (GAMG stand-in for the pressure equation)
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass(meta_fields=("sizes",))
+class AmgHierarchy:
+    """Aggregation hierarchy built once per mesh (host side).
+
+    Pairwise greedy matching on the face graph weighted by the orthogonal
+    diffusion coefficient (strongest couplings aggregate first), one
+    pairing per level, down to a few hundred cells.  Plays the role of
+    OpenFOAM's GAMG agglomeration (``TJunction/system/fvSolution:19-33``);
+    per-solve coarse operators are Galerkin sums (piecewise-constant
+    prolongation), built in :func:`amg_coarse_ops`.
+    """
+
+    aggs: tuple        # per level: [nc_l] int32 -> coarse cell id
+    owners: tuple      # per level: coarse-face owner ids [n_cf_l]
+    neighs: tuple      # per level: coarse-face neighbour ids
+    f2cf: tuple        # per level: fine internal face -> coarse face (-1 intra)
+    sizes: tuple       # coarse sizes per level (static)
+
+
+def build_amg(m: FvMesh, min_coarse: int = 200, max_levels: int = 16) -> AmgHierarchy:
+    """Greedy pairwise aggregation on the owner/neighbour graph."""
+    own = np.asarray(m.owner[: m.n_internal])
+    nei = np.asarray(m.neighbour)
+    w = np.asarray(m.delta, dtype=np.float64)
+    nc = m.n_cells
+    aggs, owners, neighs, f2cfs, sizes = [], [], [], [], []
+    while nc > min_coarse and len(aggs) < max_levels:
+        order = np.argsort(-w, kind="stable")
+        matched = np.full(nc, -1, np.int64)
+        nxt = 0
+        for f in order:
+            a, b = own[f], nei[f]
+            if matched[a] < 0 and matched[b] < 0:
+                matched[a] = matched[b] = nxt
+                nxt += 1
+        single = matched < 0
+        matched[single] = nxt + np.arange(int(single.sum()))
+        nc_c = nxt + int(single.sum())
+        co, cn = matched[own], matched[nei]
+        inter = co != cn
+        pmin = np.minimum(co[inter], cn[inter])
+        pmax = np.maximum(co[inter], cn[inter])
+        key = pmin.astype(np.int64) * nc_c + pmax
+        ukey, inv = np.unique(key, return_inverse=True)
+        f2cf = np.full(own.shape[0], -1, np.int64)
+        f2cf[inter] = inv
+        aggs.append(jnp.asarray(matched, jnp.int32))
+        owners.append(jnp.asarray(ukey // nc_c, jnp.int32))
+        neighs.append(jnp.asarray(ukey % nc_c, jnp.int32))
+        f2cfs.append(jnp.asarray(f2cf, jnp.int32))
+        sizes.append(nc_c)
+        # next level graph: summed weights per coarse face
+        w_c = np.zeros(len(ukey))
+        np.add.at(w_c, inv, w[inter])
+        own, nei, w, nc = ukey // nc_c, ukey % nc_c, w_c, nc_c
+    return AmgHierarchy(
+        aggs=tuple(aggs), owners=tuple(owners), neighs=tuple(neighs),
+        f2cf=tuple(f2cfs), sizes=tuple(sizes),
+    )
+
+
+def amg_coarse_ops(m: FvMesh, h: AmgHierarchy, A: FvMatrix):
+    """Galerkin coarse (diag, offdiag) per level for a SYMMETRIC operator
+    (off = upper = lower, the pressure Laplacian)."""
+    diag, off = A.diag, A.upper
+    own = m.owner[: m.n_internal]
+    levels = []
+    for li in range(len(h.sizes)):
+        agg, f2cf, ncl = h.aggs[li], h.f2cf[li], h.sizes[li]
+        n_cf = h.owners[li].shape[0]
+        intra = f2cf < 0
+        diag_c = jnp.zeros(ncl, diag.dtype).at[agg].add(diag)
+        diag_c = diag_c.at[
+            jnp.where(intra, agg[own], ncl)
+        ].add(2.0 * jnp.where(intra, off, 0.0), mode="drop")
+        off_c = jnp.zeros(n_cf, off.dtype).at[
+            jnp.where(intra, n_cf, f2cf)
+        ].add(jnp.where(intra, 0.0, off), mode="drop")
+        levels.append((diag_c, off_c))
+        diag, off, own = diag_c, off_c, h.owners[li]
+    return levels
+
+
+def _sym_matvec(diag, off, own, nei, x):
+    out = diag * x
+    out = out.at[own].add(off * x[nei])
+    out = out.at[nei].add(off * x[own])
+    return out
+
+
+def amg_vcycle(m: FvMesh, h: AmgHierarchy, A: FvMatrix, levels, r):
+    """One V(1,1) cycle with damped-Jacobi smoothing; coarsest level gets
+    a fixed Jacobi sweep block.  Used as the CG preconditioner."""
+    omega = 0.65
+
+    def descend(li, r):
+        if li == 0:
+            diag, off, own, nei = (
+                A.diag, A.upper, m.owner[: m.n_internal], m.neighbour
+            )
+        else:
+            diag, off = levels[li - 1]
+            own, nei = h.owners[li - 1], h.neighs[li - 1]
+        x = omega * r / diag
+        if li == len(h.sizes):
+            for _ in range(12):
+                x = x + omega * (r - _sym_matvec(diag, off, own, nei, x)) / diag
+            return x
+        r1 = r - _sym_matvec(diag, off, own, nei, x)
+        rc = jnp.zeros(h.sizes[li], r.dtype).at[h.aggs[li]].add(r1)
+        xc = descend(li + 1, rc)
+        x = x + xc[h.aggs[li]]
+        x = x + omega * (r - _sym_matvec(diag, off, own, nei, x)) / diag
+        return x
+
+    return descend(0, r)
+
+
+def amg_cg_solve(m: FvMesh, h: AmgHierarchy, A: FvMatrix, b, x0,
+                 tol=1e-7, max_iter=200):
+    """AMG-preconditioned CG (the GAMG stand-in): V-cycle as M^{-1}.
+    Iteration counts stay roughly mesh-size independent, unlike the
+    Jacobi-CG fallback."""
+    levels = amg_coarse_ops(m, h, A)
+
+    def dot(a_, b_):
+        return jnp.sum(a_ * b_)
+
+    r0 = b - matvec(m, A, x0)
+    z0 = amg_vcycle(m, h, A, levels, r0)
+    norm_b = jnp.sqrt(dot(b, b)) + 1e-300
+
+    def cond(st):
+        x, r, p, rz, it = st
+        return (jnp.sqrt(dot(r, r)) / norm_b > tol) & (it < max_iter)
+
+    def body(st):
+        x, r, p, rz, it = st
+        ap = matvec(m, A, p)
+        alpha = rz / (dot(p, ap) + 1e-300)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = amg_vcycle(m, h, A, levels, r)
+        rz_new = dot(r, z)
+        beta = rz_new / (rz + 1e-300)
+        p = z + beta * p
+        return x, r, p, rz_new, it + 1
+
+    x, r, _, _, it = lax.while_loop(cond, body, (x0, r0, z0, dot(r0, z0), 0))
+    return x, jnp.sqrt(dot(r, r)) / norm_b, it
 
 
 # ---------------------------------------------------------------------------

@@ -36,11 +36,14 @@ class PimpleConfig:
     p_tol: float = 1e-6
     p_max_iter: int = 400
     pin_pressure: bool = False
+    div_scheme: str = "upwind"   # fvSchemes div(phi,U), deferred correction
+    n_nonortho: int = 0          # fvSolution nNonOrthogonalCorrectors
+    p_solver: str = "cg"         # "amg" (GAMG stand-in) or "cg"
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def pimple_step(m: fv.FvMesh, st: FlowState, u_bcs, p_bcs, cfg: PimpleConfig,
-                dt, nut=None):
+                dt, nut=None, amg=None, nut_bd=None):
     """One Eulerian time step: returns (state, residual diagnostics)."""
     dt = jnp.asarray(dt, m.sf.dtype)
     ddt = m.vol / dt
@@ -49,17 +52,20 @@ def pimple_step(m: fv.FvMesh, st: FlowState, u_bcs, p_bcs, cfg: PimpleConfig,
     if nut is None:
         nu_f = cfg.nu
     else:
-        nu_f = cfg.nu + jnp.concatenate(
-            [fv.face_interp(m, nut), nut[m.owner[m.n_internal :]]]
-        )
+        nut_b = nut[m.owner[m.n_internal :]] if nut_bd is None else nut_bd
+        nu_f = cfg.nu + jnp.concatenate([fv.face_interp(m, nut), nut_b])
 
     def outer(carry, _):
         st, _ = carry
+        # inletOutlet backflow switching against the current flux
+        u_bcs_e = fv.effective_bcs(u_bcs, st.flux[m.n_internal :])
         A = fv.assemble_transport(
-            m, st.flux, nu_f, u_bcs, 3, ddt_coeff=ddt, phi_old=u_old
+            m, st.flux, nu_f, u_bcs_e, 3, ddt_coeff=ddt, phi_old=u_old
         )
         grad_p = fv.gradient(m, st.p, p_bcs)
         b = A.source - grad_p * m.vol[:, None]
+        b = b + fv.convection_correction(m, st.flux, st.u, u_bcs_e,
+                                         cfg.div_scheme)
         u_star = fv.jacobi_solve(m, A, b, st.u, sweeps=cfg.n_jacobi)
         u_res = jnp.linalg.norm(b - fv.matvec(m, A, u_star)) / (
             jnp.linalg.norm(b) + 1e-300
@@ -79,13 +85,25 @@ def pimple_step(m: fv.FvMesh, st: FlowState, u_bcs, p_bcs, cfg: PimpleConfig,
             hbya = (b + grad_p * m.vol[:, None] - (
                 fv.matvec(m, A, u_corr) - A.diag[:, None] * u_corr
             )) / A.diag[:, None]
-            phi_hbya = fv.flux_of(m, hbya, u_bcs)
+            phi_hbya = fv.flux_of(m, hbya, u_bcs_e)
             rhs = Ap.source[:, 0] - fv.surface_sum(m, phi_hbya)
-            p, p_res, _ = fv.cg_solve(m, Ap, rhs, p, tol=cfg.p_tol,
-                                      max_iter=cfg.p_max_iter)
+            corr = jnp.zeros(m.n_internal, m.sf.dtype)
+            for _no in range(cfg.n_nonortho + 1):
+                if cfg.p_solver == "amg":
+                    p, p_res, _ = fv.amg_cg_solve(
+                        m, amg, Ap, rhs + fv.surface_sum_internal(m, corr), p,
+                        tol=cfg.p_tol, max_iter=cfg.p_max_iter,
+                    )
+                else:
+                    p, p_res, _ = fv.cg_solve(
+                        m, Ap, rhs + fv.surface_sum_internal(m, corr), p,
+                        tol=cfg.p_tol, max_iter=cfg.p_max_iter,
+                    )
+                if _no < cfg.n_nonortho:
+                    corr = fv.nonortho_flux(m, rau_f, p, p_bcs)
             n_int = m.n_internal
             dp = p[m.neighbour] - p[m.owner[:n_int]]
-            flux_i = phi_hbya[:n_int] - rau_f[:n_int] * m.delta * dp
+            flux_i = phi_hbya[:n_int] - rau_f[:n_int] * m.delta * dp - corr
             dp_b = (p_bcs.a - 1.0) * p[m.owner[n_int:]] + p_bcs.b[:, 0]
             flux_b = phi_hbya[n_int:] - rau_f[n_int:] * m.bd_delta * dp_b
             flux = jnp.concatenate([flux_i, flux_b])
@@ -127,11 +145,20 @@ class FlowSolver:
     def from_case(cls, case, log=print, **cfg_kw):
         from .simple import turbulence_model
 
+        from .simple import read_numerics
+
         m, st, u_bcs, p_bcs, nu, pin, p_tables = load_flow_case(
             case.case_dir, pm=case.poly, dtype=jnp.float32
         )
+        num = read_numerics(case.case_dir)
+        cfg_kw.setdefault("div_scheme", num["div_scheme"])
+        cfg_kw.setdefault("n_nonortho", num["n_nonortho"])
+        cfg_kw.setdefault("n_correctors", num["n_correctors"])
+        cfg_kw.setdefault("n_outer", num["n_outer"])
+        cfg_kw.setdefault("p_solver", "amg")
         cfg = PimpleConfig(nu=nu, pin_pressure=pin, **cfg_kw)
         solver = cls(m, st, u_bcs, p_bcs, cfg, log=log)
+        solver.amg = fv.build_amg(m) if cfg.p_solver == "amg" else None
         solver.p_tables = p_tables
         solver.time = case.time_value
         solver.kes = solver.k_bcs = solver.e_bcs = solver.wi = None
@@ -169,8 +196,16 @@ class FlowSolver:
         self.time = getattr(self, "time", 0.0) + dt_e
         self._apply_p_tables(self.time)
         nut = None if getattr(self, "kes", None) is None else self.kes.nut
+        nut_bd = None
+        if nut is not None:
+            from . import turbulence as turb
+
+            nut_bd = turb.wall_nut_bd(
+                self.m, self.wi, self.kes.nut, self.kes.k, self.cfg.nu
+            )
         self.state, res = pimple_step(
-            self.m, self.state, self.u_bcs, self.p_bcs, self.cfg, dt_e, nut=nut
+            self.m, self.state, self.u_bcs, self.p_bcs, self.cfg, dt_e, nut=nut,
+            amg=getattr(self, "amg", None), nut_bd=nut_bd,
         )
         if getattr(self, "kes", None) is not None:
             from . import turbulence as turb

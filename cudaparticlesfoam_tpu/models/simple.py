@@ -48,6 +48,48 @@ class SimpleConfig:
     p_tol: float = 1e-7
     p_max_iter: int = 800
     pin_pressure: bool = False   # pin cell 0 when no fixedValue p patch
+    # div(phi,U) scheme from system/fvSchemes (deferred correction on top
+    # of the implicit upwind matrix): upwind | linear | linearUpwind |
+    # limitedLinear
+    div_scheme: str = "upwind"
+    # explicit non-orthogonal pressure correctors (fvSolution
+    # nNonOrthogonalCorrectors; pEqn.H:42-57 loop)
+    n_nonortho: int = 0
+    # pressure solver: "amg" = AMG-preconditioned CG (GAMG stand-in,
+    # needs the hierarchy arg), "cg" = Jacobi-preconditioned CG
+    p_solver: str = "cg"
+
+
+def read_numerics(case_dir: str) -> dict:
+    """div(phi,U) scheme + nNonOrthogonalCorrectors/nCorrectors/
+    nOuterCorrectors from system/{fvSchemes,fvSolution}.  The div entry is
+    parsed from raw text (its key contains parentheses)."""
+    import re
+
+    out = {"div_scheme": "upwind", "n_nonortho": 0, "n_correctors": 2,
+           "n_outer": 1}
+    fs = os.path.join(case_dir, "system", "fvSchemes")
+    if os.path.exists(fs):
+        txt = open(fs).read()
+        mdiv = re.search(r"div\(phi,\s*U\)\s+([^;]+);", txt)
+        ent = mdiv.group(1) if mdiv else ""
+        if "limitedLinear" in ent:
+            out["div_scheme"] = "limitedLinear"
+        elif "linearUpwind" in ent:
+            out["div_scheme"] = "linearUpwind"
+        elif re.search(r"\blinear\b", ent):
+            out["div_scheme"] = "linear"
+    fsol = os.path.join(case_dir, "system", "fvSolution")
+    if os.path.exists(fsol):
+        d = foamfile.read(fsol)
+        for block in ("SIMPLE", "PIMPLE", "PISO"):
+            sub = d.get(block)
+            if isinstance(sub, dict):
+                out["n_nonortho"] = int(sub.get("nNonOrthogonalCorrectors", 0))
+                out["n_correctors"] = int(sub.get("nCorrectors", 2))
+                out["n_outer"] = int(sub.get("nOuterCorrectors", 1))
+                break
+    return out
 
 
 def load_flow_case(case_dir: str, pm=None, dtype=jnp.float32):
@@ -126,21 +168,26 @@ def _pressure_matrix(m: fv.FvMesh, rau_f, p_bcs, pin: bool):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def simple_iteration(m: fv.FvMesh, st: FlowState, u_bcs, p_bcs, cfg: SimpleConfig,
-                     nut=None):
+                     nut=None, amg=None, nut_bd=None):
     """One SIMPLE outer iteration; returns (state, residuals dict)."""
     # effective facewise viscosity: laminar + optional eddy viscosity
+    # (nut_bd carries the nutkWallFunction values on wall faces)
     if nut is None:
         nu_f = cfg.nu
     else:
-        nu_f = cfg.nu + jnp.concatenate(
-            [fv.face_interp(m, nut), nut[m.owner[m.n_internal :]]]
-        )
+        nut_b = nut[m.owner[m.n_internal :]] if nut_bd is None else nut_bd
+        nu_f = cfg.nu + jnp.concatenate([fv.face_interp(m, nut), nut_b])
+
+    # inletOutlet-family backflow switching against the current flux
+    u_bcs = fv.effective_bcs(u_bcs, st.flux[m.n_internal :])
 
     # momentum operator (volume-integrated; rho = 1)
     A = fv.assemble_transport(m, st.flux, nu_f, u_bcs, 3)
 
     grad_p = fv.gradient(m, st.p, p_bcs)
     b = A.source - grad_p * m.vol[:, None]
+    # deferred high-order convection (fvSchemes div(phi,U))
+    b = b + fv.convection_correction(m, st.flux, st.u, u_bcs, cfg.div_scheme)
 
     # under-relaxation (OpenFOAM style): aP' = aP/alpha, b += (1-a)/a aP U
     diag_rel = A.diag / cfg.alpha_u
@@ -164,17 +211,32 @@ def simple_iteration(m: fv.FvMesh, st: FlowState, u_bcs, p_bcs, cfg: SimpleConfi
     )
     Ap, _ = _pressure_matrix(m, rau_f, p_bcs, cfg.pin_pressure)
     # continuity: Ap p = S_b - sum_f phi_hbya  (Ap is the negative Laplacian,
-    # positive definite)
+    # positive definite); explicit non-orthogonal correctors re-solve with
+    # the k . grad(p)_f flux of the latest p (pEqn.H:42-57)
     rhs = Ap.source[:, 0] - fv.surface_sum(m, phi_hbya)
-    p_new, p_res, p_iters = fv.cg_solve(
-        m, Ap, rhs, st.p, tol=cfg.p_tol, max_iter=cfg.p_max_iter
-    )
+    p_new = st.p
+    corr = jnp.zeros(m.n_internal, m.sf.dtype)
+    p_res = jnp.zeros((), m.sf.dtype)
+    p_iters = jnp.zeros((), jnp.int32)
+    for _no in range(cfg.n_nonortho + 1):
+        if cfg.p_solver == "amg":
+            p_new, p_res, p_iters = fv.amg_cg_solve(
+                m, amg, Ap, rhs + fv.surface_sum_internal(m, corr), p_new,
+                tol=cfg.p_tol, max_iter=cfg.p_max_iter,
+            )
+        else:
+            p_new, p_res, p_iters = fv.cg_solve(
+                m, Ap, rhs + fv.surface_sum_internal(m, corr), p_new,
+                tol=cfg.p_tol, max_iter=cfg.p_max_iter,
+            )
+        if _no < cfg.n_nonortho:
+            corr = fv.nonortho_flux(m, rau_f, p_new, p_bcs)
 
-    # correct flux: phi = phi_hbya - rau_f * delta * (p_N - p_O) on internal;
-    # boundary: subtract rau_f * d_b * ((a-1) p_P + b)
+    # correct flux: phi = phi_hbya - rau_f * delta * (p_N - p_O) - corr on
+    # internal; boundary: subtract rau_f * d_b * ((a-1) p_P + b)
     n_int = m.n_internal
     dp = p_new[m.neighbour] - p_new[m.owner[:n_int]]
-    flux_i = phi_hbya[:n_int] - rau_f[:n_int] * m.delta * dp
+    flux_i = phi_hbya[:n_int] - rau_f[:n_int] * m.delta * dp - corr
     dp_b = (p_bcs.a - 1.0) * p_new[m.owner[n_int:]] + p_bcs.b[:, 0]
     flux_b = phi_hbya[n_int:] - rau_f[n_int:] * m.bd_delta * dp_b
     flux = jnp.concatenate([flux_i, flux_b])
@@ -220,10 +282,14 @@ def solve_steady(
 ):
     """Run SIMPLE to (approximate) steadiness; returns (m, state, bcs)."""
     m, st, u_bcs, p_bcs, nu, pin, _ = load_flow_case(case_dir, pm=pm, dtype=dtype)
+    num = read_numerics(case_dir)
     if cfg is None:
-        cfg = SimpleConfig(nu=nu, pin_pressure=pin)
+        cfg = SimpleConfig(nu=nu, pin_pressure=pin,
+                           div_scheme=num["div_scheme"],
+                           n_nonortho=num["n_nonortho"], p_solver="amg")
     else:
         cfg = dataclasses.replace(cfg, nu=nu, pin_pressure=pin)
+    amg = fv.build_amg(m) if cfg.p_solver == "amg" else None
     turbulence = turbulence if turbulence is not None else turbulence_model(case_dir)
     kes = k_bcs = e_bcs = wi = None
     if turbulence == "kEpsilon":
@@ -232,8 +298,14 @@ def solve_steady(
         kes, k_bcs, e_bcs, wi = turb.init_from_case(case_dir, m, dtype=dtype)
         log(f"#flow: kEpsilon closure active ({len(np.asarray(wi.wall_cell))} wall cells)")
     for i in range(n_iters):
+        nut_bd = None
+        if kes is not None:
+            from . import turbulence as turb
+
+            nut_bd = turb.wall_nut_bd(m, wi, kes.nut, kes.k, cfg.nu)
         st, res = simple_iteration(
-            m, st, u_bcs, p_bcs, cfg, nut=None if kes is None else kes.nut
+            m, st, u_bcs, p_bcs, cfg, nut=None if kes is None else kes.nut,
+            amg=amg, nut_bd=nut_bd,
         )
         if kes is not None:
             from . import turbulence as turb

@@ -46,12 +46,14 @@ class KEpsilonState:
 class WallInfo:
     wall_cell: jnp.ndarray    # [nw] wall-adjacent cell ids
     y_wall: jnp.ndarray       # [nw] wall distance of those cells
+    wall_bd_face: jnp.ndarray  # [nw] boundary-face index (bd numbering)
 
 
 def wall_info(m: fv.FvMesh) -> WallInfo:
     """Wall-adjacent cells + their distance to the wall face."""
     cells = []
     ys = []
+    bfaces = []
     n_int = m.n_internal
     cf = np.asarray(m.cf)
     sf = np.asarray(m.sf)
@@ -67,14 +69,38 @@ def wall_info(m: fv.FvMesh) -> WallInfo:
         y = np.abs(np.einsum("ij,ij->i", cf[f] - cc[c], nhat))
         cells.append(c)
         ys.append(y)
+        bfaces.append(f - n_int)
     if not cells:
         return WallInfo(
-            wall_cell=jnp.zeros(0, jnp.int32), y_wall=jnp.zeros(0, m.sf.dtype)
+            wall_cell=jnp.zeros(0, jnp.int32), y_wall=jnp.zeros(0, m.sf.dtype),
+            wall_bd_face=jnp.zeros(0, jnp.int32),
         )
     return WallInfo(
         wall_cell=jnp.asarray(np.concatenate(cells), jnp.int32),
         y_wall=jnp.asarray(np.concatenate(ys), m.sf.dtype),
+        wall_bd_face=jnp.asarray(np.concatenate(bfaces), jnp.int32),
     )
+
+
+E_WALL = 9.8          # log-law constant (OpenFOAM nutkWallFunction)
+YPLUS_LAM = 11.53     # laminar/log-law crossover for kappa=0.41, E=9.8
+
+
+@partial(jax.jit, static_argnames=())
+def wall_nut_bd(m: fv.FvMesh, wi: WallInfo, nut, k, nu):
+    """Boundary-face eddy viscosity with the nutkWallFunction on walls:
+    yPlus = Cmu^1/4 sqrt(k) y / nu; nut_w = nu (yPlus kappa / ln(E yPlus)
+    - 1) in the log layer, 0 in the viscous sublayer.  Non-wall faces keep
+    the owner-cell nut (the plain extrapolation the solvers used before)."""
+    out = nut[m.owner[m.n_internal :]]
+    kw = jnp.maximum(k[wi.wall_cell], SMALL)
+    yplus = CMU ** 0.25 * jnp.sqrt(kw) * wi.y_wall / nu
+    nut_w = jnp.where(
+        yplus > YPLUS_LAM,
+        nu * (yplus * KAPPA / jnp.log(jnp.maximum(E_WALL * yplus, 1.0 + SMALL)) - 1.0),
+        0.0,
+    )
+    return out.at[wi.wall_bd_face].set(jnp.maximum(nut_w, 0.0))
 
 
 def init_from_case(case_dir: str, m: fv.FvMesh, dtype=None):
