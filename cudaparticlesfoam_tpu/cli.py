@@ -35,6 +35,11 @@ def main(argv=None):
     add_case_cmd("replay", "particle tracking over recorded U snapshots")
     p = add_case_cmd("coupled", "native PIMPLE flow + particle tracking")
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument(
+        "--flow-devices", type=int, default=None,
+        help="domain-decompose the fluid solve over N devices "
+             "(decomposePar/mpirun equivalent)",
+    )
     p = add_case_cmd("simple", "steady incompressible flow (SIMPLE)")
     p.add_argument("--iters", type=int, default=None)
 
@@ -107,6 +112,7 @@ def main(argv=None):
             write_output=not args.no_write,
             dtype=dtype,
             n_steps=args.steps,
+            flow_devices=args.flow_devices,
         )
     elif args.cmd == "simple":
         from .models import simple

@@ -104,8 +104,14 @@ def run_coupled(
     dtype=None,
     log=print,
     n_steps: int | None = None,
+    flow_devices: int | None = None,
 ):
-    """Full coupled run: native PIMPLE flow step + per-step advection."""
+    """Full coupled run: native PIMPLE flow step + per-step advection.
+
+    ``flow_devices=N`` runs the fluid solve domain-decomposed over an
+    N-device mesh (shard_map + ppermute halo exchange — the reference's
+    ``mpirun -np 4 ... -parallel`` analog, Allrun-parallel:10-11).
+    """
     from . import pimple as pimplelib
 
     case = caselib.load_case(case_dir, dtype=dtype, log=log)
@@ -114,7 +120,12 @@ def run_coupled(
     out_dir = out_dir or case_dir
     cfg = suggest_tuning(case.tet_mesh, pcfg.step_config())
 
-    flow = pimplelib.FlowSolver.from_case(case, log=log)
+    if flow_devices and flow_devices > 1:
+        from ..parallel.flowshard import ShardedFlowSolver
+
+        flow = ShardedFlowSolver(case, flow_devices, log=log)
+    else:
+        flow = pimplelib.FlowSolver.from_case(case, log=log)
     state = caselib.init_particles(case, log=log)
     if write_output:
         vtu.write_particles_vtu(0, state, out_dir=out_dir, verbose=True)

@@ -243,7 +243,8 @@ def flux_of(m: FvMesh, u, bc_u: BoundaryCoeffs):
     return jnp.sum(uf * m.sf, axis=-1)
 
 
-def convection_correction(m: FvMesh, flux, phi, bc: BoundaryCoeffs, scheme: str):
+def convection_correction(m: FvMesh, flux, phi, bc: BoundaryCoeffs, scheme: str,
+                          grad=None):
     """Deferred second-order convection correction source [nc, ncomp].
 
     The implicit matrix stays first-order upwind (bounded, diagonally
@@ -277,11 +278,14 @@ def convection_correction(m: FvMesh, flux, phi, bc: BoundaryCoeffs, scheme: str)
     w = m.w[:, None]
     phi_lin = w * ph[own] + (1.0 - w) * ph[nei]
 
-    # per-component Gauss gradient (one surface sum for all components)
-    pf_i = w * ph[own] + (1.0 - w) * ph[nei]
-    pf_b = boundary_value(m, bc, ph)
-    pf = jnp.concatenate([pf_i, pf_b])
-    grad = surface_sum(m, pf[:, :, None] * m.sf[:, None, :]) / m.vol[:, None, None]
+    # per-component Gauss gradient (one surface sum for all components);
+    # sharded callers pass a halo-refreshed gradient so remote upwind
+    # cells see correct values
+    if grad is None:
+        pf_i = w * ph[own] + (1.0 - w) * ph[nei]
+        pf_b = boundary_value(m, bc, ph)
+        pf = jnp.concatenate([pf_i, pf_b])
+        grad = surface_sum(m, pf[:, :, None] * m.sf[:, None, :]) / m.vol[:, None, None]
 
     if scheme == "linearUpwind":
         d_up = m.cf[:n_int] - m.cc[up]

@@ -1,0 +1,127 @@
+"""Domain-decomposed PIMPLE on the 8-virtual-CPU-device mesh must match
+the single-device solver to float64 tolerance (the TPU-native
+decomposePar/mpirun equivalent, TJunction/Allrun-parallel:10-11)."""
+
+import os
+import tempfile
+import textwrap
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cudaparticlesfoam_tpu.io import blockmesh
+from cudaparticlesfoam_tpu.models import fv
+from cudaparticlesfoam_tpu.models.pimple import PimpleConfig, pimple_step
+from cudaparticlesfoam_tpu.models.simple import FlowState
+from cudaparticlesfoam_tpu.parallel import flowshard, sharding
+
+
+def duct_pm(nx=24, ny=4, nz=4):
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "blockMeshDict")
+    open(path, "w").write(textwrap.dedent(f"""
+        FoamFile {{ version 2.0; format ascii; class dictionary; object blockMeshDict; }}
+        convertToMeters 1;
+        vertices ( (0 0 0) (6 0 0) (6 1 0) (0 1 0)
+                   (0 0 1) (6 0 1) (6 1 1) (0 1 1) );
+        blocks ( hex (0 1 2 3 4 5 6 7) ({nx} {ny} {nz}) simpleGrading (1 1 1) );
+        boundary (
+          inlet  {{ type patch; faces ((0 4 7 3)); }}
+          outlet {{ type patch; faces ((1 2 6 5)); }}
+          walls  {{ type wall;  faces ((0 1 5 4) (3 7 6 2) (0 3 2 1) (4 5 6 7)); }}
+        );
+    """))
+    return blockmesh.generate(path)
+
+
+@pytest.mark.parametrize("div_scheme", ["upwind", "linearUpwind"])
+def test_sharded_pimple_matches_single(div_scheme):
+    n_dev = 8
+    try:
+        if len(jax.devices("cpu")) < n_dev:
+            pytest.skip("needs 8 virtual devices")
+    except RuntimeError:
+        pytest.skip("no CPU backend")
+    pm = duct_pm()
+    m = fv.fv_mesh(pm, dtype=jnp.float64)
+    u_bcs = fv.make_bcs(
+        m, {"inlet": ("fixedValue", [1.0, 0.0, 0.0]), "walls": ("noSlip", 0.0)}, 3
+    )
+    p_bcs = fv.make_bcs(m, {"outlet": ("fixedValue", 0.0)}, 1)
+    u0 = jnp.tile(jnp.asarray([1.0, 0.0, 0.0]), (m.n_cells, 1))
+    st = FlowState(u=u0, p=jnp.zeros(m.n_cells, jnp.float64),
+                   flux=fv.flux_of(m, u0, u_bcs))
+    cfg = PimpleConfig(nu=1e-3, n_outer=1, n_correctors=2, n_jacobi=8,
+                       p_tol=1e-12, p_max_iter=600, div_scheme=div_scheme)
+    dt = 0.02
+    n_steps = 3
+    for _ in range(n_steps):
+        st, res = pimple_step(m, st, u_bcs, p_bcs, cfg, dt)
+
+    # sharded run from the same initial condition
+    smesh, bglob = flowshard.decompose(pm, n_dev, dtype=jnp.float64)
+    dmesh = sharding.make_device_mesh(n_dev, axis="f")
+    u_bcs_s = flowshard.shard_bcs(u_bcs, bglob)
+    p_bcs_s = flowshard.shard_bcs(p_bcs, bglob)
+    u_s = flowshard.scatter_cells(smesh, np.asarray(u0))
+    p_s = flowshard.scatter_cells(smesh, np.zeros(m.n_cells))
+    flux_s = flowshard.make_flux_init(smesh, dmesh)(smesh, u_s, u_bcs_s)
+    step = flowshard.make_sharded_pimple(smesh, cfg, dmesh)
+    for _ in range(n_steps):
+        u_s, p_s, flux_s, diag = step(
+            smesh, u_s, p_s, flux_s, u_bcs_s, p_bcs_s, dt
+        )
+
+    u_g = flowshard.gather_cells(smesh, u_s)
+    p_g = flowshard.gather_cells(smesh, p_s)
+    u_ref = np.asarray(st.u)
+    p_ref = np.asarray(st.p)
+    du = np.abs(u_g - u_ref).max()
+    dp = np.abs(p_g - p_ref).max()
+    uref_scale = np.abs(u_ref).max()
+    assert du < 1e-8 * max(uref_scale, 1.0), du
+    assert dp < 1e-6 * max(np.abs(p_ref).max(), 1.0), dp
+    # flow physically sane + parallel continuity closed
+    assert np.isfinite(u_g).all() and np.isfinite(p_g).all()
+    assert float(np.asarray(diag["continuity"])[0]) < 1e-8
+
+
+def test_decompose_structure():
+    pm = duct_pm()
+    smesh, bglob = flowshard.decompose(pm, 4, dtype=jnp.float64)
+    # every global cell appears exactly once across shards
+    gl = np.asarray(smesh.glob_cell)
+    owned = gl[np.asarray(smesh.cell_mask)]
+    assert sorted(owned.tolist()) == list(range(pm.n_cells))
+    # every global boundary face appears exactly once
+    bg = np.asarray(bglob)
+    bvals = bg[bg >= 0]
+    assert len(np.unique(bvals)) == len(bvals)
+    assert len(bvals) == pm.n_faces - pm.n_internal_faces
+
+
+def test_coupled_with_sharded_flow(tmp_path):
+    """run_coupled --flow-devices: the full product path with the fluid
+    solve decomposed over 4 virtual devices."""
+    try:
+        if len(jax.devices("cpu")) < 4:
+            pytest.skip("needs 4 virtual devices")
+    except RuntimeError:
+        pytest.skip("no CPU backend")
+    from cudaparticlesfoam_tpu.models import coupled
+    from test_coupled_e2e import shrink_tjunction
+    from cudaparticlesfoam_tpu.io import polymesh
+
+    case = shrink_tjunction(tmp_path, num_particles=500)
+    pm = blockmesh.generate(os.path.join(case, "system", "blockMeshDict"))
+    polymesh.write_polymesh(pm, os.path.join(case, "constant", "polyMesh"))
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    _, state, stats = coupled.run_coupled(
+        case, out_dir=out, n_steps=2, flow_devices=4, log=lambda *a: None
+    )
+    assert stats["cycles"] >= 20
+    assert np.asarray(state.active).all()
+    assert np.isfinite(np.asarray(state.pos)).all()
