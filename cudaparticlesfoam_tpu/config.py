@@ -112,6 +112,10 @@ class ControlConfig:
     adjust_time_step: bool = False
     max_co: float = 1.0
     application: str = ""
+    # output management (OpenFOAM Time I/O controls)
+    purge_write: int = 0            # keep only the last N written time dirs
+    write_format: str = "ascii"     # "ascii" | "binary"
+    write_compression: bool = False  # gzip written field files
 
     @staticmethod
     def from_dict(d: dict) -> "ControlConfig":
@@ -126,6 +130,10 @@ class ControlConfig:
             adjust_time_step=str(g(d, "adjustTimeStep", "no")) in ("yes", "true", "on", "1"),
             max_co=g(d, "maxCo", 1.0),
             application=str(g(d, "application", "")),
+            purge_write=int(g(d, "purgeWrite", 0.0)),
+            write_format=str(g(d, "writeFormat", "ascii")),
+            write_compression=str(g(d, "writeCompression", "off"))
+            in ("yes", "true", "on", "1", "compressed"),
         )
 
     @staticmethod

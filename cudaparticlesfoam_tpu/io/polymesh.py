@@ -67,9 +67,78 @@ class PolyMesh:
 # ---------------------------------------------------------------------------
 
 
+def _read_raw(path: str) -> bytes:
+    """Read file bytes; transparently falls back to ``path + '.gz'``
+    (OpenFOAM ``writeCompression on`` output)."""
+    if os.path.exists(path):
+        with open(path, "rb") as fh:
+            return fh.read()
+    gz = path + ".gz"
+    if os.path.exists(gz):
+        import gzip
+
+        with gzip.open(gz, "rb") as fh:
+            return fh.read()
+    raise FileNotFoundError(path)
+
+
+def _parse_header_bytes(data: bytes):
+    """Extract the FoamFile header from raw bytes.
+
+    Returns (header_dict, end_offset).  The header itself is always ascii,
+    even in ``format binary`` files; keys of interest: ``format`` ("ascii" /
+    "binary"), ``class``, and ``arch`` (label/scalar widths, e.g.
+    ``"LSB;label=32;scalar=64"``).
+    """
+    m = re.search(rb"FoamFile\s*\{(.*?)\}", data[:4096], re.DOTALL)
+    if not m:
+        return {}, 0
+    hdr = {}
+    for em in re.finditer(rb"([\w]+)\s+([^;]+);", m.group(1)):
+        hdr[em.group(1).decode()] = em.group(2).decode().strip().strip('"')
+    return hdr, m.end()
+
+
+def _arch_sizes(hdr: dict):
+    """(label_dtype, scalar_dtype) from the header's arch string.
+
+    OpenFOAM defaults: 32-bit labels, 64-bit scalars, little-endian."""
+    arch = hdr.get("arch", "")
+    label = np.dtype("<i8") if "label=64" in arch else np.dtype("<i4")
+    scalar = np.dtype("<f4") if "scalar=32" in arch else np.dtype("<f8")
+    return label, scalar
+
+
+def _skip_ws(data: bytes, pos: int) -> int:
+    while pos < len(data) and data[pos : pos + 1].isspace():
+        pos += 1
+    return pos
+
+
+def _read_bin_list(data: bytes, pos: int, dtype: np.dtype):
+    """Binary token list: ascii count, '(', count raw elements, ')'.
+
+    Returns (flat array, position after ')')."""
+    pos = _skip_ws(data, pos)
+    m = re.match(rb"\d+", data[pos:])
+    if not m:
+        raise ValueError("expected list count")
+    count = int(m.group(0))
+    pos = _skip_ws(data, pos + m.end())
+    if data[pos : pos + 1] != b"(":
+        raise ValueError("expected '(' after list count")
+    pos += 1
+    nbytes = count * dtype.itemsize
+    arr = np.frombuffer(data[pos : pos + nbytes], dtype=dtype)
+    pos += nbytes
+    pos = _skip_ws(data, pos)
+    if data[pos : pos + 1] != b")":
+        raise ValueError("expected ')' after binary list data")
+    return arr, pos + 1
+
+
 def _read_foam_body(path: str) -> str:
-    with open(path) as fh:
-        text = fh.read()
+    text = _read_raw(path).decode("utf-8", errors="replace")
     text = foamfile.strip_comments(text)
     # drop the FoamFile header block
     m = re.search(r"FoamFile\s*\{[^}]*\}", text)
@@ -91,6 +160,12 @@ def _read_count_and_parens(text: str):
 
 
 def read_points(path: str) -> np.ndarray:
+    raw = _read_raw(path)
+    hdr, end = _parse_header_bytes(raw)
+    if hdr.get("format") == "binary":
+        _, scalar = _arch_sizes(hdr)
+        flat, _ = _read_bin_list(raw, end, scalar)
+        return flat.astype(np.float64).reshape(-1, 3)
     text = _read_foam_body(path)
     count, inner = _read_count_and_parens(text)
     pts = _nums(inner).reshape(-1, 3)
@@ -99,6 +174,12 @@ def read_points(path: str) -> np.ndarray:
 
 
 def read_label_list(path: str) -> np.ndarray:
+    raw = _read_raw(path)
+    hdr, end = _parse_header_bytes(raw)
+    if hdr.get("format") == "binary":
+        label, _ = _arch_sizes(hdr)
+        vals, _ = _read_bin_list(raw, end, label)
+        return vals.astype(np.int64)
     text = _read_foam_body(path)
     count, inner = _read_count_and_parens(text)
     vals = _nums(inner, np.int64)
@@ -107,8 +188,32 @@ def read_label_list(path: str) -> np.ndarray:
 
 
 def read_faces(path: str):
-    """faces file: ``N ( 4(a b c d) 3(a b c) ... )`` -> (flat, offsets)."""
+    """faces file -> (flat vertex ids, offsets[nfaces+1]).
+
+    Ascii ``faceList``: ``N ( 4(a b c d) 3(a b c) ... )``.  Binary (and
+    compact-ascii) ``faceCompactIOList``: two label lists — offsets then
+    the flat vertex stream (what ``foamFormatConvert``/binary cases write).
+    """
+    raw = _read_raw(path)
+    hdr, end = _parse_header_bytes(raw)
+    if hdr.get("format") == "binary":
+        label, _ = _arch_sizes(hdr)
+        offsets, pos = _read_bin_list(raw, end, label)
+        flat, _ = _read_bin_list(raw, pos, label)
+        return flat.astype(np.int64), offsets.astype(np.int64)
     text = _read_foam_body(path)
+    if "Compact" in hdr.get("class", ""):
+        # ascii compact form: offsets list then flat list (no nesting)
+        m1 = re.search(r"(\d+)\s*\(", text)
+        s1 = m1.end()
+        e1 = text.index(")", s1)
+        offsets = _nums(text[s1:e1], np.int64)
+        m2 = re.search(r"(\d+)\s*\(", text[e1 + 1 :])
+        s2 = e1 + 1 + m2.end()
+        e2 = text.index(")", s2)
+        flat = _nums(text[s2:e2], np.int64)
+        assert len(offsets) == int(m1.group(1)) and len(flat) == int(m2.group(1))
+        return flat, offsets
     count, inner = _read_count_and_parens(text)
     flat = _nums(inner, np.int64)
     # walk the count-prefixed records vectorized-ish
@@ -379,7 +484,27 @@ def mesh_from_polymesh(pm: PolyMesh, u_cells: np.ndarray | None = None, dtype=No
 
 
 def read_field(path: str, n_cells: int | None = None) -> np.ndarray:
-    """Read the internalField of a vol{Scalar,Vector}Field file."""
+    """Read the internalField of a vol{Scalar,Vector}Field file.
+
+    Handles ascii and ``format binary`` (raw little-endian scalars after
+    the ``nonuniform List<T> N (`` token), plus ``.gz`` compressed files.
+    """
+    raw = _read_raw(path)
+    hdr, _ = _parse_header_bytes(raw)
+    if hdr.get("format") == "binary":
+        m = re.search(
+            rb"internalField\s+nonuniform\s+List<(\w+)>\s*(\d+)\s*\(", raw
+        )
+        if m:
+            kind, count = m.group(1).decode(), int(m.group(2))
+            _, scalar = _arch_sizes(hdr)
+            ncol = 3 if kind == "vector" else 1
+            nbytes = count * ncol * scalar.itemsize
+            flat = np.frombuffer(
+                raw[m.end() : m.end() + nbytes], dtype=scalar
+            ).astype(np.float64)
+            return flat.reshape(-1, 3) if kind == "vector" else flat
+        # uniform internalField: ascii even in binary files — fall through
     text = _read_foam_body(path)
     m = re.search(r"internalField\s+uniform\s*(\(([^)]*)\)|[-+0-9.eE]+)\s*;", text)
     if m:
@@ -423,38 +548,91 @@ def write_field(
     dimensions=(0, 1, -1, 0, 0, 0, 0),
     boundary_field: dict | None = None,
     location: str | None = None,
+    binary: bool = False,
+    compress: bool = False,
 ):
-    """Write a vol field file (internalField + boundaryField)."""
+    """Write a vol field file (internalField + boundaryField).
+
+    ``binary`` writes the internalField payload as raw little-endian
+    doubles (OpenFOAM ``writeFormat binary``); ``compress`` gzips the file
+    to ``path + '.gz'`` (``writeCompression on``).  Both round-trip through
+    :func:`read_field` / :func:`read_field_bcs`.
+    """
     values = np.asarray(values)
     is_vector = values.ndim == 2
     cls = "volVectorField" if is_vector else "volScalarField"
-    with open(path, "w") as fh:
-        fh.write(foamfile._HEADER)
-        fh.write("FoamFile\n{\n    version 2.0;\n    format ascii;\n")
-        fh.write(f"    class {cls};\n")
-        if location:
-            fh.write(f'    location "{location}";\n')
-        fh.write(f"    object {name};\n}}\n\n")
-        fh.write("dimensions [" + " ".join(str(d) for d in dimensions) + "];\n\n")
-        fh.write(f"internalField nonuniform List<{'vector' if is_vector else 'scalar'}>\n")
-        fh.write(f"{len(values)}\n(\n")
-        if is_vector:
-            np.savetxt(fh, values, fmt="(%.10g %.10g %.10g)")
-        else:
-            np.savetxt(fh, values, fmt="%.10g")
-        fh.write(")\n;\n\nboundaryField\n{\n")
-        for pname, spec in (boundary_field or {}).items():
-            fh.write(f"    {pname}\n    {{\n")
-            for k, v in spec.items():
-                fh.write(f"        {k} {v};\n")
-            fh.write("    }\n")
-        fh.write("}\n")
+    kind = "vector" if is_vector else "scalar"
+    buf = []
+    w = buf.append
+    w(foamfile._HEADER.encode())
+    w(b"FoamFile\n{\n    version 2.0;\n")
+    w(f"    format {'binary' if binary else 'ascii'};\n".encode())
+    if binary:
+        w(b'    arch "LSB;label=32;scalar=64";\n')
+    w(f"    class {cls};\n".encode())
+    if location:
+        w(f'    location "{location}";\n'.encode())
+    w(f"    object {name};\n}}\n\n".encode())
+    w(("dimensions [" + " ".join(str(d) for d in dimensions) + "];\n\n").encode())
+    w(f"internalField nonuniform List<{kind}>\n{len(values)}\n(".encode())
+    if binary:
+        w(np.ascontiguousarray(values, dtype="<f8").tobytes())
+    else:
+        import io as _io
+
+        txt = _io.StringIO()
+        txt.write("\n")
+        np.savetxt(
+            txt, values,
+            fmt="(%.10g %.10g %.10g)" if is_vector else "%.10g",
+        )
+        w(txt.getvalue().encode())
+    w(b")\n;\n\nboundaryField\n{\n")
+    for pname, spec in (boundary_field or {}).items():
+        w(f"    {pname}\n    {{\n".encode())
+        for k, v in spec.items():
+            w(f"        {k} {v};\n".encode())
+        w(b"    }\n")
+    w(b"}\n")
+    data = b"".join(buf)
+    if compress:
+        import gzip
+
+        with gzip.open(path + ".gz", "wb") as fh:
+            fh.write(data)
+        if os.path.exists(path):
+            os.remove(path)
+    else:
+        with open(path, "wb") as fh:
+            fh.write(data)
+
+
+def _ascii_view(path: str) -> str:
+    """Decoded file text with binary list payloads excised (so dict-level
+    regex parsing works on ``format binary`` field files too)."""
+    raw = _read_raw(path)
+    hdr, _ = _parse_header_bytes(raw)
+    if hdr.get("format") == "binary":
+        _, scalar = _arch_sizes(hdr)
+        out, pos = [], 0
+        for m in re.finditer(rb"nonuniform\s+List<(\w+)>\s*(\d+)\s*\(", raw):
+            kind, count = m.group(1).decode(), int(m.group(2))
+            ncol = {"vector": 3, "tensor": 9, "symmTensor": 6}.get(kind, 1)
+            end = m.end() + count * ncol * scalar.itemsize
+            out.append(raw[pos : m.start()])
+            out.append(b" nonuniform-elided ")
+            pos = min(end + 1, len(raw))  # payload + closing ')'
+        out.append(raw[pos:])
+        raw = b"".join(out)
+    text = foamfile.strip_comments(raw.decode("utf-8", errors="replace"))
+    m = re.search(r"FoamFile\s*\{[^}]*\}", text)
+    return text[m.end() :] if m else text
 
 
 def read_field_bcs(path: str) -> dict:
     """Parse the boundaryField block of a field file into
     {patch: (type, value)} where value is a float / [3] list / None."""
-    text = _read_foam_body(path)
+    text = _ascii_view(path)
     m = re.search(r"boundaryField\s*\{", text)
     if not m:
         return {}

@@ -170,7 +170,17 @@ def init_particles(case: Case, log=print) -> statelib.ParticleState:
         for x in (st.pos, st.vel, st.disp, st.tet_id, st.active)
     )
     log(f"#adv: particle mem: {nbytes/2**20:.1f}MB")
-    tet = locate_ops.locate_seeds(case.tet_mesh, case.locator, st.pos)
+    tet0 = np.asarray(st.tet_id)
+    if (tet0 >= 0).all() and len(tet0):
+        # seed file carried tetIDs: assign directly like cudaInitParticles
+        # (particles.cu:150-156) — restart stays bit-identical, no re-locate
+        tet = tet0
+    else:
+        tet = np.asarray(
+            locate_ops.locate_seeds(case.tet_mesh, case.locator, st.pos)
+        )
+        if (tet0 >= 0).any():
+            tet = np.where(tet0 >= 0, tet0, tet)
     st = dataclasses.replace(st, tet_id=jnp.asarray(tet))
     n_bad = int((np.asarray(tet) < 0).sum())
     log(f"#adv: Out-of-domain particles(-tetID) = {n_bad}")   # particles.cu:770

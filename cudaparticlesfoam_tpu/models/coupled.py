@@ -166,13 +166,40 @@ def run_coupled(
     t = case.time_value
     step0 = 0
     k = 0
+    # runTime.write() schedule (cudaParticlesPimpleFoam.C:189): timeStep
+    # counts Eulerian steps; (adjustable)runTime writes every writeInterval
+    # seconds, with adjustableRunTime trimming dt to land on write times
+    run_time_write = ctrl.write_control in (
+        "runTime", "adjustableRunTime", "adjustable", "clockTime",
+    )
+    next_write_t = t + ctrl.write_interval if run_time_write else None
     while t < ctrl.end_time - 1e-12:
         dt_e = flow.stable_dt(ctrl) if ctrl.adjust_time_step else ctrl.delta_t
         dt_e = min(dt_e, ctrl.end_time - t)
+        if ctrl.write_control in ("adjustableRunTime", "adjustable"):
+            dt_e = min(dt_e, max(next_write_t - t, 1e-12))
         flow.advance(dt_e)
         t += dt_e
         k += 1
         log(f"Time = {t:g}  (deltaT {dt_e:g})")
+        if write_output:
+            if run_time_write:
+                write_now = t >= next_write_t - 1e-9
+                if write_now:
+                    next_write_t += ctrl.write_interval
+            else:
+                write_now = ctrl.write_interval >= 1 and (
+                    k % int(ctrl.write_interval) == 0
+                )
+            if write_now:
+                from . import simple as simplelib
+
+                simplelib.write_solution(
+                    out_dir, f"{t:g}", flow.m, flow.state,
+                    binary=ctrl.write_format == "binary",
+                    compress=ctrl.write_compression,
+                )
+                simplelib.purge_old_times(out_dir, ctrl.purge_write)
         if probes is not None:
             probes.sample(t, {"p": flow.state.p, "U": flow.state.u})
         if scalar is not None:

@@ -326,25 +326,46 @@ def solve_steady(
 
 
 def write_solution(case_dir: str, time_name: str, m: fv.FvMesh, st: FlowState,
-                   bc_specs: dict | None = None):
+                   bc_specs: dict | None = None, binary: bool = False,
+                   compress: bool = False):
     """Write U and p time-directory fields (OpenFOAM format)."""
     out = os.path.join(case_dir, time_name)
     os.makedirs(out, exist_ok=True)
+    bf = {name: {"type": "calculated"} for name, *_ in m.patch_slices}
     polymesh.write_field(
         os.path.join(out, "U"), "U", np.asarray(st.u),
         dimensions=(0, 1, -1, 0, 0, 0, 0), location=time_name,
-        boundary_field={
-            name: {"type": "calculated"} for name, *_ in m.patch_slices
-        },
+        boundary_field=bf, binary=binary, compress=compress,
     )
     polymesh.write_field(
         os.path.join(out, "p"), "p", np.asarray(st.p),
         dimensions=(0, 2, -2, 0, 0, 0, 0), location=time_name,
-        boundary_field={
-            name: {"type": "calculated"} for name, *_ in m.patch_slices
-        },
+        boundary_field=bf, binary=binary, compress=compress,
     )
     return out
+
+
+def purge_old_times(case_dir: str, keep: int) -> None:
+    """OpenFOAM ``purgeWrite N``: keep only the newest ``keep`` written
+    (non-zero) time directories."""
+    if keep <= 0:
+        return
+    times = []
+    for d in os.listdir(case_dir):
+        full = os.path.join(case_dir, d)
+        if not os.path.isdir(full):
+            continue
+        try:
+            t = float(d)
+        except ValueError:
+            continue
+        if t > 0.0:
+            times.append((t, full))
+    times.sort()
+    import shutil
+
+    for _, full in times[:-keep] if keep < len(times) else []:
+        shutil.rmtree(full, ignore_errors=True)
 
 
 def run(case_dir: str, n_iters: int | None = None, log=print):

@@ -132,7 +132,13 @@ def seed_in_box(
 def seed_from_file(path: str, n: int | None = None, rng_seed: int = 0, dtype=None):
     """File-based seeding (``cudaInitParticles(…, fileName)``,
     ``particles.cu:127-160``): header line ``<word> N``, comment line, then
-    ``x y z tetID`` rows."""
+    ``x y z tetID`` rows.
+
+    Like the reference's reader (which assigns ``d_tetIDs[i] = tetID``
+    directly, ``particles.cu:150-156``), a 4th column is honored as the
+    starting tet — restarts skip the re-locate and are bit-identical with
+    :func:`save_particle_file` output.  3-column files get tet_id = -1
+    (caller locates)."""
     with open(path) as fh:
         header = fh.readline().split()
         n_file = int(float(header[-1]))
@@ -143,7 +149,10 @@ def seed_from_file(path: str, n: int | None = None, rng_seed: int = 0, dtype=Non
     if n is None:
         n = n_file
     pos = data[:n, :3]
-    return make_state(pos, rng_seed=rng_seed, dtype=dtype)
+    tet_id = None
+    if data.shape[1] >= 4:
+        tet_id = data[:n, 3].astype(np.int32)
+    return make_state(pos, tet_id=tet_id, rng_seed=rng_seed, dtype=dtype)
 
 
 def save_particle_file(path: str, state: ParticleState) -> None:

@@ -62,6 +62,9 @@ def test_particle_file_roundtrip(tmp_path, box, grid):
     save_particle_file(p, st)
     back = seed_from_file(p)
     np.testing.assert_allclose(np.asarray(back.pos), np.asarray(st.pos), rtol=1e-15)
+    # the tetID column is honored (particles.cu:150-156 assigns directly):
+    # restart is bit-identical, no re-locate needed
+    np.testing.assert_array_equal(np.asarray(back.tet_id), np.asarray(st.tet_id))
 
 
 def test_orbax_checkpoint(tmp_path, box, grid):

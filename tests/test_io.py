@@ -198,6 +198,93 @@ def test_field_roundtrip(tmp_path):
     np.testing.assert_allclose(back, vals)
 
 
+def test_field_binary_roundtrip(tmp_path):
+    vals = np.linspace(-2.0, 7.0, 30).reshape(10, 3)
+    p = str(tmp_path / "U")
+    polymesh.write_field(
+        p, "U", vals, binary=True,
+        boundary_field={"inlet": {"type": "fixedValue", "value": "uniform (1 0 0)"}},
+    )
+    back = polymesh.read_field(p)
+    np.testing.assert_array_equal(back, vals)   # raw doubles: bit-exact
+    bcs = polymesh.read_field_bcs(p)
+    assert bcs["inlet"][0] == "fixedValue"
+    np.testing.assert_allclose(bcs["inlet"][1], [1, 0, 0])
+
+
+def test_field_gz_roundtrip(tmp_path):
+    vals = np.arange(10, dtype=np.float64)
+    p = str(tmp_path / "p")
+    polymesh.write_field(p, "p", vals, compress=True)
+    assert not os.path.exists(p) and os.path.exists(p + ".gz")
+    np.testing.assert_allclose(polymesh.read_field(p), vals)
+
+
+def test_polymesh_binary(tmp_path, pitz_mesh):
+    """A binary-written polyMesh loads identically to the ascii one
+    (points as raw doubles, owner/neighbour as raw labels, faces as a
+    faceCompactIOList offsets+flat pair)."""
+    import gzip
+
+    d = tmp_path / "polyMesh"
+    d.mkdir()
+    hdr = (
+        'FoamFile\n{\n    version 2.0;\n    format binary;\n'
+        '    arch "LSB;label=32;scalar=64";\n    class %s;\n'
+        "    object %s;\n}\n"
+    )
+
+    def wlist(fh, arr, dtype):
+        a = np.ascontiguousarray(arr, dtype=dtype)
+        fh.write(f"{len(a)}\n(".encode())
+        fh.write(a.tobytes())
+        fh.write(b")\n")
+
+    with open(d / "points", "wb") as fh:
+        fh.write((hdr % ("vectorField", "points")).encode())
+        wlist(fh, pitz_mesh.points.reshape(-1), "<f8")
+    with open(d / "faces", "wb") as fh:
+        fh.write((hdr % ("faceCompactIOList", "faces")).encode())
+        wlist(fh, pitz_mesh.face_offsets, "<i4")
+        wlist(fh, pitz_mesh.face_verts, "<i4")
+    # owner gz-compressed on top of binary (writeCompression)
+    import io as _io
+
+    buf = _io.BytesIO()
+    buf.write((hdr % ("labelList", "owner")).encode())
+    wlist(buf, pitz_mesh.owner, "<i4")
+    with gzip.open(d / "owner.gz", "wb") as fh:
+        fh.write(buf.getvalue())
+    with open(d / "neighbour", "wb") as fh:
+        fh.write((hdr % ("labelList", "neighbour")).encode())
+        wlist(fh, pitz_mesh.neighbour, "<i4")
+    # boundary stays ascii (it is a dictionary even in binary cases)
+    with open(d / "boundary", "w") as fh:
+        fh.write("FoamFile\n{\nobject boundary;\n}\n")
+        fh.write(f"{len(pitz_mesh.patches)}\n(\n")
+        for nm, ty, sf, nf in pitz_mesh.patches:
+            fh.write(f"{nm}\n{{\ntype {ty};\nnFaces {nf};\nstartFace {sf};\n}}\n")
+        fh.write(")\n")
+    back = polymesh.read_polymesh(str(d))
+    np.testing.assert_array_equal(back.points, pitz_mesh.points)
+    np.testing.assert_array_equal(back.owner, pitz_mesh.owner)
+    np.testing.assert_array_equal(back.neighbour, pitz_mesh.neighbour)
+    np.testing.assert_array_equal(back.face_verts, pitz_mesh.face_verts)
+    np.testing.assert_array_equal(back.face_offsets, pitz_mesh.face_offsets)
+    assert [p[0] for p in back.patches] == [p[0] for p in pitz_mesh.patches]
+
+
+def test_purge_write(tmp_path):
+    from cudaparticlesfoam_tpu.models.simple import purge_old_times
+
+    for name in ("0", "0.1", "0.2", "0.3", "constant", "system"):
+        (tmp_path / name).mkdir()
+    purge_old_times(str(tmp_path), keep=2)
+    left = sorted(os.listdir(tmp_path))
+    # keeps the newest 2 written times; 0, constant, system untouched
+    assert left == ["0", "0.2", "0.3", "constant", "system"]
+
+
 def test_field_uniform(tmp_path):
     p = str(tmp_path / "U")
     with open(p, "w") as fh:
