@@ -77,6 +77,11 @@ class TetMesh:
     n_tets: int
     n_faces: int
     n_bd_faces: int
+    # packed hot row for the VertexVelocity ("Pk", particles.cu:245-313)
+    # cached engine: cols 0:3 A, 3:12 Tinv, 12:24 the 4 vertex velocities,
+    # 24:28 neighbor codes.  Built lazily by :func:`with_pk_rows` (it costs
+    # +112 MB at 1M tets, so TetVelocity-only runs skip it).
+    tet_row_pk: jnp.ndarray | None = None
 
     @property
     def dtype(self):
@@ -368,8 +373,36 @@ def replace_velocity(mesh: TetMesh, tet_vel=None, vert_vel=None) -> TetMesh:
         kw["tet_vel"] = tv
         kw["tet_row"] = mesh.tet_row.at[:, 12:15].set(tv)
     if vert_vel is not None:
-        kw["vert_vel"] = jnp.asarray(vert_vel, dtype=mesh.dtype)
+        vv = jnp.asarray(vert_vel, dtype=mesh.dtype)
+        kw["vert_vel"] = vv
+        if mesh.tet_row_pk is not None:
+            kw["tet_row_pk"] = mesh.tet_row_pk.at[:, 12:24].set(
+                vv[mesh.tets].reshape(mesh.n_tets, 12)
+            )
     return dataclasses.replace(mesh, **kw)
+
+
+def with_pk_rows(mesh: TetMesh) -> TetMesh:
+    """Attach the VertexVelocity packed row table (lazy: +28 floats/tet).
+
+    Row: A 0:3 | Tinv 3:12 | v0..v3 12:24 | neighbor codes 24:28 — one
+    gather serves the bary test, the Pk velocity interpolation
+    (``particles.cu:245-313``), the neighbor step, and the reflection
+    plane, exactly like ``tet_row`` does for TetVelocity."""
+    import dataclasses
+
+    if mesh.tet_row_pk is not None:
+        return mesh
+    nt = mesh.n_tets
+    row = jnp.concatenate(
+        [
+            mesh.tet_row[:, 0:12],
+            mesh.vert_vel[mesh.tets].reshape(nt, 12),
+            mesh.tet_row[:, 15:19],
+        ],
+        axis=1,
+    )
+    return dataclasses.replace(mesh, tet_row_pk=row)
 
 
 def set_boundary_escape(mesh: TetMesh, escape_patch_ids) -> TetMesh:

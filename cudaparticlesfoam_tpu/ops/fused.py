@@ -36,19 +36,26 @@ The cycle (v2 — round-2 redesign, measured on device profiles):
    ``lax.cond`` over the [n,32] state anywhere (measured: big-operand
    conds cost ms even untaken).
 
-Restricted to cell-constant velocity ("TetVelocity", the reference default
-``src/initCuda.H:72``) and meshes < 2^24 tets in f32 (neighbor codes are
-stored as exact float integers); other configs use the simple engine.
+Two interpolation modes share the machinery via a row *layout*:
 
-Mega-row layout (32 cols):
-  0:3 pos | 3:6 vel | 6 tet (float int) | 7 active flag |
-  8:28 cached tet_row (A 8:11, Tinv 11:20, u 20:23, nbr 23:27, pad 27) |
-  28:32 pad
+* TetVelocity (RT0, the reference default ``src/initCuda.H:72``) —
+  mega width 32: 0:3 pos | 3:6 vel | 6 tet (float int) | 7 active |
+  8:28 cached tet_row (A 8:11, Tinv 11:20, u 20:23, nbr 23:27, pad) | pad.
+* VertexVelocity (Pk, ``particles.cu:245-313``) — mega width 40 over the
+  28-col ``tet_row_pk`` (A, Tinv, v0..v3 at 20:32, nbr 32:36): velocity
+  is the barycentric blend of the 4 cached vertex velocities at the
+  particle's CURRENT position, all column math (one extra bary eval per
+  cycle vs TetVelocity; still zero random memory for non-crossers).
+
+Requires meshes < 2^24 tets in f32 (neighbor codes are stored as exact
+float integers); other configs use the simple engine.
 (the rare-stage pending flag lives in a separate [n] array — a mega
-column would force a full [n,32] stream per reduce)
+column would force a full [n,W] stream per reduce)
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -59,24 +66,57 @@ from . import locate as locate_ops
 
 MAX_HOPS = locate_ops.MAX_HOPS
 
-# mega-row column offsets
+# mega-row column offsets (layout-independent prefix)
 P0, V0, TET, ACT, ROW = 0, 3, 6, 7, 8
-RA, RT, RU, RN = ROW, ROW + 3, ROW + 12, ROW + 15   # A, Tinv, u, nbr
-WIDTH = 32
+RA, RT = ROW, ROW + 3                               # A, Tinv (both layouts)
 BLOCK = 8                                           # rare-stage block width
 
 
-def pack_state(mesh: TetMesh, pos, vel, tet_id, active):
-    """Build the mega-row array (one tet_row gather for the cache)."""
+@dataclasses.dataclass(frozen=True)
+class Layout:
+    """Row-table geometry for one interpolation mode."""
+
+    row_w: int    # table row width
+    width: int    # mega-row width
+    vel: int      # row-offset of velocity payload (u or v0..v3)
+    nbr: int      # row-offset of the 4 neighbor codes
+
+    @property
+    def rn(self):  # mega-offset of neighbor codes
+        return ROW + self.nbr
+
+
+LAYOUT_TET = Layout(row_w=20, width=32, vel=12, nbr=15)
+LAYOUT_PK = Layout(row_w=28, width=40, vel=12, nbr=24)
+
+# back-compat aliases (tet layout)
+RU, RN = ROW + LAYOUT_TET.vel, ROW + LAYOUT_TET.nbr
+WIDTH = LAYOUT_TET.width
+
+
+def layout_for(cfg) -> Layout:
+    return (
+        LAYOUT_PK
+        if getattr(cfg, "velocity_interp", "TetVelocity") == "VertexVelocity"
+        else LAYOUT_TET
+    )
+
+
+def row_table(mesh: TetMesh, ly: Layout):
+    return mesh.tet_row_pk if ly is LAYOUT_PK else mesh.tet_row
+
+
+def pack_state(mesh: TetMesh, pos, vel, tet_id, active, ly: Layout = LAYOUT_TET):
+    """Build the mega-row array (one row-table gather for the cache)."""
     n = pos.shape[0]
     dt = pos.dtype
-    m = jnp.zeros((n, WIDTH), dtype=dt)
+    m = jnp.zeros((n, ly.width), dtype=dt)
     m = m.at[:, P0 : P0 + 3].set(pos)
     m = m.at[:, V0 : V0 + 3].set(vel)
     m = m.at[:, TET].set(tet_id.astype(dt))
     m = m.at[:, ACT].set(active.astype(dt))
-    rows = mesh.tet_row[jnp.maximum(tet_id, 0)]
-    m = m.at[:, ROW : ROW + 20].set(rows)
+    rows = row_table(mesh, ly)[jnp.maximum(tet_id, 0)]
+    m = m.at[:, ROW : ROW + ly.row_w].set(rows)
     return m
 
 
@@ -216,16 +256,18 @@ def _grad_cols(m, base, slot):
     return comp(0), comp(1), comp(2)
 
 
-def _set_row(mc, rows):
-    return mc.at[:, ROW : ROW + 20].set(rows)
+def _set_row(mc, rows, row_w):
+    return mc.at[:, ROW : ROW + row_w].set(rows)
 
 
-def _walk_mega(mesh: TetMesh, mc, px, py, pz, act, max_hops=MAX_HOPS):
+def _walk_mega(tab, mc, px, py, pz, act, ly: Layout, max_hops=MAX_HOPS):
     """``baryTetSearch`` on mega lanes toward point (px,py,pz), starting
-    from the cached row/tet in ``mc``.  Returns (mc', code, slot): mc' has
-    the row cache of the final non-negative tet; ``code`` is the hosting
-    tet or -(lastTet+1); ``slot`` the last-crossed local face."""
+    from the cached row/tet in ``mc``.  ``tab`` is the mesh's row table for
+    this layout.  Returns (mc', code, slot): mc' has the row cache of the
+    final non-negative tet; ``code`` is the hosting tet or -(lastTet+1);
+    ``slot`` the last-crossed local face."""
     n = px.shape[0]
+    rn = ly.rn
     tet0 = mc[:, TET].astype(jnp.int32)
     done0 = (tet0 < 0) | (~act)
     slot0 = jnp.zeros((n,), dtype=jnp.int32)
@@ -240,15 +282,15 @@ def _walk_mega(mesh: TetMesh, mc, px, py, pz, act, max_hops=MAX_HOPS):
         s, wmin = _argmin4(wa, wb, wc_, wd)
         inside = wmin >= 0.0
         stepping = (~done) & (~inside)
-        code = _pick4(mc, RN, s).astype(jnp.int32)
+        code = _pick4(mc, rn, s).astype(jnp.int32)
         out = stepping & (code < 0)
         tet_next = jnp.where(stepping, jnp.where(out, -(tet + 1), code), tet)
         slot_next = jnp.where(stepping, s, slot)
         moved = stepping & (code >= 0)
-        new_rows = mesh.tet_row[jnp.where(moved, code, 0)]
+        new_rows = tab[jnp.where(moved, code, 0)]
         mc_next = jnp.where(
             moved[:, None],
-            _set_row(mc, new_rows),
+            _set_row(mc, new_rows, ly.row_w),
             mc,
         )
         done_next = done | inside | out
@@ -284,13 +326,13 @@ def _walk_mega(mesh: TetMesh, mc, px, py, pz, act, max_hops=MAX_HOPS):
                 s, wmin = _argmin4(wa, wb, wc_, wd)
                 inside = wmin >= 0.0
                 stepping = (~done2) & (~inside)
-                code = _pick4(mc2, RN, s).astype(jnp.int32)
+                code = _pick4(mc2, rn, s).astype(jnp.int32)
                 out = stepping & (code < 0)
                 tet_n = jnp.where(stepping, jnp.where(out, -(tet2 + 1), code), tet2)
                 slot_n = jnp.where(stepping, s, slot2)
                 moved = stepping & (code >= 0)
-                rows = mesh.tet_row[jnp.where(moved, code, 0)]
-                mc_n = jnp.where(moved[:, None], _set_row(mc2, rows), mc2)
+                rows = tab[jnp.where(moved, code, 0)]
+                mc_n = jnp.where(moved[:, None], _set_row(mc2, rows, ly.row_w), mc2)
                 return tet_n, done2 | inside | out, slot_n, mc_n, h2 + 1
 
             def cond2(c2):
@@ -317,10 +359,12 @@ def _walk_mega(mesh: TetMesh, mc, px, py, pz, act, max_hops=MAX_HOPS):
     return mc, tet, slot
 
 
-def _reflect_mega(mesh: TetMesh, mc, px, py, pz, code, slot, act, max_bounces=10):
+def _reflect_mega(mesh: TetMesh, tab, mc, px, py, pz, code, slot, act,
+                  ly: Layout, max_bounces=10):
     """``RTreflection`` on mega lanes: mirror across the exit plane of the
     cached exit-tet row, re-walk, repeat (<= max_bounces).  Returns updated
     (mc, px..pz, code) with velocity columns reflected in mc."""
+    rn = ly.rn
     hit = act & (code < 0)
     tet_bd = jnp.where(hit, -(code + 1), code)
     settled = ~hit
@@ -334,7 +378,7 @@ def _reflect_mega(mesh: TetMesh, mc, px, py, pz, code, slot, act, max_bounces=10
         refl = ~settled
         # absorbing (outlet) boundary faces: deactivate instead of reflect
         # (bd face identity comes from the exit tet's neighbor code)
-        code_nbr = _pick4(mc, RN, s).astype(jnp.int32)
+        code_nbr = _pick4(mc, rn, s).astype(jnp.int32)
         bd = jnp.clip(-code_nbr - 1, 0, max(mesh.n_bd_faces - 1, 0))
         esc = refl & (code_nbr < 0) & mesh.bd_escape[bd]
         tet = jnp.where(esc, -(tet + 1), tet)
@@ -360,7 +404,7 @@ def _reflect_mega(mesh: TetMesh, mc, px, py, pz, code, slot, act, max_bounces=10
                 mc.dtype
             )
         )
-        mc_w, wtet, wslot = _walk_mega(mesh, mc_w, px, py, pz, refl)
+        mc_w, wtet, wslot = _walk_mega(tab, mc_w, px, py, pz, refl, ly)
         in_dom = wtet >= 0
         newly = refl & in_dom
         tet = jnp.where(newly, wtet, jnp.where(refl, -(wtet + 1), tet))
@@ -390,13 +434,25 @@ def mega_cycle(mesh: TetMesh, m, rng_key, step, cfg, dt):
 def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
     n = m.shape[0]
     nb = n // BLOCK
+    ly = layout_for(cfg)
+    tab = row_table(mesh, ly)
+    W = ly.width
+    RV = ROW + ly.vel
 
     tet = m[:, TET].astype(jnp.int32)
     act = m[:, ACT] > 0.5
     alive = (act & (tet >= 0)) if cfg.use_advection else act
     alf = alive.astype(m.dtype)
 
-    ux, uy, uz = m[:, RU], m[:, RU + 1], m[:, RU + 2]
+    if ly is LAYOUT_PK:
+        # Pk: barycentric blend of the 4 cached vertex velocities at the
+        # CURRENT position (particles.cu:245-313) — pure column math
+        w4 = _bary4(m, RA, m[:, P0], m[:, P0 + 1], m[:, P0 + 2])
+        ux = sum(w4[i] * m[:, RV + 3 * i] for i in range(4))
+        uy = sum(w4[i] * m[:, RV + 3 * i + 1] for i in range(4))
+        uz = sum(w4[i] * m[:, RV + 3 * i + 2] for i in range(4))
+    else:
+        ux, uy, uz = m[:, RV], m[:, RV + 1], m[:, RV + 2]
     if cfg.use_advection:
         dx, dy, dz = alf * ux * dt, alf * uy * dt, alf * uz * dt
         # advected velocity into vel columns (particles.cu:361)
@@ -432,7 +488,7 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
     # compacting before these hops can never win.  Non-crossers re-fetch
     # their own row.  inline_hops is tuned to the expected crossings per
     # sub-step (1 at tutorial-coupled CFL, 3-4 at ~1 cell/sub-step). ---
-    cur_rows = m[:, ROW : ROW + 20]
+    cur_rows = m[:, ROW : ROW + ly.row_w]
     cur_tet = tet
     unresolved = need      # current row does not contain the target point
     wall = jnp.zeros_like(need)   # hit a boundary code
@@ -440,13 +496,13 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
     s_cur = s0
     bw = (wa, wb, wc_, wd)
     for _ in range(max(int(getattr(cfg, "inline_hops", 1)), 1)):
-        code = _pick_rows(cur_rows, RN - ROW, s_cur).astype(jnp.int32)
+        code = _pick_rows(cur_rows, ly.nbr, s_cur).astype(jnp.int32)
         mv = unresolved & (code >= 0)
         new_wall = unresolved & (code < 0)
         wall_slot = jnp.where(new_wall, s_cur, wall_slot)
         wall = wall | new_wall
         idx = jnp.where(mv, code, jnp.maximum(cur_tet, 0))
-        rows_g = mesh.tet_row[idx]                 # ONE [n,20] gather per hop
+        rows_g = tab[idx]                          # ONE [n,row_w] gather per hop
         cur_rows = jnp.where(mv[:, None], rows_g, cur_rows)
         cur_tet = jnp.where(mv, code, cur_tet)
         bw = _bary4_rows(cur_rows, px, py, pz)
@@ -464,7 +520,7 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
         esc = jnp.zeros_like(wall)
         if getattr(cfg, "escape_faces", False):
             # absorbing (outlet) patches: deactivate instead of reflecting
-            code_w = _pick_rows(cur_rows, RN - ROW, wall_slot).astype(jnp.int32)
+            code_w = _pick_rows(cur_rows, ly.nbr, wall_slot).astype(jnp.int32)
             bd = jnp.clip(-code_w - 1, 0, max(mesh.n_bd_faces - 1, 0))
             esc = wall & (code_w < 0) & mesh.bd_escape[bd]
             refl = wall & ~esc
@@ -511,7 +567,7 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
             vx[:, None], vy[:, None], vz[:, None],
             tet1[:, None].astype(m.dtype), actf[:, None],
             rows_new,
-            jnp.zeros((n, WIDTH - ROW - 20), m.dtype),
+            jnp.zeros((n, W - ROW - ly.row_w), m.dtype),
         ],
         axis=1,
     )
@@ -520,16 +576,16 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
         """walk + reflect lanes toward their pos columns; returns updated
         mega rows with final pos/tet/row/vel."""
         qx, qy, qz = mc[:, P0], mc[:, P0 + 1], mc[:, P0 + 2]
-        mc2, code, slot = _walk_mega(mesh, mc, qx, qy, qz, lanes_act,
-                                     cfg.max_hops)
+        mc2, code, slot = _walk_mega(tab, mc, qx, qy, qz, lanes_act,
+                                     ly, cfg.max_hops)
         if cfg.reflect_wall:
             # skip the whole reflection phase when no lane hit a wall (the
             # common case away from boundaries; operands here are small)
             def do_reflect(args):
                 mc2, code, slot = args
                 return _reflect_mega(
-                    mesh, mc2, qx, qy, qz, code, slot, lanes_act,
-                    cfg.max_bounces,
+                    mesh, tab, mc2, qx, qy, qz, code, slot, lanes_act,
+                    ly, cfg.max_bounces,
                 )
 
             def no_reflect(args):
@@ -570,13 +626,13 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
 
     def rare_round(carry):
         m, pending, r = carry
-        m3 = m.reshape(nb, BLOCK, WIDTH)
+        m3 = m.reshape(nb, BLOCK, W)
         pend2 = pending.reshape(nb, BLOCK)
         bpend = jnp.any(pend2, axis=1)
         nbp = jnp.sum(bpend.astype(jnp.int32))
         bidx = jnp.nonzero(bpend, size=capb, fill_value=nb)[0].astype(jnp.int32)
         safe_b = jnp.minimum(bidx, nb - 1)
-        mb = m3[safe_b].reshape(nl, WIDTH)             # [capb,8,W] block gather
+        mb = m3[safe_b].reshape(nl, W)             # [capb,8,W] block gather
         lane_b = lax.broadcasted_iota(jnp.int32, (capb, BLOCK), 0)
         inrange = lane_b < jnp.minimum(nbp, capb)
         lanes_act = (pend2[safe_b] & inrange).reshape(-1)
@@ -594,12 +650,12 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
         rank = jnp.cumsum(lanes_act.astype(jnp.int32)) - 1
         handled = lanes_act & (rank < cap_l)
         m3 = m3.at[bidx].set(
-            mb.reshape(capb, BLOCK, WIDTH), mode="drop"
+            mb.reshape(capb, BLOCK, W), mode="drop"
         )                                              # [capb,8,W] block scatter
         pend2 = pend2.at[bidx].set(
             pend2[safe_b] & ~handled.reshape(capb, BLOCK), mode="drop"
         )
-        return m3.reshape(n, WIDTH), pend2.reshape(n), r + 1
+        return m3.reshape(n, W), pend2.reshape(n), r + 1
 
     m, _, _ = lax.while_loop(
         rare_cond, rare_round, (m, pending, jnp.zeros((), jnp.int32))

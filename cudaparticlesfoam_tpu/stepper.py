@@ -84,7 +84,8 @@ class StepConfig:
         if self.engine == "auto":
             return (
                 "cached"
-                if self.velocity_interp == advect_ops.TET_VELOCITY
+                if self.velocity_interp
+                in (advect_ops.TET_VELOCITY, advect_ops.VERTEX_VELOCITY)
                 and self.locate_mode == "bary"
                 and self.integrator == "euler"
                 else "simple"
@@ -162,10 +163,19 @@ def _run_cycles_impl(
 ) -> ParticleState:
     dt = jnp.asarray(cfg.dt if dt is None else dt, dtype=state.dtype)
 
-    if cfg.resolved_engine() == "cached":
+    engine = cfg.resolved_engine()
+    if engine == "cached":
         from .ops import fused
 
-        m0 = fused.pack_state(mesh, state.pos, state.vel, state.tet_id, state.active)
+        ly = fused.layout_for(cfg)
+        if fused.row_table(mesh, ly) is None:
+            # VertexVelocity without with_pk_rows(mesh): simple engine
+            engine = "simple"
+
+    if engine == "cached":
+        m0 = fused.pack_state(
+            mesh, state.pos, state.vel, state.tet_id, state.active, ly
+        )
 
         def body(i, carry):
             m, step = carry

@@ -85,5 +85,80 @@ def test_overflow_fallback(setup):
 
 def test_auto_engine_picks_cached_for_tetvelocity():
     assert StepConfig().resolved_engine() == "cached"
-    assert StepConfig(velocity_interp="VertexVelocity").resolved_engine() == "simple"
+    # VertexVelocity now has a cached fast path too (pk row table)
+    assert StepConfig(velocity_interp="VertexVelocity").resolved_engine() == "cached"
     assert StepConfig(engine="simple").resolved_engine() == "simple"
+    assert StepConfig(integrator="rk4").resolved_engine() == "simple"
+
+
+# ------------------------------------------------- VertexVelocity (Pk) layout
+
+@pytest.fixture(scope="module")
+def setup_pk():
+    """Box fixture with its native per-vertex radial velocity
+    (HostTetMesh.h:62-144) — the Pk workload."""
+    from cudaparticlesfoam_tpu.mesh import with_pk_rows
+
+    mesh = box_mesh(6, 6, 6)
+    loc = build_grid_locator(mesh)
+    mesh = with_pk_rows(mesh)
+    st = seed_in_box(256, (0.5,) * 3, (5.5,) * 3, method="threefry")
+    st = rs(st, tet_id=locate_seeds(mesh, loc, st.pos))
+    return mesh, st
+
+
+def compare_pk(mesh, st, n=120, atol=1e-9, **cfg_kw):
+    kw = dict(velocity_interp="VertexVelocity", **cfg_kw)
+    a = run_cycles(mesh, st, StepConfig(engine="simple", **kw), n)
+    b = run_cycles(mesh, st, StepConfig(engine="cached", **kw), n)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=atol)
+    np.testing.assert_array_equal(np.asarray(a.tet_id), np.asarray(b.tet_id))
+    np.testing.assert_array_equal(np.asarray(a.active), np.asarray(b.active))
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=atol)
+    return a, b
+
+
+def test_pk_advect_reflect(setup_pk):
+    mesh, st = setup_pk
+    a, b = compare_pk(mesh, st, dt=0.05, use_brownian=False)
+    assert np.asarray(b.active).all()
+    assert (np.asarray(b.tet_id) >= 0).all()
+    # the radial field actually moved particles
+    assert np.abs(np.asarray(b.pos) - np.asarray(st.pos)).max() > 0.1
+
+
+def test_pk_brownian(setup_pk):
+    mesh, st = setup_pk
+    compare_pk(mesh, st, dt=0.05, diffusion_coeff=1e-3)
+
+
+def test_pk_missing_rows_falls_back(setup):
+    """VertexVelocity on a mesh without pk rows silently uses the simple
+    engine (identical physics, no crash)."""
+    mesh, st = setup
+    a = run_cycles(
+        mesh, st,
+        StepConfig(velocity_interp="VertexVelocity", dt=0.05, use_brownian=False),
+        20,
+    )
+    b = run_cycles(
+        mesh, st,
+        StepConfig(engine="simple", velocity_interp="VertexVelocity", dt=0.05,
+                   use_brownian=False),
+        20,
+    )
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+
+
+def test_pk_update_velocity_refreshes_rows(setup_pk):
+    """replace_velocity(vert_vel=...) must refresh the pk row cache."""
+    from cudaparticlesfoam_tpu.mesh import with_pk_rows
+
+    mesh, st = setup_pk
+    vv = np.asarray(mesh.vert_vel) * 2.0
+    m2 = replace_velocity(mesh, vert_vel=vv)
+    rows = np.asarray(m2.tet_row_pk)
+    tets = np.asarray(m2.tets)
+    np.testing.assert_allclose(
+        rows[:, 12:24], vv[tets].reshape(len(tets), 12), rtol=1e-6
+    )
