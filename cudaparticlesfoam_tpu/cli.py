@@ -32,6 +32,16 @@ def main(argv=None):
 
     p = add_case_cmd("uncoupled", "frozen-field particle tracking")
     p.add_argument("--profile", default=None, help="write a jax.profiler trace here")
+    p.add_argument(
+        "--devices", type=int, default=None,
+        help="particle devices (default: all); >1 auto-selects DP vs "
+             "spatially-partitioned by mesh size",
+    )
+    p.add_argument(
+        "--strategy", default="auto",
+        choices=("auto", "single", "dp", "partitioned"),
+        help="multi-chip execution strategy override",
+    )
     add_case_cmd("replay", "particle tracking over recorded U snapshots")
     p = add_case_cmd("coupled", "native PIMPLE flow + particle tracking")
     p.add_argument("--steps", type=int, default=None)
@@ -96,6 +106,8 @@ def main(argv=None):
             write_output=not args.no_write,
             dtype=dtype,
             profile_dir=args.profile,
+            devices=args.devices,
+            strategy=args.strategy,
         )
     elif args.cmd == "replay":
         from .models import coupled

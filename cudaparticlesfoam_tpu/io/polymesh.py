@@ -678,6 +678,36 @@ def read_field_bcs(path: str) -> dict:
     return out
 
 
+def read_cell_zones(mesh_dir: str) -> dict:
+    """Parse constant/polyMesh/cellZones into {zone_name: label array}.
+
+    Supports the ascii ``cellLabels List<label> N ( ... )`` form (binary
+    payloads are excised like everywhere else via the count-sized read)."""
+    path = os.path.join(mesh_dir, "cellZones")
+    if not (os.path.exists(path) or os.path.exists(path + ".gz")):
+        return {}
+    raw = _read_raw(path)
+    hdr, _ = _parse_header_bytes(raw)
+    zones = {}
+    if hdr.get("format") == "binary":
+        label, _ = _arch_sizes(hdr)
+        for m in re.finditer(
+            rb"([\w.\-]+)\s*\{[^{}]*?cellLabels\s+List<label>\s*", raw
+        ):
+            vals, _ = _read_bin_list(raw, m.end(), label)
+            zones[m.group(1).decode()] = vals.astype(np.int64)
+        return zones
+    text = _read_foam_body(path)
+    for m in re.finditer(
+        r"([\w.\-]+)\s*\{[^{}]*?cellLabels\s+List<label>\s*(\d+)\s*\(([^)]*)\)",
+        text,
+    ):
+        labels = _nums(m.group(3), np.int64)
+        assert len(labels) == int(m.group(2))
+        zones[m.group(1)] = labels
+    return zones
+
+
 def latest_time_dir(case_dir: str) -> str | None:
     """Find the latest numeric time directory (``startFrom latestTime``)."""
     best, best_t = None, None

@@ -43,8 +43,17 @@ def run(
     log=print,
     trajectories: bool | None = None,
     profile_dir: str | None = None,
+    devices: int | None = None,
+    strategy: str = "auto",
 ):
-    """Run the uncoupled case end-to-end.  Returns (case, final_state, stats)."""
+    """Run the uncoupled case end-to-end.  Returns (case, final_state, stats).
+
+    ``devices``/``strategy`` control multi-chip execution (see
+    :mod:`..parallel.auto`): with more than one device the driver picks
+    particle-DP (mesh replicated) or spatial partitioning with migration
+    (mesh > HBM) automatically — the inversion of the reference's
+    gather-to-master distribution (``initCuda.H:209-322``).
+    """
     timer = PhaseTimer()
     with timer.phase("Init"):
         case = caselib.load_case(case_dir, dtype=dtype, log=log)
@@ -98,6 +107,22 @@ def run(
     # first cudaAdvect overwrite does this implicitly, particles.cu:362)
     state = dataclasses.replace(state, disp=np.zeros_like(state.disp))
 
+    n_dev = devices if devices is not None else len(jax.devices())
+    if strategy == "auto" and n_dev <= 1 and devices is None:
+        engine = None       # plain single-chip fast path (no wrapper)
+    else:
+        from ..parallel.auto import ParticleEngine
+
+        engine = ParticleEngine(
+            case.tet_mesh, state, cfg, devices=n_dev, strategy=strategy,
+            log=log,
+        )
+        if pcfg.injection_interval > 0 and not engine.supports_injection:
+            log(
+                "#adv: WARNING injection not supported on strategy "
+                f"{engine.strategy}; disabled"
+            )
+
     wall0 = time.perf_counter()
     with device_trace(profile_dir):
         i = 0
@@ -109,23 +134,33 @@ def run(
                 next_write = ((i // pcfg.save_interval) + 1) * pcfg.save_interval
                 chunk = min(next_write, n_cycles) - i
             with timer.phase("Advect"):
-                state = run_cycles(case.tet_mesh, state, cfg, chunk, cycle_dt)
+                if engine is None:
+                    state = run_cycles(case.tet_mesh, state, cfg, chunk, cycle_dt)
+                else:
+                    engine.advance(chunk, cycle_dt)
             prev = i
             i += chunk
             if (
                 pcfg.injection_interval > 0
                 and prev % pcfg.injection_interval == 0
+                and (engine is None or engine.supports_injection)
             ):
                 from ..state import inject
 
+                if engine is not None:
+                    state = engine.state
                 state, n_inj = inject(
                     state, case.tet_mesh, case.locator,
                     pcfg.seeding_box_lo, pcfg.seeding_box_hi,
                     pcfg.injection_count, rng_seed=pcfg.rng_seed,
                 )
+                if engine is not None:
+                    engine.state = state
                 if n_inj:
                     log(f"#adv: injected {n_inj} particles at step {prev}")
             if prev % pcfg.save_interval == 0:
+                if engine is not None:
+                    state = engine.snapshot()
                 if track is not None:
                     track.append(state)
                 if write_output:
@@ -135,6 +170,9 @@ def run(
                             out_dir=out_dir, verbose=True,
                         )
                     stats["frames"].append(path)
+        if engine is not None:
+            engine.block()
+            state = engine.snapshot()
         jax.block_until_ready(state.pos)
     stats["wall_s"] = time.perf_counter() - wall0
     stats["cycles"] = n_cycles

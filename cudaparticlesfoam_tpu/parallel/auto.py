@@ -67,15 +67,17 @@ def choose_strategy(
 
     DP replicates the mesh per chip: viable iff
     ``mesh_bytes + particle_share <= headroom * HBM``.  Otherwise the mesh
-    must be spatially partitioned.  A single device with an over-HBM mesh
-    also routes to ``partitioned`` (slab tables beat one giant resident
-    table only through host paging — but the path stays correct).
+    must be spatially partitioned so no device holds the whole problem.
+    One device always runs ``single`` (partitioning cannot reduce a lone
+    device's footprint).
     """
+    if n_devices <= 1:
+        return "single"
     hbm = hbm_bytes if hbm_bytes is not None else device_hbm_bytes()
     mesh_b = mesh_table_bytes(tet_mesh)
-    share = particle_working_bytes(-(-n_particles // max(n_devices, 1)))
+    share = particle_working_bytes(-(-n_particles // n_devices))
     if mesh_b + share <= headroom * hbm:
-        return "single" if n_devices <= 1 else "dp"
+        return "dp"
     return "partitioned"
 
 
@@ -136,11 +138,21 @@ class ParticleEngine:
     def supports_injection(self) -> bool:
         return self.strategy == "single"
 
+    @property
+    def migration_stats(self) -> dict:
+        if self.strategy != "partitioned":
+            return {}
+        return {
+            "migrated": int(self._migrated), "deferred": int(self._deferred)
+        }
+
     def advance(self, n_cycles: int, dt) -> None:
         if self.strategy == "partitioned":
             for i in range(n_cycles):
-                self._sp, d = self._step(self._pm, self._sp, dt)
-                self._deferred += int(d)
+                self._sp, stats = self._step(self._pm, self._sp, dt)
+                # device-side accumulation keeps dispatch asynchronous
+                self._deferred = self._deferred + stats["deferred"]
+                self._migrated = self._migrated + stats["migrated"]
                 if i % 16 == 15:
                     jax.block_until_ready(self._sp.pos)
             return

@@ -129,7 +129,10 @@ def distribute_particles(
     perm = np.asarray(pm.perm)
     tet_new = np.where(tet_old >= 0, perm[np.clip(tet_old, 0, pm.n_tets - 1)], tet_old)
     dest = np.clip(np.where(tet_new >= 0, tet_new // per, 0), 0, S - 1)
-    cap = max(int(n / S * slack), 64)
+    # capacity covers the worst-loaded shard at seeding (a small seeding box
+    # can land every particle in one slab) plus migration slack
+    max_load = int(np.bincount(dest, minlength=S).max()) if n else 0
+    cap = max(int(n / S * slack), int(max_load * 1.25) + 1, 64)
 
     out = ShardedParticles(
         pos=jnp.zeros((S, cap, 3), jnp.asarray(pos).dtype),
@@ -425,7 +428,8 @@ def _migrate(pos, vel, tet, act, res, pid, shard_id, per, n_shards, cap_out):
     pid = put(pid, recv[:, 8].astype(jnp.int32))
     res = put(res, can_place)
     deferred = jnp.sum((leaving & ~fits).astype(jnp.int32))
-    return pos, vel, tet, act, res, pid, deferred
+    migrated = jnp.sum(fits.astype(jnp.int32))
+    return pos, vel, tet, act, res, pid, migrated, deferred
 
 
 def make_partitioned_step(pm: PartitionedMesh, cfg: StepConfig, device_mesh: Mesh,
@@ -445,12 +449,12 @@ def make_partitioned_step(pm: PartitionedMesh, cfg: StepConfig, device_mesh: Mes
             rows, nbrs, sid, per, pos, vel, tet, act, res, key, step, cfg, dt
         )
         cap_out = max(int(pos.shape[0] * cap_out_frac), 16)
-        pos, vel, tet, act, res, pid, dropped = _migrate(
+        pos, vel, tet, act, res, pid, migrated, dropped = _migrate(
             pos, vel, tet, act, res, pid, sid, per, S, cap_out
         )
         return (
             pos[None], vel[None], tet[None], act[None], res[None], pid[None],
-            dropped[None],
+            migrated[None], dropped[None],
         )
 
     spec_s = P("s")
@@ -458,12 +462,12 @@ def make_partitioned_step(pm: PartitionedMesh, cfg: StepConfig, device_mesh: Mes
         shard_body,
         mesh=device_mesh,
         in_specs=(spec_s,) * 8 + (P(), P(), P()),
-        out_specs=(spec_s,) * 7,
+        out_specs=(spec_s,) * 8,
     )
 
     @jax.jit
     def step(pmesh: PartitionedMesh, sp: ShardedParticles, dt):
-        pos, vel, tet, act, res, pid, dropped = smapped(
+        pos, vel, tet, act, res, pid, migrated, dropped = smapped(
             pmesh.tet_row, pmesh.tet_nbr,
             sp.pos, sp.vel, sp.tet, sp.active, sp.resident, sp.pid,
             sp.rng_key, sp.step, jnp.asarray(dt, sp.pos.dtype),
@@ -473,7 +477,7 @@ def make_partitioned_step(pm: PartitionedMesh, cfg: StepConfig, device_mesh: Mes
                 sp, pos=pos, vel=vel, tet=tet, active=act, resident=res,
                 pid=pid, step=sp.step + 1,
             ),
-            jnp.sum(dropped),
+            {"migrated": jnp.sum(migrated), "deferred": jnp.sum(dropped)},
         )
 
     return step

@@ -216,6 +216,18 @@ def run_cycles(
     return _run_cycles_impl(mesh, state, cfg, n_cycles, dt)
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_cycles"), donate_argnums=(1,))
+def run_cycles_donated(
+    mesh: TetMesh, state: ParticleState, cfg: StepConfig, n_cycles: int, dt=None
+) -> ParticleState:
+    """:func:`run_cycles` with the input state DONATED: its buffers are
+    reused for the outputs, halving the particle-state HBM footprint.  Use
+    on hot paths that never touch the old state again (the case drivers,
+    bench); tests that re-run from one seed state need :func:`run_cycles`.
+    """
+    return _run_cycles_impl(mesh, state, cfg, n_cycles, dt)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def step_once(mesh: TetMesh, state: ParticleState, cfg: StepConfig, dt) -> ParticleState:
     """Single sub-step (jitted), for tests and interactive use."""

@@ -186,3 +186,49 @@ def test_full_self_contained_pitzdaily(tmp_path):
     # inlet seeds advected downstream (+x) by the solved field
     pos = np.asarray(state.pos)
     assert pos[:, 0].mean() > 0.0
+
+
+def test_uncoupled_strategy_parity(tmp_path):
+    """Product-level multi-chip: the uncoupled driver on 8 virtual devices
+    with DP and spatially-partitioned strategies reproduces the
+    single-device trajectory (the inversion of initCuda.H:209-322)."""
+    import jax
+
+    if len(jax.devices("cpu")) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from cudaparticlesfoam_tpu.models import uncoupled
+
+    case_dir = make_case(
+        tmp_path, num_particles=300, delta_t=0.004,
+        extra_dict={"useBrownianMotion": 0},   # shard-keyed noise differs
+    )
+    runs = {}
+    for strat, dev in (("single", 1), ("dp", 8), ("partitioned", 8)):
+        _, state, _ = uncoupled.run(
+            case_dir, out_dir=str(tmp_path / f"out_{strat}"),
+            write_output=False, log=lambda *a: None,
+            devices=dev, strategy=strat,
+        )
+        runs[strat] = state
+    ref = np.asarray(runs["single"].pos)
+    for strat in ("dp", "partitioned"):
+        st = runs[strat]
+        assert st.n_particles == 300
+        np.testing.assert_allclose(np.asarray(st.pos), ref, atol=1e-9)
+        np.testing.assert_array_equal(
+            np.asarray(st.tet_id), np.asarray(runs["single"].tet_id)
+        )
+
+
+def test_choose_strategy_memory_model():
+    from cudaparticlesfoam_tpu.mesh import box_mesh
+    from cudaparticlesfoam_tpu.parallel.auto import choose_strategy, mesh_table_bytes
+
+    mesh = box_mesh(6, 6, 6)
+    b = mesh_table_bytes(mesh)
+    assert b > 0
+    assert choose_strategy(mesh, 1000, 1) == "single"
+    # plenty of memory -> replicate (DP)
+    assert choose_strategy(mesh, 1000, 8, hbm_bytes=100 * b) == "dp"
+    # mesh bigger than the per-device budget -> partition
+    assert choose_strategy(mesh, 1000, 8, hbm_bytes=b) == "partitioned"

@@ -57,10 +57,10 @@ def test_partitioned_matches_single_device(circulating):
     pm, sp = partition.shard_arrays(pm, sp, dmesh)
     step = partition.make_partitioned_step(pm, cfg, dmesh)
     settle = partition.make_settle_step(pm, cfg, dmesh)
-    deferred = 0
+    migrated = 0
     for _ in range(40):
-        sp, d = step(pm, sp, 0.05)
-        deferred += int(d)
+        sp, mstats = step(pm, sp, 0.05)
+        migrated += int(mstats["migrated"])
     sp, _ = settle(pm, sp, 0.05)
     pos, vel, tet, act = partition.collect_particles(pm, sp, st.n_particles)
 
@@ -88,7 +88,7 @@ def test_partitioned_no_loss_under_skew(circulating):
     pm, sp = partition.shard_arrays(pm, sp, dmesh)
     step = partition.make_partitioned_step(pm, cfg, dmesh)
     for i in range(60):
-        sp, d = step(pm, sp, 0.05)
+        sp, mstats = step(pm, sp, 0.05)
         if i % 10 == 0:
             # sync periodically: long unsynced dispatch chains through the
             # axon runtime have aborted the process in full-suite runs
