@@ -43,11 +43,22 @@ class PimpleConfig:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def pimple_step(m: fv.FvMesh, st: FlowState, u_bcs, p_bcs, cfg: PimpleConfig,
-                dt, nut=None, amg=None, nut_bd=None):
-    """One Eulerian time step: returns (state, residual diagnostics)."""
+                dt, nut=None, amg=None, nut_bd=None, mrf=None):
+    """One Eulerian time step: returns (state, residual diagnostics).
+
+    ``mrf`` (a :class:`.mrf.MRFZones`) adds the rotating-frame terms the
+    reference solver threads through (``UEqn.H:3-8``, ``pEqn.H:20``):
+    rotating-wall boundary velocity, explicit Coriolis source, and the
+    relative convective flux.  U stays absolute throughout.
+    """
+    from . import mrf as mrf_mod
+
     dt = jnp.asarray(dt, m.sf.dtype)
     ddt = m.vol / dt
     u_old = st.u
+    if mrf is not None:
+        # MRF.correctBoundaryVelocity(U): rotating walls move with the frame
+        u_bcs = mrf_mod.correct_boundary_velocity(mrf, m, u_bcs)
 
     if nut is None:
         nu_f = cfg.nu
@@ -66,6 +77,9 @@ def pimple_step(m: fv.FvMesh, st: FlowState, u_bcs, p_bcs, cfg: PimpleConfig,
         b = A.source - grad_p * m.vol[:, None]
         b = b + fv.convection_correction(m, st.flux, st.u, u_bcs_e,
                                          cfg.div_scheme)
+        if mrf is not None:
+            # MRF.DDt(U) moved to the RHS: -(Omega x U) V over zone cells
+            b = b + mrf_mod.coriolis_source(mrf, m, st.u)
         u_star = fv.jacobi_solve(m, A, b, st.u, sweeps=cfg.n_jacobi)
         u_res = jnp.linalg.norm(b - fv.matvec(m, A, u_star)) / (
             jnp.linalg.norm(b) + 1e-300
@@ -86,6 +100,9 @@ def pimple_step(m: fv.FvMesh, st: FlowState, u_bcs, p_bcs, cfg: PimpleConfig,
                 fv.matvec(m, A, u_corr) - A.diag[:, None] * u_corr
             )) / A.diag[:, None]
             phi_hbya = fv.flux_of(m, hbya, u_bcs_e)
+            if mrf is not None:
+                # MRF.makeRelative(phiHbyA) (pEqn.H:20)
+                phi_hbya = mrf_mod.make_relative(mrf, m, phi_hbya)
             rhs = Ap.source[:, 0] - fv.surface_sum(m, phi_hbya)
             corr = jnp.zeros(m.n_internal, m.sf.dtype)
             for _no in range(cfg.n_nonortho + 1):
@@ -119,6 +136,34 @@ def pimple_step(m: fv.FvMesh, st: FlowState, u_bcs, p_bcs, cfg: PimpleConfig,
     cont = jnp.sum(jnp.abs(fv.surface_sum(m, st.flux)))
     res = dict(res, continuity=cont)
     return st, res
+
+
+@partial(jax.jit, static_argnames=("pin", "max_iter"))
+def correct_flux(m: fv.FvMesh, flux, p_bcs, pin: bool = False,
+                 tol: float = 1e-8, max_iter: int = 500):
+    """``CorrectPhi(U, phi, p, rAUf=1, zero, pimple)``
+    (``correctPhi.H:1-11``): project the face flux onto a divergence-free
+    field by solving ``laplacian(1, pcorr) == div(phi)`` with homogeneous
+    pressure-like BCs and subtracting the corrective flux.  Used after a
+    restart (flux rebuilt from U is not conservative) and after mesh
+    changes (``cudaParticlesPimpleFoam.C:153-163``)."""
+    import dataclasses as _dc
+
+    # pcorr BCs: fixed 0 where p is fixed, zeroGradient elsewhere
+    bc0 = _dc.replace(
+        p_bcs, b=jnp.zeros_like(p_bcs.b), io_mask=None, io_value=None
+    )
+    Ap, _ = _pressure_matrix(m, jnp.ones_like(flux), bc0, pin)
+    rhs = -fv.surface_sum(m, flux)
+    pc = jnp.zeros(m.n_cells, flux.dtype)
+    pc, res, iters = fv.cg_solve(m, Ap, rhs, pc, tol=tol, max_iter=max_iter)
+    # same flux update as the pressure corrector (pEqn.H:55: phi -= pEqn.flux)
+    n_int = m.n_internal
+    dp = pc[m.neighbour] - pc[m.owner[:n_int]]
+    flux_i = flux[:n_int] - m.delta * dp
+    dp_b = (bc0.a - 1.0).reshape(-1) * pc[m.owner[n_int:]]
+    flux_b = flux[n_int:] - m.bd_delta * dp_b
+    return jnp.concatenate([flux_i, flux_b]), res
 
 
 @jax.jit
@@ -161,6 +206,24 @@ class FlowSolver:
         solver.amg = fv.build_amg(m) if cfg.p_solver == "amg" else None
         solver.p_tables = p_tables
         solver.time = case.time_value
+        # MRF zones (constant/MRFProperties; cudaParticlesPimpleFoam.C:151)
+        from . import mrf as mrf_mod
+
+        solver.mrf = mrf_mod.from_case(case.case_dir, m, case.poly)
+        if solver.mrf is not None:
+            st2 = solver.state
+            solver.state = dataclasses.replace(
+                st2, flux=mrf_mod.make_relative(solver.mrf, m, st2.flux)
+            )
+            log("#flow: MRF zones active")
+        # restart flux consistency (CorrectPhi, correctPhi.H): a flux
+        # rebuilt from a read-in U is not conservative
+        if case.time_value > 0.0:
+            flux_c, res_c = correct_flux(
+                m, solver.state.flux, p_bcs, pin=pin
+            )
+            solver.state = dataclasses.replace(solver.state, flux=flux_c)
+            log(f"#flow: correctPhi residual={float(res_c):.3e}")
         solver.kes = solver.k_bcs = solver.e_bcs = solver.wi = None
         if turbulence_model(case.case_dir) == "kEpsilon":
             from . import turbulence as turb
@@ -206,6 +269,7 @@ class FlowSolver:
         self.state, res = pimple_step(
             self.m, self.state, self.u_bcs, self.p_bcs, self.cfg, dt_e, nut=nut,
             amg=getattr(self, "amg", None), nut_bd=nut_bd,
+            mrf=getattr(self, "mrf", None),
         )
         if getattr(self, "kes", None) is not None:
             from . import turbulence as turb
