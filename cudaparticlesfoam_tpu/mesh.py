@@ -382,6 +382,52 @@ def replace_velocity(mesh: TetMesh, tet_vel=None, vert_vel=None) -> TetMesh:
     return dataclasses.replace(mesh, **kw)
 
 
+def refresh_geometry(mesh: TetMesh, new_points) -> TetMesh:
+    """Recompute all geometric tables for MOVED vertices (same topology).
+
+    The moving-mesh path (``mesh.controlledUpdate()``,
+    ``cudaParticlesPimpleFoam.C:147``): tets/faces/neighbor codes are
+    unchanged, so only A, Tinv, face planes, packed-row geometry columns,
+    and bounds refresh — all jittable array math (runs on device each
+    Eulerian step)."""
+    import dataclasses
+
+    pts = jnp.asarray(new_points, mesh.dtype)
+    tets = mesh.tets
+    nt = mesh.n_tets
+    a = pts[tets[:, 0]]
+    b = pts[tets[:, 1]]
+    c = pts[tets[:, 2]]
+    d = pts[tets[:, 3]]
+    m3 = jnp.stack([b - a, c - a, d - a], axis=-1)
+    tinv = jnp.linalg.inv(m3)
+    slot_pts = pts[tets[:, FACE_SLOTS]]                  # [nt,4,3,3]
+    p0, p1, p2 = slot_pts[:, :, 0], slot_pts[:, :, 1], slot_pts[:, :, 2]
+    n = jnp.cross(p1 - p0, p2 - p0)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    dpl = jnp.einsum("ntk,ntk->nt", n, p0)
+    row = mesh.tet_row.at[:, 0:3].set(a).at[:, 3:12].set(tinv.reshape(nt, 9))
+    kw = {}
+    if mesh.tet_row_pk is not None:
+        kw["tet_row_pk"] = (
+            mesh.tet_row_pk.at[:, 0:3].set(a).at[:, 3:12].set(
+                tinv.reshape(nt, 9)
+            )
+        )
+    return dataclasses.replace(
+        mesh,
+        points=pts,
+        tet_a=a,
+        tet_tinv=tinv,
+        tet_face_n=n,
+        tet_face_d=dpl,
+        tet_row=row,
+        bounds_lo=jnp.min(pts, axis=0),
+        bounds_hi=jnp.max(pts, axis=0),
+        **kw,
+    )
+
+
 def with_pk_rows(mesh: TetMesh) -> TetMesh:
     """Attach the VertexVelocity packed row table (lazy: +28 floats/tet).
 

@@ -179,6 +179,14 @@ def run_coupled(
         if ctrl.write_control in ("adjustableRunTime", "adjustable"):
             dt_e = min(dt_e, max(next_write_t - t, 1e-12))
         flow.advance(dt_e)
+        if getattr(flow, "dyn", None) is not None:
+            # moved mesh: refresh the particle walk tables on device
+            # (topology is motion-invariant; geometry columns recompute)
+            from .. import mesh as meshlib
+
+            case.tet_mesh = meshlib.refresh_geometry(
+                case.tet_mesh, flow.dyn.tet_vertices(flow.m)
+            )
         t += dt_e
         k += 1
         log(f"Time = {t:g}  (deltaT {dt_e:g})")

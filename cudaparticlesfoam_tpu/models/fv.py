@@ -136,7 +136,7 @@ def make_bcs(m: FvMesh, spec: dict, n_comp: int, default="zeroGradient", dtype=N
     io_mask = np.zeros(n_bd, bool)
     io_value = np.zeros((n_bd, n_comp))
     fixed_types = ("fixedValue", "noSlip", "totalPressure", "uniformTotalPressure",
-                   "uniformFixedValue")
+                   "uniformFixedValue", "movingWallVelocity")
     grad_types = ("zeroGradient", "empty", "slip", "calculated", "symmetry",
                   "outletInlet",
                   "pressureInletOutletParSlipVelocity", "waveTransmissive")

@@ -224,6 +224,28 @@ class FlowSolver:
             )
             solver.state = dataclasses.replace(solver.state, flux=flux_c)
             log(f"#flow: correctPhi residual={float(res_c):.3e}")
+        # dynamic mesh (constant/dynamicMeshDict; mesh.controlledUpdate(),
+        # cudaParticlesPimpleFoam.C:147)
+        from . import dynamicmesh as dyn_mod
+
+        solver.dyn = None
+        motion = dyn_mod.read_dynamic_mesh(case.case_dir)
+        if motion is not None:
+            from ..io import polymesh
+
+            solver.dyn = dyn_mod.DynamicMesh(motion, case.poly, dtype=m.sf.dtype)
+            u0 = os.path.join(case.case_dir, "0", "U")
+            bcs0 = polymesh.read_field_bcs(u0) if os.path.exists(u0) else {}
+            solver.moving_patches = tuple(
+                k for k, e in bcs0.items() if e[0] == "movingWallVelocity"
+            )
+            if cfg.p_solver == "amg":
+                # the AMG hierarchy is geometric; rebuild-per-step is not
+                # worth it at tutorial scale — fall back to plain CG
+                solver.cfg = dataclasses.replace(cfg, p_solver="cg")
+                solver.amg = None
+            log(f"#flow: dynamic mesh: {motion.kind} "
+                f"(moving walls: {solver.moving_patches})")
         solver.kes = solver.k_bcs = solver.e_bcs = solver.wi = None
         if turbulence_model(case.case_dir) == "kEpsilon":
             from . import turbulence as turb
@@ -258,6 +280,27 @@ class FlowSolver:
     def advance(self, dt_e: float):
         self.time = getattr(self, "time", 0.0) + dt_e
         self._apply_p_tables(self.time)
+        if getattr(self, "dyn", None) is not None:
+            # mesh.controlledUpdate() + correctPhi + makeRelative
+            # (cudaParticlesPimpleFoam.C:144-166)
+            from . import dynamicmesh as dyn_mod
+
+            self.m, mesh_phi, bd_vel = self.dyn.update(self.time, dt_e)
+            self.u_bcs = dyn_mod.update_moving_wall_bcs(
+                self.m, self.u_bcs, bd_vel, getattr(self, "moving_patches", ())
+            )
+            # absolute flux from the mapped U on the new metrics, projected
+            # to conservative, then made relative to the mesh motion
+            phi_abs = fv.flux_of(
+                self.m, self.state.u,
+                fv.effective_bcs(self.u_bcs, self.state.flux[self.m.n_internal:]),
+            )
+            phi_abs, _ = correct_flux(
+                self.m, phi_abs, self.p_bcs, pin=self.cfg.pin_pressure
+            )
+            self.state = dataclasses.replace(
+                self.state, flux=phi_abs - mesh_phi
+            )
         nut = None if getattr(self, "kes", None) is None else self.kes.nut
         nut_bd = None
         if nut is not None:

@@ -22,9 +22,27 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _cached_box_mesh(n_side):
+    """Box-mesh construction is ~2-4 min at 55^3; cache the host arrays."""
+    import pickle
+
+    import jax
+
+    from cudaparticlesfoam_tpu import box_mesh
+
+    path = f"/tmp/boxmesh_{n_side}.pkl"
+    if os.path.exists(path):
+        with open(path, "rb") as fh:
+            return pickle.load(fh)
+    mesh = box_mesh(n_side, n_side, n_side)
+    host = jax.tree_util.tree_map(lambda x: np.asarray(x), mesh)
+    with open(path, "wb") as fh:
+        pickle.dump(host, fh)
+    return mesh
+
+
 def build(n_side, n_particles):
     from cudaparticlesfoam_tpu import (
-        box_mesh,
         build_grid_locator,
         locate_seeds,
         replace_velocity,
@@ -32,7 +50,7 @@ def build(n_side, n_particles):
     )
     from cudaparticlesfoam_tpu.state import replace as replace_state
 
-    mesh = box_mesh(n_side, n_side, n_side)
+    mesh = _cached_box_mesh(n_side)
     # confined vortex (same field as bench.py)
     cen = np.asarray(mesh.points, dtype=np.float64)[np.asarray(mesh.tets)].mean(axis=1)
     r = cen[:, :2] - n_side / 2.0
