@@ -358,16 +358,88 @@ def cell_centres_volumes(pm: PolyMesh, f_ctrs=None, f_areas=None):
 # ---------------------------------------------------------------------------
 
 
-def tet_decompose(pm: PolyMesh, cell_ctrs=None):
+def _tet_quality(apex, p0, p1, p2):
+    """OpenFOAM ``tetrahedron::quality()``: signed volume over the volume
+    of the regular tet sharing the circumsphere —
+    ``mag() / (8/(9*sqrt(3)) * circumRadius^3 + ROOTVSMALL)``.  Shapes
+    broadcast; degenerate tets get ~0 (huge circumradius)."""
+    e1 = p0 - apex
+    e2 = p1 - apex
+    e3 = p2 - apex
+    vol = np.einsum("...i,...i->...", e1, np.cross(e2, e3)) / 6.0
+    # circumcentre offset u solves [e1;e2;e3] u = 0.5*[|e1|^2,|e2|^2,|e3|^2]
+    det = np.einsum("...i,...i->...", e1, np.cross(e2, e3))
+    # adjugate solve (avoids np.linalg exceptions on degenerate batches)
+    r1 = 0.5 * np.einsum("...i,...i->...", e1, e1)
+    r2 = 0.5 * np.einsum("...i,...i->...", e2, e2)
+    r3 = 0.5 * np.einsum("...i,...i->...", e3, e3)
+    c23 = np.cross(e2, e3)
+    c31 = np.cross(e3, e1)
+    c12 = np.cross(e1, e2)
+    safe_det = np.where(np.abs(det) > 1e-300, det, 1e-300)
+    u = (
+        r1[..., None] * c23 + r2[..., None] * c31 + r3[..., None] * c12
+    ) / safe_det[..., None]
+    rc = np.sqrt(np.einsum("...i,...i->...", u, u))
+    rc = np.where(np.abs(det) > 1e-300, rc, 1e30)
+    rc = np.minimum(rc, 1e30)
+    return vol / (8.0 / (9.0 * np.sqrt(3.0)) * rc**3 + 1e-300)
+
+
+def face_base_points(pm: PolyMesh, cell_ctrs) -> np.ndarray:
+    """Quality-driven per-face tet base point
+    (``polyMeshTetDecomposition::findSharedBasePoint``/``findBasePoint``
+    semantics, feeding ``cellTetIndices`` at ``initCuda.H:88-92``): for
+    each face, pick the vertex whose fan maximizes the MINIMUM tet quality
+    over both adjacent cells (owner only at boundaries).  On regular hexes
+    every candidate ties and vertex 0 wins — identical to a face[0] fan —
+    so this only changes tet shapes on skewed polyhedral cells.
+
+    Returns base LOCAL index per face [nf].
+    """
+    sizes = np.diff(pm.face_offsets)
+    n_int = pm.n_internal_faces
+    base = np.zeros(pm.n_faces, dtype=np.int64)
+    pts = pm.points
+    for k in np.unique(sizes):
+        if k == 3:
+            continue                      # triangles: any base is the fan
+        sel = np.nonzero(sizes == k)[0]
+        idx = pm.face_offsets[sel][:, None] + np.arange(k)[None, :]
+        fverts = pm.face_verts[idx]                      # [m, k]
+        m = len(sel)
+        # rolled vertex ids for every candidate base: [m, k(cand), k]
+        roll = (np.arange(k)[:, None] + np.arange(k)[None, :]) % k
+        cand = fverts[:, roll]                           # [m, k, k]
+        p = pts[cand]                                    # [m, k, k, 3]
+        b = p[:, :, 0:1]                                 # base point
+        pa = p[:, :, 1 : k - 1]                          # fan edges
+        pb = p[:, :, 2:k]
+        cc_own = cell_ctrs[pm.owner[sel]][:, None, None]   # [m,1,1,3]
+        q_own = _tet_quality(cc_own, b, pa, pb)          # [m, k, k-2]
+        q = q_own.min(axis=2)                            # [m, k]
+        is_int = sel < n_int
+        if is_int.any():
+            cc_nei = cell_ctrs[pm.neighbour[sel[is_int]]][:, None, None]
+            # neighbour side sees the face reversed: swap the fan edge
+            q_nei = _tet_quality(
+                cc_nei, b[is_int], pb[is_int], pa[is_int]
+            ).min(axis=2)
+            q[is_int] = np.minimum(q[is_int], q_nei)
+        base[sel] = np.argmax(q, axis=1)
+    return base
+
+
+def tet_decompose(pm: PolyMesh, cell_ctrs=None, quality_base: bool = True):
     """Decompose each cell into tets (cellCentre, basePt, pA, pB).
 
-    Equivalent capability to ``polyMeshTetDecomposition::cellTetIndices`` as
-    consumed by ``src/initCuda.H:86-110``: per cell, per face, fan-triangulate
-    the face around its base point (face[0]) and form a tet with the cell
-    centre.  Hexes give 12 tets/cell (``tetsPerCell``, ``initCuda.H:64``).
-    OpenFOAM's quality-driven shared-base-point selection is not replicated
-    (it only changes tet *shapes* on skewed polyhedral meshes, not coverage);
-    winding is canonicalized downstream.
+    ``polyMeshTetDecomposition::cellTetIndices`` as consumed by
+    ``src/initCuda.H:86-110``: per cell, per face, fan-triangulate the face
+    around its base point and form a tet with the cell centre.  Hexes give
+    12 tets/cell (``tetsPerCell``, ``initCuda.H:64``).  The base point is
+    OpenFOAM's quality-driven shared base point (:func:`face_base_points`);
+    ``quality_base=False`` falls back to a plain face[0] fan (identical on
+    regular hexes).  Winding is canonicalized downstream.
 
     Returns (tets[nt,4] indices into [points ++ cellCentres], tet_cell[nt],
     tet_patch[nt] — patch id of the face the tet was built from, -1 for
@@ -379,6 +451,11 @@ def tet_decompose(pm: PolyMesh, cell_ctrs=None):
     sizes = np.diff(pm.face_offsets)
     n_int = pm.n_internal_faces
     nf = pm.n_faces
+    base_pts = (
+        face_base_points(pm, cell_ctrs)
+        if quality_base
+        else np.zeros(nf, dtype=np.int64)
+    )
 
     # patch id per mesh face
     face_patch = np.full(nf, -1, dtype=np.int64)
@@ -392,6 +469,9 @@ def tet_decompose(pm: PolyMesh, cell_ctrs=None):
         sel = np.nonzero(sizes == k)[0]
         idx = pm.face_offsets[sel][:, None] + np.arange(k)[None, :]
         fv = pm.face_verts[idx]                          # [m, k]
+        # rotate each face so its chosen base point leads the fan
+        roll_idx = (base_pts[sel][:, None] + np.arange(k)[None, :]) % k
+        fv = np.take_along_axis(fv, roll_idx, axis=1)
         base = fv[:, 0]
         tri_a = fv[:, 1 : k - 1]                         # [m, k-2]
         tri_b = fv[:, 2:k]

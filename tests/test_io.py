@@ -349,3 +349,65 @@ def test_trajectories(tmp_path):
     txt = open(vtk).read()
     assert "POINTS 6 float" in txt
     assert "LINES 2 8" in txt
+
+
+def test_quality_tet_base_on_concave_face():
+    """polyMeshTetDecomposition parity: a prism over a CONCAVE quad.  A
+    fan anchored at the wrong vertex folds (a negative-orientation
+    triangle => inverted tet against the cell centre); the quality-driven
+    shared base point (initCuda.H:88-92 path) must pick a valid anchor
+    for every rotation of the stored face ordering.  Valid anchors of
+    this quad are p0 and the reflex vertex p2 only."""
+    q = np.array([[0, 0], [1, 0], [0.4, 0.1], [0, 1]], dtype=float)  # CCW
+    h = 0.5
+
+    def build(rot):
+        order = np.roll(np.arange(4), -rot)
+        bot2d = q[order]
+        pts = np.zeros((8, 3))
+        pts[:4, :2] = bot2d
+        pts[4:, :2] = bot2d
+        pts[4:, 2] = h
+        faces = [
+            [3, 2, 1, 0],                  # bottom, outward -z
+            [4, 5, 6, 7],                  # top, outward +z
+        ]
+        for i in range(4):
+            j = (i + 1) % 4
+            faces.append([i, j, j + 4, i + 4])
+        flat = np.concatenate([np.asarray(f) for f in faces])
+        offsets = np.concatenate([[0], np.cumsum([len(f) for f in faces])])
+        pm = polymesh.PolyMesh(
+            points=pts,
+            face_verts=flat.astype(np.int64),
+            face_offsets=offsets.astype(np.int64),
+            owner=np.zeros(6, np.int64),
+            neighbour=np.zeros(0, np.int64),
+            patches=[("walls", "wall", 0, 6)],
+        )
+        return pm, order
+
+    def fan_valid(pm, face_i, base_local):
+        """all fan triangles of the stored face have one orientation."""
+        f = pm.face(face_i)
+        f = np.roll(f, -base_local)
+        p2d = pm.points[f][:, :2]
+        signs = []
+        for j in range(1, len(f) - 1):
+            v1 = p2d[j] - p2d[0]
+            v2 = p2d[j + 1] - p2d[0]
+            signs.append(np.sign(v1[0] * v2[1] - v1[1] * v2[0]))
+        return len(set(signs)) == 1 and 0 not in signs
+
+    saw_plain_failure = False
+    for rot in range(4):
+        pm, order = build(rot)
+        ctrs, _ = polymesh.cell_centres_volumes(pm)
+        base = polymesh.face_base_points(pm, ctrs)
+        # bottom face (stored reversed): the chosen anchor gives a clean fan
+        assert fan_valid(pm, 0, int(base[0])), f"rot={rot} base={base[0]}"
+        if not fan_valid(pm, 0, 0):
+            saw_plain_failure = True
+            # plain face[0] fan would fold here; quality base must differ
+            assert int(base[0]) != 0
+    assert saw_plain_failure   # the rig really exercises the bad anchors

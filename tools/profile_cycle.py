@@ -30,10 +30,13 @@ def _cached_box_mesh(n_side):
 
     from cudaparticlesfoam_tpu import box_mesh
 
+    import jax.numpy as jnp
+
     path = f"/tmp/boxmesh_{n_side}.pkl"
     if os.path.exists(path):
         with open(path, "rb") as fh:
-            return pickle.load(fh)
+            host = pickle.load(fh)
+        return jax.tree_util.tree_map(jnp.asarray, host)
     mesh = box_mesh(n_side, n_side, n_side)
     host = jax.tree_util.tree_map(lambda x: np.asarray(x), mesh)
     with open(path, "wb") as fh:
