@@ -75,8 +75,12 @@ def run_config(name, n_side, n_particles, dt, n_cycles, diffusion=1e-3):
     from cudaparticlesfoam_tpu.stepper import suggest_tuning
 
     mesh, st = build_workload(n_side, n_particles, diffusion)
+    # hardware bit-generator Brownian noise: statistically equivalent
+    # normals (the reference's curand is equally non-bit-matching,
+    # particles.cu:551-599); saves ~0.8 ms/cycle of threefry VPU work
     cfg = suggest_tuning(
-        mesh, StepConfig(dt=dt, diffusion_coeff=diffusion), dt
+        mesh, StepConfig(dt=dt, diffusion_coeff=diffusion,
+                         brownian_rng="rbg"), dt
     )
     log(f"[{name}] tuned: inline_hops={cfg.inline_hops} "
         f"walk_capacity_frac={cfg.walk_capacity_frac:.4f}")
