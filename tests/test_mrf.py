@@ -198,3 +198,68 @@ def test_pimple_step_with_mrf_bounded(boxcase):
     cc = np.asarray(m.cc)
     lz = (cc[:, 0] * u[:, 1] - cc[:, 1] * u[:, 0]).sum()
     assert lz > 0.0
+
+
+def make_mrf_case(tmp_path):
+    """Minimal spun-box coupled case with MRFProperties + cellZones."""
+    case = tmp_path / "mrfcase"
+    for d in ("system", "constant", "0"):
+        (case / d).mkdir(parents=True)
+    (case / "system" / "blockMeshDict").write_text(BOX_BMD)
+    (case / "system" / "controlDict").write_text(
+        "FoamFile { object controlDict; }\napplication cudaParticlesPimpleFoam;\n"
+        "startFrom startTime;\nstartTime 0;\nendTime 1;\ndeltaT 0.01;\n"
+        "writeControl timeStep;\nwriteInterval 1000;\n"
+    )
+    (case / "system" / "cudaParticlesDict").write_text(
+        "FoamFile { object cudaParticlesDict; }\n"
+        "seedingBox (-0.2 -0.2 0.02) (0.2 0.2 0.08);\nnumParticles 100;\n"
+        "startTime 0;\nendTime 10;\ndt 0.005;\ndiffusionCoeff 1e-6;\n"
+        "saveInterval 10;\n"
+    )
+    (case / "system" / "fvSolution").write_text(
+        "FoamFile { object fvSolution; }\n"
+        "PIMPLE { nOuterCorrectors 1; nCorrectors 2; }\n"
+    )
+    (case / "constant" / "transportProperties").write_text(
+        "FoamFile { object transportProperties; }\nnu [0 2 -1 0 0 0 0] 0.01;\n"
+    )
+    (case / "0" / "U").write_text(
+        "FoamFile { class volVectorField; object U; }\n"
+        "dimensions [0 1 -1 0 0 0 0];\ninternalField uniform (0 0 0);\n"
+        "boundaryField { walls { type noSlip; } "
+        "frontAndBack { type zeroGradient; } }\n"
+    )
+    (case / "0" / "p").write_text(
+        "FoamFile { class volScalarField; object p; }\n"
+        "dimensions [0 2 -2 0 0 0 0];\ninternalField uniform 0;\n"
+        "boundaryField { walls { type zeroGradient; } "
+        "frontAndBack { type zeroGradient; } }\n"
+    )
+    pm = blockmesh.generate(str(case / "system" / "blockMeshDict"))
+    polymesh.write_polymesh(pm, str(case / "constant" / "polyMesh"))
+    write_cell_zones(str(case), pm, "rotor", list(range(pm.n_cells)))
+    write_mrf_props(str(case), omega=3.0, nonrot=("frontAndBack",))
+    return str(case)
+
+
+def test_coupled_driver_with_mrf(tmp_path):
+    """run_coupled on a case with constant/MRFProperties: the solver loads
+    the zones (cudaParticlesPimpleFoam.C:151 path), the spun walls entrain
+    the fluid, particles stay located."""
+    from cudaparticlesfoam_tpu.models import coupled
+
+    case_dir = make_mrf_case(tmp_path)
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    logs = []
+    case, state, stats = coupled.run_coupled(
+        case_dir, out_dir=out, n_steps=4,
+        log=lambda *a: logs.append(" ".join(map(str, a))),
+    )
+    assert any("MRF zones active" in ln for ln in logs)
+    u = np.asarray(state.vel)
+    pos = np.asarray(state.pos)
+    assert np.isfinite(pos).all() and np.isfinite(u).all()
+    assert np.asarray(state.active).all()
+    assert (np.asarray(state.tet_id) >= 0).all()
