@@ -32,6 +32,7 @@ class Case:
     tet_cell: np.ndarray          # tet -> owning polyMesh cell
     locator: locate_ops.GridLocator
     time_value: float             # runTime.value() after startFrom
+    time_dir: str                 # directory name of time_value ("0" cold)
     patch_names: list
 
     def update_velocity(self, u_cells: np.ndarray) -> None:
@@ -87,11 +88,12 @@ def load_case(case_dir: str, dtype=None, log=print, write_mesh: bool = False) ->
     # runTime start value
     tdirs = time_dirs(case_dir)
     if control.start_from == "latestTime" and tdirs:
-        t0 = tdirs[-1][0]
+        t0, t0_dir = tdirs[-1]
     elif control.start_from == "firstTime" and tdirs:
-        t0 = tdirs[0][0]
+        t0, t0_dir = tdirs[0]
     else:
         t0 = control.start_time
+        t0_dir = next((d for t, d in tdirs if abs(t - t0) < 1e-12), "0")
 
     # velocity field at start (MUST_READ in the reference, createFields.H:3-15)
     u = None
@@ -142,6 +144,7 @@ def load_case(case_dir: str, dtype=None, log=print, write_mesh: bool = False) ->
         tet_cell=tet_cell,
         locator=locator,
         time_value=t0,
+        time_dir=t0_dir,
         patch_names=[p[0] for p in poly.patches],
     )
 

@@ -201,12 +201,33 @@ def run_coupled(
                 )
             if write_now:
                 from . import simple as simplelib
+                from ..io import polymesh as pmio
 
-                simplelib.write_solution(
+                tdir = simplelib.write_solution(
                     out_dir, f"{t:g}", flow.m, flow.state,
                     binary=ctrl.write_format == "binary",
                     compress=ctrl.write_compression,
                 )
+                if getattr(flow, "kes", None) is not None:
+                    # k/epsilon in the time dir so latestTime restarts
+                    # resume the closure state too
+                    import numpy as _np
+                    import os as _os
+
+                    bf = {nm: {"type": "calculated"}
+                          for nm, *_ in flow.m.patch_slices}
+                    for fname, vals in (
+                        ("k", flow.kes.k), ("epsilon", flow.kes.eps),
+                    ):
+                        pmio.write_field(
+                            _os.path.join(tdir, fname), fname,
+                            _np.asarray(vals),
+                            dimensions=(0, 2, -2 if fname == "k" else -3,
+                                        0, 0, 0, 0),
+                            boundary_field=bf,
+                            binary=ctrl.write_format == "binary",
+                            compress=ctrl.write_compression,
+                        )
                 simplelib.purge_old_times(out_dir, ctrl.purge_write)
         if probes is not None:
             probes.sample(t, {"p": flow.state.p, "U": flow.state.u})

@@ -193,7 +193,8 @@ class FlowSolver:
         from .simple import read_numerics
 
         m, st, u_bcs, p_bcs, nu, pin, p_tables = load_flow_case(
-            case.case_dir, pm=case.poly, dtype=jnp.float32
+            case.case_dir, pm=case.poly, dtype=jnp.float32,
+            time_dir=getattr(case, "time_dir", "0"),
         )
         num = read_numerics(case.case_dir)
         cfg_kw.setdefault("div_scheme", num["div_scheme"])
@@ -251,7 +252,7 @@ class FlowSolver:
             from . import turbulence as turb
 
             solver.kes, solver.k_bcs, solver.e_bcs, solver.wi = turb.init_from_case(
-                case.case_dir, m
+                case.case_dir, m, time_dir=getattr(case, "time_dir", "0")
             )
             log("#flow: kEpsilon closure active")
         log(f"#flow: PIMPLE solver on {m.n_cells} cells, nu={nu}")

@@ -92,8 +92,16 @@ def read_numerics(case_dir: str) -> dict:
     return out
 
 
-def load_flow_case(case_dir: str, pm=None, dtype=jnp.float32):
-    """Read mesh + 0/ fields + transportProperties into solver inputs."""
+def load_flow_case(case_dir: str, pm=None, dtype=jnp.float32, time_dir="0"):
+    """Read mesh + fields + transportProperties into solver inputs.
+
+    ``time_dir`` selects the field snapshot directory: "0" for a cold
+    start, or the latest written time for a restart (the reference
+    restarts through OpenFOAM's ``startFrom latestTime`` time-directory
+    machinery).  BC *specs* come from the same directory (OpenFOAM
+    rewrites them at every field write); internal fields fall back to
+    ``0/`` when the restart dir misses a field.
+    """
     if pm is None:
         pm = polymesh.read_polymesh(os.path.join(case_dir, "constant", "polyMesh"))
     m = fv.fv_mesh(pm, dtype=dtype)
@@ -109,10 +117,20 @@ def load_flow_case(case_dir: str, pm=None, dtype=jnp.float32):
     else:
         nu = float(nu_e)
 
-    u0_path = os.path.join(case_dir, "0", "U")
-    p0_path = os.path.join(case_dir, "0", "p")
-    u_bc_spec = polymesh.read_field_bcs(u0_path) if os.path.exists(u0_path) else {}
-    p_bc_spec = polymesh.read_field_bcs(p0_path) if os.path.exists(p0_path) else {}
+    def field_path(name):
+        p = os.path.join(case_dir, str(time_dir), name)
+        if os.path.exists(p) or os.path.exists(p + ".gz"):
+            return p
+        return os.path.join(case_dir, "0", name)
+
+    u0_path = field_path("U")
+    p0_path = field_path("p")
+    # BC specs always from 0/ — our field writer tags boundaries
+    # "calculated", which carries no inlet values
+    u_bc_path = os.path.join(case_dir, "0", "U")
+    p_bc_path = os.path.join(case_dir, "0", "p")
+    u_bc_spec = polymesh.read_field_bcs(u_bc_path) if os.path.exists(u_bc_path) else {}
+    p_bc_spec = polymesh.read_field_bcs(p_bc_path) if os.path.exists(p_bc_path) else {}
     u_bcs = fv.make_bcs(
         m,
         {k: (e[0], e[1] if e[1] is not None else 0.0) for k, e in u_bc_spec.items()},
@@ -131,14 +149,17 @@ def load_flow_case(case_dir: str, pm=None, dtype=jnp.float32):
         for e in p_bc_spec.values()
     )
 
+    def _exists(path):
+        return os.path.exists(path) or os.path.exists(path + ".gz")
+
     u0 = (
         polymesh.read_field(u0_path, n_cells=pm.n_cells)
-        if os.path.exists(u0_path)
+        if _exists(u0_path)
         else np.zeros((pm.n_cells, 3))
     )
     p0 = (
         polymesh.read_field(p0_path, n_cells=pm.n_cells)
-        if os.path.exists(p0_path)
+        if _exists(p0_path)
         else np.zeros(pm.n_cells)
     )
     state = FlowState(

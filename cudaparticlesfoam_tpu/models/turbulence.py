@@ -103,16 +103,30 @@ def wall_nut_bd(m: fv.FvMesh, wi: WallInfo, nut, k, nu):
     return out.at[wi.wall_bd_face].set(jnp.maximum(nut_w, 0.0))
 
 
-def init_from_case(case_dir: str, m: fv.FvMesh, dtype=None):
-    """Read 0/k and 0/epsilon (+ their BC specs)."""
+def init_from_case(case_dir: str, m: fv.FvMesh, dtype=None, time_dir="0"):
+    """Read k and epsilon internal fields from ``time_dir`` (restart) with
+    a 0/ fallback; BC specs always from 0/ (written fields tag their
+    boundaries "calculated")."""
     dtype = dtype or m.sf.dtype
     nc = m.n_cells
-    k_path = os.path.join(case_dir, "0", "k")
-    e_path = os.path.join(case_dir, "0", "epsilon")
-    k0 = polymesh.read_field(k_path, n_cells=nc) if os.path.exists(k_path) else np.full(nc, 1e-3)
-    e0 = polymesh.read_field(e_path, n_cells=nc) if os.path.exists(e_path) else np.full(nc, 1e-3)
-    k_spec = polymesh.read_field_bcs(k_path) if os.path.exists(k_path) else {}
-    e_spec = polymesh.read_field_bcs(e_path) if os.path.exists(e_path) else {}
+
+    def _field(name):
+        p = os.path.join(case_dir, str(time_dir), name)
+        if os.path.exists(p) or os.path.exists(p + ".gz"):
+            return p
+        return os.path.join(case_dir, "0", name)
+
+    def _exists(p):
+        return os.path.exists(p) or os.path.exists(p + ".gz")
+
+    k_path = _field("k")
+    e_path = _field("epsilon")
+    k_bc_path = os.path.join(case_dir, "0", "k")
+    e_bc_path = os.path.join(case_dir, "0", "epsilon")
+    k0 = polymesh.read_field(k_path, n_cells=nc) if _exists(k_path) else np.full(nc, 1e-3)
+    e0 = polymesh.read_field(e_path, n_cells=nc) if _exists(e_path) else np.full(nc, 1e-3)
+    k_spec = polymesh.read_field_bcs(k_bc_path) if os.path.exists(k_bc_path) else {}
+    e_spec = polymesh.read_field_bcs(e_bc_path) if os.path.exists(e_bc_path) else {}
 
     def to_bcs(spec):
         # wall functions behave as zeroGradient for the transported value;

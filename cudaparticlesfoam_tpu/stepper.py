@@ -250,6 +250,12 @@ def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None) -> StepConfig:
     pts = np.asarray(mesh.points, dtype=np.float64)
     tets = np.asarray(mesh.tets)
     u = np.asarray(mesh.tet_vel, dtype=np.float64)
+    if cfg.velocity_interp == advect_ops.VERTEX_VELOCITY or not np.any(u):
+        # Pk workloads carry per-vertex velocities; estimate per-tet speed
+        # from the vertex average when tet_vel is absent/zero
+        vv = np.asarray(mesh.vert_vel, dtype=np.float64)
+        if np.any(vv):
+            u = vv[tets].mean(axis=1)
     a = pts[tets[:, 0]]
     vol = np.abs(
         np.einsum(

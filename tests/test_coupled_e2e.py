@@ -8,6 +8,7 @@ import re
 import shutil
 
 import numpy as np
+import pytest
 
 from cudaparticlesfoam_tpu.io import blockmesh, foamfile, polymesh
 
@@ -91,3 +92,55 @@ def test_tjunction_coupled_end_to_end(tmp_path):
 
     # the flow solve logged residual progress
     assert any("Time =" in ln for ln in logs)
+
+
+def test_coupled_restart_from_latest_time(tmp_path):
+    """runTime.write() + startFrom latestTime round trip: a second run
+    resumes the flow (and kEpsilon) from the written time directory
+    instead of the 0/ fields — the reference's OpenFOAM restart path."""
+    from cudaparticlesfoam_tpu.io import foamfile as ff
+    from cudaparticlesfoam_tpu.models import coupled, pimple
+
+    case = shrink_tjunction(tmp_path, num_particles=500)
+    cd_path = os.path.join(case, "system", "controlDict")
+    cd = ff.read(cd_path)
+    cd.pop("FoamFile", None)
+    cd["writeControl"] = "timeStep"
+    cd["writeInterval"] = 2
+    cd["startFrom"] = "latestTime"
+    ff.write(cd_path, cd, obj_name="controlDict")
+    from cudaparticlesfoam_tpu.io import blockmesh, polymesh as pmio
+
+    pm = blockmesh.generate(os.path.join(case, "system", "blockMeshDict"))
+    pmio.write_polymesh(pm, os.path.join(case, "constant", "polyMesh"))
+
+    _, _, stats1 = coupled.run_coupled(case, n_steps=2, log=lambda *a: None)
+    t1 = stats1["time"]
+    # the write landed: U/p/k/epsilon in the time dir
+    tdirs = [d for d in os.listdir(case)
+             if re.match(r"\d", d) and d not in ("0",)
+             and os.path.isdir(os.path.join(case, d))]
+    assert tdirs, "no time directory written"
+    latest = max(tdirs, key=float)
+    for f in ("U", "p", "k", "epsilon"):
+        assert os.path.exists(os.path.join(case, latest, f)), f"missing {f}"
+
+    # restart: the second run starts at t1 and reads the written fields
+    from cudaparticlesfoam_tpu.models import case as caselib
+
+    case2 = caselib.load_case(case, log=lambda *a: None)
+    assert case2.time_value == pytest.approx(float(latest))
+    assert case2.time_dir == latest
+    logs = []
+    flow2 = pimple.FlowSolver.from_case(case2, log=lambda *a: logs.append(
+        " ".join(map(str, a))))
+    # restart flux projection ran (time_value > 0)
+    assert any("correctPhi" in ln for ln in logs)
+    u_restart = np.asarray(flow2.state.u)
+    u_written = pmio.read_field(os.path.join(case, latest, "U"), pm.n_cells)
+    np.testing.assert_allclose(u_restart, u_written, atol=1e-5)
+    k_written = pmio.read_field(os.path.join(case, latest, "k"), pm.n_cells)
+    np.testing.assert_allclose(np.asarray(flow2.kes.k), k_written, atol=1e-6)
+    # and it advances stably from there
+    flow2.advance(0.001)
+    assert np.isfinite(np.asarray(flow2.state.u)).all()
