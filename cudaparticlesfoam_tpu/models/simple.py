@@ -405,4 +405,59 @@ def run(case_dir: str, n_iters: int | None = None, log=print):
     tname = f"{ctrl.end_time:g}"
     out = write_solution(case_dir, tname, m, st)
     log(f"wrote steady solution to {out}")
+    run_streamline_functions(case_dir, tname, np.asarray(st.u), pm=pm, log=log)
     return m, st
+
+
+def run_streamline_functions(case_dir: str, time_name: str, u_cells,
+                             pm=None, log=print):
+    """controlDict ``streamLine`` function objects on the solved field
+    (``pitzDaily/system/controlDict:46-74``): seed nLines points uniformly
+    on [start, end], integrate field lines, write a VTK polyline file to
+    postProcessing/<name>/<time>/tracks.vtk."""
+    cd = foamfile.read(os.path.join(case_dir, "system", "controlDict"))
+    fns = cd.get("functions", {})
+    if not isinstance(fns, dict):
+        return
+    specs = {
+        name: spec for name, spec in fns.items()
+        if isinstance(spec, dict) and spec.get("type") == "streamLine"
+    }
+    if not specs:
+        return
+    from . import functions as fo
+    from .. import mesh as meshlib
+    from ..ops import locate as locate_ops
+
+    if pm is None:
+        pm = polymesh.read_polymesh(
+            os.path.join(case_dir, "constant", "polyMesh")
+        )
+    tet_mesh, tet_cell = polymesh.mesh_from_polymesh(
+        pm, u_cells=np.asarray(u_cells)
+    )
+    locator = locate_ops.build_grid_locator(tet_mesh)
+    for name, spec in specs.items():
+        seed = spec.get("seedSampleSet", {})
+        start = np.asarray(
+            [float(x) for x in spec.get("start", seed.get("start", [0, 0, 0]))]
+        )
+        end = np.asarray(
+            [float(x) for x in spec.get("end", seed.get("end", [0, 0, 0]))]
+        )
+        n_lines = int(spec.get("nLines", seed.get("nPoints", 10)))
+        life = int(spec.get("lifeTime", 2000))
+        frac = np.linspace(0.0, 1.0, n_lines)[:, None]
+        seeds = start[None, :] * (1.0 - frac) + end[None, :] * frac
+        # spatial step ~ a fraction of the mean cell size
+        ext = np.asarray(tet_mesh.bounds_hi) - np.asarray(tet_mesh.bounds_lo)
+        h = float(np.max(ext)) / max(pm.n_cells ** (1 / 3), 1.0)
+        lines = fo.trace_streamlines(
+            tet_mesh, locator, seeds, step_length=h,
+            n_steps=min(life, 4000),
+        )
+        odir = os.path.join(case_dir, "postProcessing", str(name), time_name)
+        os.makedirs(odir, exist_ok=True)
+        path = os.path.join(odir, "tracks.vtk")
+        fo.write_streamlines_vtk(path, lines)
+        log(f"#fo: streamLine '{name}': {n_lines} lines -> {path}")

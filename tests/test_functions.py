@@ -76,3 +76,33 @@ def test_streamlines(channel):
     line = np.asarray(lines[0])
     assert line[-1][0] > line[0][0] + 0.5
     np.testing.assert_allclose(line[:, 1], 0.05, atol=1e-5)
+
+
+def test_streamline_function_object_from_controldict(tmp_path):
+    """simple.run honors the controlDict streamLine function object
+    (pitzDaily/system/controlDict:46-74): tracks.vtk appears under
+    postProcessing/<name>/<time>/."""
+    import os
+    import shutil
+
+    from cudaparticlesfoam_tpu.io import blockmesh, foamfile, polymesh
+    from cudaparticlesfoam_tpu.models import simple as sm
+
+    src = os.path.join(
+        os.path.dirname(__file__), "..", "tutorials", "incompressible",
+        "cudaParticlesUncoupledFoam", "pitzDaily",
+    )
+    case = str(tmp_path / "pitz")
+    shutil.copytree(src, case)
+    pm = blockmesh.generate(os.path.join(case, "system", "blockMeshDict"))
+    polymesh.write_polymesh(pm, os.path.join(case, "constant", "polyMesh"))
+    m, st, _ = sm.solve_steady(case, pm=pm, n_iters=40, log=lambda *a: None)
+    import numpy as np
+
+    sm.run_streamline_functions(case, "282", np.asarray(st.u), pm=pm,
+                                log=lambda *a: None)
+    out = os.path.join(case, "postProcessing", "streamlines", "282",
+                       "tracks.vtk")
+    assert os.path.exists(out)
+    txt = open(out).read()
+    assert "POLYDATA" in txt or "LINES" in txt.upper()
