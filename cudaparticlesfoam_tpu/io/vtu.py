@@ -31,6 +31,59 @@ def _fmt_block(fh, arr, fmt):
     np.savetxt(fh, arr, fmt=fmt)
 
 
+def frame_path(path_or_step, out_dir: str = ".") -> str:
+    """Resolve the reference's ``particle_%04d.vtu`` naming
+    (``utils.cpp:177``) for int steps; pass explicit paths through."""
+    if isinstance(path_or_step, (int, np.integer)):
+        return os.path.join(out_dir, f"particle_{int(path_or_step):04d}.vtu")
+    return str(path_or_step)
+
+
+class AsyncVTUWriter:
+    """Overlap VTU formatting/file IO with device compute.
+
+    The reference writes synchronously every saveInterval cycles
+    (``advect.H:163-175``); here the device->host copy happens on submit
+    (it must), but the ascii formatting + file write run on one worker
+    thread while the next fused chunk executes.  One frame in flight
+    (submit drains the previous one), so ordering and bytes are identical
+    to the synchronous writer.
+    """
+
+    def __init__(self):
+        import concurrent.futures as cf
+
+        self._ex = cf.ThreadPoolExecutor(max_workers=1)
+        self._pending = None
+
+    def write(self, path_or_step, state, out_dir: str = ".", **kw) -> str:
+        import types
+
+        host = types.SimpleNamespace(
+            pos=np.asarray(state.pos),
+            vel=np.asarray(state.vel),
+            tet_id=np.asarray(state.tet_id),
+            active=np.asarray(state.active),
+        )
+        self.drain()
+        os.makedirs(out_dir, exist_ok=True)
+        self._pending = self._ex.submit(
+            write_particles_vtu, path_or_step, host, out_dir=out_dir, **kw
+        )
+        return frame_path(path_or_step, out_dir)
+
+    def drain(self):
+        if self._pending is not None:
+            path = self._pending.result()
+            self._pending = None
+            return path
+        return None
+
+    def close(self):
+        self.drain()
+        self._ex.shutdown()
+
+
 def write_particles_vtu(
     path_or_step,
     state: ParticleState,
@@ -47,11 +100,8 @@ def write_particles_vtu(
     attribute on the function result? No — returns path; use
     :func:`system_kinetic_energy` for the diagnostic.
     """
-    if isinstance(path_or_step, (int, np.integer)):
-        os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, f"particle_{int(path_or_step):04d}.vtu")
-    else:
-        path = str(path_or_step)
+    os.makedirs(out_dir, exist_ok=True)
+    path = frame_path(path_or_step, out_dir)
 
     pos = np.asarray(state.pos, dtype=np.float64)
     vel = np.asarray(state.vel, dtype=np.float64)

@@ -23,11 +23,12 @@ import time
 import jax
 
 from ..io import vtu
-from ..stepper import n_cycles_for, run_cycles, suggest_tuning
+from ..stepper import n_cycles_for, run_cycles_donated, suggest_tuning
 from . import case as caselib
 
 
-def _advance_interval(case, state, cfg, pcfg, delta_t, step0, out_dir, write_output, log):
+def _advance_interval(case, state, cfg, pcfg, delta_t, step0, out_dir,
+                      write_output, log, writer=None):
     """One Eulerian interval: sub-cycle with VTU writes on the reference's
     step schedule (``advect.H:86-184``).  Returns (state, next step0)."""
     n_cycles, cycle_dt = n_cycles_for(delta_t, pcfg.dt)
@@ -41,11 +42,16 @@ def _advance_interval(case, state, cfg, pcfg, delta_t, step0, out_dir, write_out
         else:
             next_write = ((step // pcfg.save_interval) + 1) * pcfg.save_interval
             chunk = min(next_write - step0, n_cycles) - i
-        state = run_cycles(case.tet_mesh, state, cfg, chunk, cycle_dt)
+        state = run_cycles_donated(case.tet_mesh, state, cfg, chunk, cycle_dt)
         prev = step
         i += chunk
         if write_output and prev % pcfg.save_interval == 0:
-            vtu.write_particles_vtu(prev + 1, state, out_dir=out_dir, verbose=True)
+            if writer is not None:
+                writer.write(prev + 1, state, out_dir=out_dir, verbose=True)
+            else:
+                vtu.write_particles_vtu(
+                    prev + 1, state, out_dir=out_dir, verbose=True
+                )
     return state, step0 + n_cycles
 
 
@@ -65,8 +71,9 @@ def run_replay(
     tdirs = caselib.time_dirs(case_dir)
     # start at the first snapshot; advance between consecutive snapshots
     state = caselib.init_particles(case, log=log)
+    writer = vtu.AsyncVTUWriter()
     if write_output:
-        vtu.write_particles_vtu(0, state, out_dir=out_dir, verbose=True)
+        writer.write(0, state, out_dir=out_dir, verbose=True)
 
     step0 = 0
     wall0 = time.perf_counter()
@@ -83,10 +90,12 @@ def run_replay(
         case.update_velocity(u)  # advect.H:44-83
         delta_t = t_next - t_prev
         state, step0 = _advance_interval(
-            case, state, cfg, pcfg, delta_t, step0, out_dir, write_output, log
+            case, state, cfg, pcfg, delta_t, step0, out_dir, write_output,
+            log, writer=writer,
         )
         n_total = step0
     jax.block_until_ready(state.pos)
+    writer.close()
     wall = time.perf_counter() - wall0
     if n_total:
         rate = state.n_particles * n_total / max(wall, 1e-12)
@@ -127,8 +136,9 @@ def run_coupled(
     else:
         flow = pimplelib.FlowSolver.from_case(case, log=log)
     state = caselib.init_particles(case, log=log)
+    writer = vtu.AsyncVTUWriter()
     if write_output:
-        vtu.write_particles_vtu(0, state, out_dir=out_dir, verbose=True)
+        writer.write(0, state, out_dir=out_dir, verbose=True)
 
     # function objects from controlDict (probes / scalarTransport,
     # TJunction/system/controlDict:53-133)
@@ -236,10 +246,12 @@ def run_coupled(
         if pcfg.start_time <= t <= pcfg.end_time:
             case.update_velocity(flow.cell_velocity())
             state, step0 = _advance_interval(
-                case, state, cfg, pcfg, dt_e, step0, out_dir, write_output, log
+                case, state, cfg, pcfg, dt_e, step0, out_dir, write_output,
+                log, writer=writer,
             )
         if n_steps is not None and k >= n_steps:
             break
+    writer.close()
     if write_output and probes is not None:
         probes.write(out_dir)
     if write_output and scalar is not None:

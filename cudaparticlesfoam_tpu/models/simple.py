@@ -219,6 +219,13 @@ def simple_iteration(m: fv.FvMesh, st: FlowState, u_bcs, p_bcs, cfg: SimpleConfi
     u_res = jnp.linalg.norm(b_rel - fv.matvec(m, A_rel, u_star)) / (
         jnp.linalg.norm(b_rel) + 1e-300
     )
+    # OpenFOAM-style INITIAL residual (the quantity residualControl
+    # watches): momentum imbalance of the incoming field against this
+    # iteration's assembled system — a nonlinear convergence measure,
+    # unlike u_res which only reflects the inner linear solve
+    u_res0 = jnp.linalg.norm(b_rel - fv.matvec(m, A_rel, st.u)) / (
+        jnp.linalg.norm(b_rel) + 1e-300
+    )
 
     # Rhie-Chow: HbyA = (b_without_gradp - offdiag U*) / aP'
     rau = m.vol / diag_rel                      # [nc]  (V/aP)
@@ -270,7 +277,8 @@ def simple_iteration(m: fv.FvMesh, st: FlowState, u_bcs, p_bcs, cfg: SimpleConfi
     continuity = jnp.sum(jnp.abs(fv.surface_sum(m, flux)))
     return (
         FlowState(u=u_new, p=p_relaxed, flux=flux),
-        {"u_res": u_res, "p_res": p_res, "p_iters": p_iters, "continuity": continuity},
+        {"u_res": u_res, "u_res0": u_res0, "p_res": p_res,
+         "p_iters": p_iters, "continuity": continuity},
     )
 
 
@@ -290,6 +298,18 @@ def turbulence_model(case_dir: str) -> str:
     return "laminar"
 
 
+def read_residual_control(case_dir: str) -> dict:
+    """fvSolution SIMPLE.residualControl entries ({field: tol})."""
+    fsol = os.path.join(case_dir, "system", "fvSolution")
+    if not os.path.exists(fsol):
+        return {}
+    d = foamfile.read(fsol)
+    sub = d.get("SIMPLE")
+    rc = sub.get("residualControl") if isinstance(sub, dict) else None
+    return {k: float(v) for k, v in rc.items()
+            if isinstance(v, (int, float))} if isinstance(rc, dict) else {}
+
+
 def solve_steady(
     case_dir: str,
     pm=None,
@@ -301,9 +321,19 @@ def solve_steady(
     log_every: int = 50,
     turbulence: str | None = None,
 ):
-    """Run SIMPLE to (approximate) steadiness; returns (m, state, bcs)."""
+    """Run SIMPLE to (approximate) steadiness; returns (m, state, bcs).
+
+    ``tol`` defaults to fvSolution's ``SIMPLE.residualControl.U`` when
+    present (the mechanism that stops the reference's simpleFoam early,
+    ``pitzDaily/system/fvSolution``); the number of iterations actually
+    run is recorded at ``bcs[3]`` so callers can reconstruct OpenFOAM's
+    iteration-time (runTime = startTime + iters * deltaT).
+    """
     m, st, u_bcs, p_bcs, nu, pin, _ = load_flow_case(case_dir, pm=pm, dtype=dtype)
     num = read_numerics(case_dir)
+    rc = read_residual_control(case_dir)
+    if "U" in rc:
+        tol = float(rc["U"])
     if cfg is None:
         cfg = SimpleConfig(nu=nu, pin_pressure=pin,
                            div_scheme=num["div_scheme"],
@@ -340,10 +370,17 @@ def solve_steady(
                 f"p residual={float(res['p_res']):.3e} "
                 f"(CG {int(res['p_iters'])}) continuity={float(res['continuity']):.3e}"
             )
-        if float(res["u_res"]) < tol:
-            log(f"SIMPLE converged in {i} iterations")
+        if float(res["u_res0"]) < tol and i >= 10:
+            # initial-residual control like OpenFOAM's residualControl
+            # (>=10 iterations so the still-uniform startup field cannot
+            # satisfy it spuriously)
+            log(f"SIMPLE converged in {i} iterations "
+                f"(initial residual {float(res['u_res0']):.3e})")
+            n_done = i + 1
             break
-    return m, st, (u_bcs, p_bcs, cfg)
+    else:
+        n_done = n_iters
+    return m, st, (u_bcs, p_bcs, cfg, n_done)
 
 
 def write_solution(case_dir: str, time_name: str, m: fv.FvMesh, st: FlowState,
@@ -390,9 +427,19 @@ def purge_old_times(case_dir: str, keep: int) -> None:
 
 
 def run(case_dir: str, n_iters: int | None = None, log=print):
-    """CLI entry: solve steady flow and write it at the controlDict endTime
-    (so the particle solver's latestTime pickup finds it)."""
-    from ..config import ControlConfig
+    """CLI entry: solve steady flow and write it at OpenFOAM's
+    iteration-time.
+
+    simpleFoam's runTime is the iteration counter scaled by deltaT; the
+    reference tutorial relies on ``residualControl`` stopping the solve
+    INSIDE the particle window [startTime, endTime] of
+    ``cudaParticlesDict`` (``pitzDaily/Allrun:8-12`` + ``advect.H:33``).
+    Convergence rates differ between solvers, so when the case carries a
+    particle dict and our iteration-time misses its window, the write
+    time is clamped into the window (logged) — the tutorial dicts then
+    run unmodified.
+    """
+    from ..config import ControlConfig, ParticlesConfig
 
     ctrl = ControlConfig.from_case(case_dir)
     pm = None
@@ -401,8 +448,22 @@ def run(case_dir: str, n_iters: int | None = None, log=print):
         from ..io import blockmesh
 
         pm = blockmesh.generate(os.path.join(case_dir, "system", "blockMeshDict"))
-    m, st, _ = solve_steady(case_dir, pm=pm, n_iters=n_iters or 500, log=log)
-    tname = f"{ctrl.end_time:g}"
+    m, st, bcs = solve_steady(case_dir, pm=pm, n_iters=n_iters or 500, log=log)
+    n_done = bcs[3] if len(bcs) > 3 else (n_iters or 500)
+    t_write = min(ctrl.start_time + n_done * ctrl.delta_t, ctrl.end_time)
+    pd_path = os.path.join(case_dir, "system", "cudaParticlesDict")
+    if os.path.exists(pd_path):
+        pcfg = ParticlesConfig.from_case(case_dir)
+        if not (pcfg.start_time <= t_write <= pcfg.end_time):
+            clamped = min(max(t_write, pcfg.start_time), pcfg.end_time)
+            log(
+                f"#flow: iteration-time {t_write:g} outside the particle "
+                f"window [{pcfg.start_time:g}, {pcfg.end_time:g}]; "
+                f"writing at {clamped:g} so the tracker's latestTime "
+                "pickup fires (advect.H:33)"
+            )
+            t_write = clamped
+    tname = f"{t_write:g}"
     out = write_solution(case_dir, tname, m, st)
     log(f"wrote steady solution to {out}")
     run_streamline_functions(case_dir, tname, np.asarray(st.u), pm=pm, log=log)
@@ -426,7 +487,6 @@ def run_streamline_functions(case_dir: str, time_name: str, u_cells,
     if not specs:
         return
     from . import functions as fo
-    from .. import mesh as meshlib
     from ..ops import locate as locate_ops
 
     if pm is None:

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..io import vtu
 from ..ops import advect as advect_ops
-from ..stepper import n_cycles_for, run_cycles, suggest_tuning
+from ..stepper import n_cycles_for, run_cycles_donated, suggest_tuning
 from ..utils.profiling import PhaseTimer, device_trace
 from . import case as caselib
 
@@ -84,9 +84,10 @@ def run(
     ) else (lambda st: None)
 
     stats = {"frames": [], "cycles": 0, "wall_s": 0.0}
+    writer = vtu.AsyncVTUWriter()   # formatting/IO overlaps device compute
     if write_output:
         with timer.phase("IO"):
-            path = vtu.write_particles_vtu(
+            path = writer.write(
                 0, state, convex_tet_id=convex_ids(state), out_dir=out_dir,
                 verbose=True,
             )
@@ -97,6 +98,7 @@ def run(
             f"#adv: time {t} outside particle window "
             f"[{pcfg.start_time}, {pcfg.end_time}]; nothing to do (advect.H:33)"
         )
+        writer.close()
         return case, state, stats
 
     n_cycles, cycle_dt = n_cycles_for(ctrl.delta_t, pcfg.dt)
@@ -135,7 +137,10 @@ def run(
                 chunk = min(next_write, n_cycles) - i
             with timer.phase("Advect"):
                 if engine is None:
-                    state = run_cycles(case.tet_mesh, state, cfg, chunk, cycle_dt)
+                    # donated: the previous state's buffers are reused
+                    state = run_cycles_donated(
+                        case.tet_mesh, state, cfg, chunk, cycle_dt
+                    )
                 else:
                     engine.advance(chunk, cycle_dt)
             prev = i
@@ -165,7 +170,7 @@ def run(
                     track.append(state)
                 if write_output:
                     with timer.phase("IO"):
-                        path = vtu.write_particles_vtu(
+                        path = writer.write(
                             prev + 1, state, convex_tet_id=convex_ids(state),
                             out_dir=out_dir, verbose=True,
                         )
@@ -174,6 +179,8 @@ def run(
             engine.block()
             state = engine.snapshot()
         jax.block_until_ready(state.pos)
+        with timer.phase("IO"):
+            writer.close()
     stats["wall_s"] = time.perf_counter() - wall0
     stats["cycles"] = n_cycles
     rate = state.n_particles * n_cycles / max(stats["wall_s"], 1e-12)

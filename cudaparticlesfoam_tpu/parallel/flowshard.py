@@ -27,7 +27,6 @@ only the ghost refresh and the masked/psum'd reductions are new.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import numpy as np
 import jax
@@ -42,7 +41,7 @@ def shard_map(f, **kw):
         from jax.experimental.shard_map import shard_map as _sm
         kw["check_rep"] = False
     return _sm(f, **kw)
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models import fv
 from ..models.simple import FlowState
