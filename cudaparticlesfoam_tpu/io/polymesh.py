@@ -687,6 +687,93 @@ def write_field(
             fh.write(data)
 
 
+def write_surface_field(
+    path: str,
+    name: str,
+    internal: np.ndarray,
+    boundary: dict,
+    dimensions=(0, 3, -1, 0, 0, 0, 0),
+    binary: bool = False,
+    compress: bool = False,
+):
+    """Write a surfaceScalarField (e.g. ``phi``: internal-face values +
+    per-patch boundary values) — what ``runTime.write()`` stores so
+    restarts resume with the exact conservative flux."""
+    internal = np.asarray(internal, dtype=np.float64)
+    buf = []
+    w = buf.append
+    w(foamfile._HEADER.encode())
+    w(b"FoamFile\n{\n    version 2.0;\n")
+    w(f"    format {'binary' if binary else 'ascii'};\n".encode())
+    if binary:
+        w(b'    arch "LSB;label=32;scalar=64";\n')
+    w(b"    class surfaceScalarField;\n")
+    w(f"    object {name};\n}}\n\n".encode())
+    w(("dimensions [" + " ".join(str(d) for d in dimensions) + "];\n\n").encode())
+
+    def wlist(vals):
+        w(f"nonuniform List<scalar>\n{len(vals)}\n(".encode())
+        if binary:
+            w(np.ascontiguousarray(vals, dtype="<f8").tobytes())
+        else:
+            w(("\n" + "\n".join(f"{v:.12g}" for v in vals) + "\n").encode())
+        w(b")\n;\n")
+
+    w(b"internalField   ")
+    wlist(internal)
+    w(b"\nboundaryField\n{\n")
+    for pname, vals in boundary.items():
+        w(f"    {pname}\n    {{\n        type calculated;\n"
+          f"        value           ".encode())
+        wlist(np.asarray(vals, dtype=np.float64))
+        w(b"    }\n")
+    w(b"}\n")
+    data = b"".join(buf)
+    if compress:
+        import gzip
+
+        with gzip.open(path + ".gz", "wb") as fh:
+            fh.write(data)
+        if os.path.exists(path):
+            os.remove(path)
+    else:
+        with open(path, "wb") as fh:
+            fh.write(data)
+
+
+def read_surface_field(path: str, patches: list) -> np.ndarray | None:
+    """Read a surfaceScalarField back into the [nf] face ordering
+    (internal faces, then boundary faces in patch order).  ``patches``
+    is the PolyMesh patch list; returns None when the file is absent."""
+    if not (os.path.exists(path) or os.path.exists(path + ".gz")):
+        return None
+    raw = _read_raw(path)
+    hdr, _ = _parse_header_bytes(raw)
+    vals = []
+    if hdr.get("format") == "binary":
+        _, scalar = _arch_sizes(hdr)
+        for m in re.finditer(rb"nonuniform\s+List<scalar>\s*(\d+)\s*\(", raw):
+            count = int(m.group(1))
+            vals.append(
+                np.frombuffer(
+                    raw[m.end() : m.end() + count * scalar.itemsize],
+                    dtype=scalar,
+                ).astype(np.float64)
+            )
+    else:
+        text = _read_foam_body(path)
+        for m in re.finditer(r"nonuniform\s+List<scalar>\s*(\d+)\s*\(([^)]*)\)",
+                             text):
+            v = _nums(m.group(2))
+            assert len(v) == int(m.group(1))
+            vals.append(v)
+    if not vals:
+        return None
+    # first list = internal faces; the rest follow the boundaryField order,
+    # which write_surface_field emits in patch order
+    return np.concatenate(vals)
+
+
 def _ascii_view(path: str) -> str:
     """Decoded file text with binary list payloads excised (so dict-level
     regex parsing works on ``format binary`` field files too)."""

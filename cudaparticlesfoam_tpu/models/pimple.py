@@ -217,14 +217,28 @@ class FlowSolver:
                 st2, flux=mrf_mod.make_relative(solver.mrf, m, st2.flux)
             )
             log("#flow: MRF zones active")
-        # restart flux consistency (CorrectPhi, correctPhi.H): a flux
-        # rebuilt from a read-in U is not conservative
+        # restart flux: prefer the written phi (exact conservative flux);
+        # else project the U-rebuilt flux (CorrectPhi, correctPhi.H)
         if case.time_value > 0.0:
-            flux_c, res_c = correct_flux(
-                m, solver.state.flux, p_bcs, pin=pin
+            from ..io import polymesh as _pmio
+
+            phi = _pmio.read_surface_field(
+                os.path.join(
+                    case.case_dir, getattr(case, "time_dir", "0"), "phi"
+                ),
+                case.poly.patches,
             )
-            solver.state = dataclasses.replace(solver.state, flux=flux_c)
-            log(f"#flow: correctPhi residual={float(res_c):.3e}")
+            if phi is not None and len(phi) == m.n_faces:
+                solver.state = dataclasses.replace(
+                    solver.state, flux=jnp.asarray(phi, m.sf.dtype)
+                )
+                log("#flow: restart flux from written phi")
+            else:
+                flux_c, res_c = correct_flux(
+                    m, solver.state.flux, p_bcs, pin=pin
+                )
+                solver.state = dataclasses.replace(solver.state, flux=flux_c)
+                log(f"#flow: correctPhi residual={float(res_c):.3e}")
         # dynamic mesh (constant/dynamicMeshDict; mesh.controlledUpdate(),
         # cudaParticlesPimpleFoam.C:147)
         from . import dynamicmesh as dyn_mod

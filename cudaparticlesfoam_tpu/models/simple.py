@@ -400,6 +400,18 @@ def write_solution(case_dir: str, time_name: str, m: fv.FvMesh, st: FlowState,
         dimensions=(0, 2, -2, 0, 0, 0, 0), location=time_name,
         boundary_field=bf, binary=binary, compress=compress,
     )
+    # phi: the conservative face flux, so restarts resume exactly
+    # (OpenFOAM's runTime.write() stores it too)
+    flux = np.asarray(st.flux, dtype=np.float64)
+    n_int = m.n_internal
+    bd = {
+        name: flux[n_int + start : n_int + start + cnt]
+        for name, _, start, cnt in m.patch_slices
+    }
+    polymesh.write_surface_field(
+        os.path.join(out, "phi"), "phi", flux[:n_int], bd,
+        binary=binary, compress=compress,
+    )
     return out
 
 

@@ -122,7 +122,7 @@ def test_coupled_restart_from_latest_time(tmp_path):
              and os.path.isdir(os.path.join(case, d))]
     assert tdirs, "no time directory written"
     latest = max(tdirs, key=float)
-    for f in ("U", "p", "k", "epsilon"):
+    for f in ("U", "p", "phi", "k", "epsilon"):
         assert os.path.exists(os.path.join(case, latest, f)), f"missing {f}"
 
     # restart: the second run starts at t1 and reads the written fields
@@ -134,8 +134,14 @@ def test_coupled_restart_from_latest_time(tmp_path):
     logs = []
     flow2 = pimple.FlowSolver.from_case(case2, log=lambda *a: logs.append(
         " ".join(map(str, a))))
-    # restart flux projection ran (time_value > 0)
-    assert any("correctPhi" in ln for ln in logs)
+    # restart flux comes from the written phi (exact), bit-matching it
+    assert any("restart flux from written phi" in ln for ln in logs)
+    phi_written = pmio.read_surface_field(
+        os.path.join(case, latest, "phi"), pm.patches
+    )
+    np.testing.assert_allclose(
+        np.asarray(flow2.state.flux), phi_written, atol=1e-7
+    )
     u_restart = np.asarray(flow2.state.u)
     u_written = pmio.read_field(os.path.join(case, latest, "U"), pm.n_cells)
     np.testing.assert_allclose(u_restart, u_written, atol=1e-5)

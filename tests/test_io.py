@@ -411,3 +411,21 @@ def test_quality_tet_base_on_concave_face():
             # plain face[0] fan would fold here; quality base must differ
             assert int(base[0]) != 0
     assert saw_plain_failure   # the rig really exercises the bad anchors
+
+
+def test_surface_field_roundtrip(tmp_path):
+    """phi writer/reader (surfaceScalarField) round-trips ascii and
+    binary, internal + per-patch boundary values in face order."""
+    rng = np.random.default_rng(3)
+    n_int, patches = 50, [("inlet", "patch", 0, 4), ("walls", "wall", 4, 6)]
+    internal = rng.normal(size=n_int)
+    bd = {"inlet": rng.normal(size=4), "walls": rng.normal(size=6)}
+    for binary in (False, True):
+        p = str(tmp_path / f"phi_{binary}")
+        polymesh.write_surface_field(p, "phi", internal, bd, binary=binary)
+        back = polymesh.read_surface_field(p, patches)
+        expect = np.concatenate([internal, bd["inlet"], bd["walls"]])
+        if binary:
+            np.testing.assert_array_equal(back, expect)
+        else:
+            np.testing.assert_allclose(back, expect, rtol=1e-10)
