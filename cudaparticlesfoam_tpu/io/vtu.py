@@ -117,9 +117,13 @@ def write_particles_vtu(
         path, pos, vel, tet, active, ke_quirk=reference_quirks
     ):
         if verbose:
-            total_ke = float(np.nansum(0.5 * np.sum(vel * vel, axis=-1)))
+            ke_all = 0.5 * np.sum(vel * vel, axis=-1)
+            total_ke = float(np.nansum(ke_all))
             print(f"#adv: Write particles to file {path}...")
             print(f"#adv: System Kinetic Energy={total_ke:f}")
+            if np.isnan(ke_all).any():
+                # the reference aborts here (utils.cpp:253-256); we warn
+                print("#adv: [warning] NaN particle kinetic energy detected")
         return path
 
     buf = _io.StringIO()
@@ -177,6 +181,9 @@ def write_particles_vtu(
         total_ke = float(np.nansum(ke))
         print(f"#adv: Write particles to file {path}...")
         print(f"#adv: System Kinetic Energy={total_ke:f}")
+        if np.isnan(ke).any():
+            # the reference aborts here (utils.cpp:253-256); we warn
+            print("#adv: [warning] NaN particle kinetic energy detected")
     return path
 
 
