@@ -101,10 +101,14 @@ def run_config(name, n_side, n_particles, dt, n_cycles, diffusion=1e-3):
     jax.block_until_ready(sst.pos)
     log(f"[{name}] compile+first batch: {time.perf_counter()-t0:.1f}s")
 
-    t0 = time.perf_counter()
-    sst = run(rmesh, sst, cfg, n_cycles)
-    jax.block_until_ready(sst.pos)
-    dt_wall = time.perf_counter() - t0
+    # best of 3: wall-clock through the axon tunnel swings +-25% between
+    # runs (PERF_NOTES methodology) — report achievable throughput
+    dt_wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sst = run(rmesh, sst, cfg, n_cycles)
+        jax.block_until_ready(sst.pos)
+        dt_wall = min(dt_wall, time.perf_counter() - t0)
 
     steps_per_sec = n_particles * n_cycles / dt_wall
     d = sharding.global_diagnostics(sst)

@@ -285,8 +285,18 @@ def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None) -> StepConfig:
         hops, frac = 4, 1 / 4
     else:
         hops, frac = min(4 + int(crossings + 1.0), 8), 1 / 4
+    # inline single-bounce reflection streams several full-batch passes
+    # per cycle; it pays off only when wall contact is frequent (e.g. 2-D
+    # cases where every cell touches an empty patch and Brownian motion
+    # grinds the z-walls).  Estimate the per-cycle wall-hit rate as
+    # (boundary-adjacent tet fraction) x (crossing rate) and route rare
+    # wall hits through the compacted rare stage instead.
+    bd_frac = float(np.mean(np.any(np.asarray(mesh.tet_nbr) < 0, axis=1)))
+    wall_rate = bd_frac * min(crossings, 1.0) * 0.5
+    inline_bounce = cfg.reflect_wall and wall_rate > 0.01
     return dataclasses.replace(
-        cfg, inline_hops=hops, walk_capacity_frac=frac
+        cfg, inline_hops=hops, walk_capacity_frac=frac,
+        inline_bounce=inline_bounce,
     )
 
 
