@@ -93,6 +93,43 @@ class TetMesh:
 # ---------------------------------------------------------------------------
 
 
+def _cross(a, b):
+    """Component-form cross product: ~3-4x faster than np.cross on big
+    batches (np.cross pays generic moveaxis/broadcast machinery)."""
+    a0, a1, a2 = a[..., 0], a[..., 1], a[..., 2]
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    return np.stack(
+        [a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0], axis=-1
+    )
+
+
+def _inv3(m):
+    """Batched 3x3 inverse via the adjugate (beats LAPACK-per-matrix
+    np.linalg.inv on millions of small matrices)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv = np.stack(
+        [
+            np.stack([A, B, C], axis=-1),
+            np.stack([D, E, F], axis=-1),
+            np.stack([G, H, I], axis=-1),
+        ],
+        axis=-2,
+    )
+    return inv / det[..., None, None]
+
+
 def _canonicalize_winding(points: np.ndarray, tets: np.ndarray) -> np.ndarray:
     """Swap first two vertices of negative-volume tets (HostTetMesh.h:334-343).
 
@@ -100,7 +137,7 @@ def _canonicalize_winding(points: np.ndarray, tets: np.ndarray) -> np.ndarray:
     no usable faces and should not appear in valid inputs.
     """
     a, b, c, d = (points[tets[:, i]] for i in range(4))
-    vol = np.einsum("ij,ij->i", d - a, np.cross(b - a, c - a))
+    vol = np.einsum("ij,ij->i", d - a, _cross(b - a, c - a))
     tets = tets.copy()
     neg = vol < 0.0
     tets[neg, 0], tets[neg, 1] = tets[neg, 1].copy(), tets[neg, 0].copy()
@@ -131,10 +168,26 @@ def build_face_tables(tets: np.ndarray):
         front ^= swap
     sorted_faces = f                                     # ascending triples
 
-    # dedup by sorted triple
-    faces, inverse, counts = np.unique(
-        sorted_faces, axis=0, return_inverse=True, return_counts=True
-    )
+    # dedup by sorted triple.  For meshes with < 2^21 points, pack the
+    # ascending triple into ONE int64 key (the reference's own trick,
+    # ``HostTetMesh.h:279``): np.unique on a 1-D int64 is ~5x faster than
+    # the axis=0 row unique (which sorts void views), and the key order
+    # equals the lexicographic row order, so face numbering is identical.
+    n_pts_max = int(flat.max()) + 1 if len(flat) else 1
+    if n_pts_max < (1 << 21):
+        key = (
+            (sorted_faces[:, 0].astype(np.int64) << 42)
+            | (sorted_faces[:, 1].astype(np.int64) << 21)
+            | sorted_faces[:, 2].astype(np.int64)
+        )
+        _, first_idx, inverse, counts = np.unique(
+            key, return_index=True, return_inverse=True, return_counts=True
+        )
+        faces = sorted_faces[first_idx]
+    else:
+        faces, inverse, counts = np.unique(
+            sorted_faces, axis=0, return_inverse=True, return_counts=True
+        )
     inverse = inverse.reshape(nt, 4)
     tet_faces = inverse.astype(np.int32)
 
@@ -174,7 +227,7 @@ def _build_walk_table(points, tets, tet_faces, face_front, face_back, bd_face_id
     c = points[tets[:, 2]]
     d = points[tets[:, 3]]
     m = np.stack([b - a, c - a, d - a], axis=-1)         # [nt,3,3]
-    tinv = np.linalg.inv(m)
+    tinv = _inv3(m)
 
     # neighbor across slot face: the faceinfo side that isn't me; boundary
     # sides already hold -(bdID+1) so they flow through as negative codes —
@@ -189,7 +242,7 @@ def _build_walk_table(points, tets, tet_faces, face_front, face_back, bd_face_id
     # outward face planes from Gmsh-slot orientation (positive tets)
     slot_pts = points[tets[:, FACE_SLOTS]]               # [nt,4,3verts,3]
     p0, p1, p2 = slot_pts[:, :, 0], slot_pts[:, :, 1], slot_pts[:, :, 2]
-    n = np.cross(p1 - p0, p2 - p0)
+    n = _cross(p1 - p0, p2 - p0)
     n = n / np.linalg.norm(n, axis=-1, keepdims=True)
     dpl = np.einsum("ntk,ntk->nt", n, p0)
     return a, tinv, nbr, n, dpl

@@ -78,6 +78,59 @@ def load_polymesh(case_dir: str, regenerate: bool = True, log=print) -> polymesh
     return blockmesh.generate(dict_path)
 
 
+def _cached_tet_mesh(case_dir: str, poly, dtype, log):
+    """Geometry-only tet mesh with an on-disk cache.
+
+    The host-side table build (face dedup, walk tables, quality base
+    points) is single-core numpy and costs minutes at reference-coupled
+    scale (2.98M tets); the result depends only on the polyMesh geometry,
+    so it is pickled next to the case keyed by a content fingerprint.
+    Velocities are applied by the caller (they change every load/step).
+    """
+    import hashlib
+    import pickle
+
+    fp = hashlib.sha1()
+    fp.update(np.ascontiguousarray(poly.points).tobytes())
+    fp.update(np.ascontiguousarray(poly.owner).tobytes())
+    fp.update(np.ascontiguousarray(poly.face_verts).tobytes())
+    fp.update(str(dtype).encode())
+    digest = fp.hexdigest()
+    cache = os.path.join(case_dir, "constant", "polyMesh", ".tetmesh_cache.pkl")
+    if os.path.exists(cache):
+        try:
+            with open(cache, "rb") as fh:
+                payload = pickle.load(fh)
+            if payload.get("fingerprint") == digest:
+                import jax
+
+                mesh = jax.tree_util.tree_map(
+                    jnp.asarray, payload["mesh_host"]
+                )
+                log("#adv: tet mesh restored from cache")
+                return mesh, payload["tet_cell"]
+        except Exception as e:          # corrupt/stale cache: rebuild
+            log(f"#adv: [warning] tet mesh cache unusable ({e}); rebuilding")
+    t0 = time.perf_counter()
+    mesh, tet_cell = polymesh.mesh_from_polymesh(poly, u_cells=None, dtype=dtype)
+    build_s = time.perf_counter() - t0
+    if build_s > 10.0 and os.path.isdir(os.path.dirname(cache)):
+        import jax
+
+        host = jax.tree_util.tree_map(lambda x: np.asarray(x), mesh)
+        try:
+            with open(cache, "wb") as fh:
+                pickle.dump(
+                    {"fingerprint": digest, "mesh_host": host,
+                     "tet_cell": tet_cell},
+                    fh,
+                )
+            log(f"#adv: tet mesh cached ({build_s:.0f}s build)")
+        except OSError as e:
+            log(f"#adv: [warning] could not cache tet mesh: {e}")
+    return mesh, tet_cell
+
+
 def load_case(case_dir: str, dtype=None, log=print, write_mesh: bool = False) -> Case:
     control = ControlConfig.from_case(case_dir)
     pcfg = ParticlesConfig.from_case(case_dir)
@@ -107,7 +160,10 @@ def load_case(case_dir: str, dtype=None, log=print, write_mesh: bool = False) ->
         u = np.zeros((poly.n_cells, 3))
 
     wall = time.perf_counter()
-    tet_mesh, tet_cell = polymesh.mesh_from_polymesh(poly, u_cells=u, dtype=dtype)
+    tet_mesh, tet_cell = _cached_tet_mesh(case_dir, poly, dtype, log)
+    tet_mesh = meshlib.replace_velocity(
+        tet_mesh, tet_vel=np.asarray(u)[tet_cell]
+    )
     if pcfg.escape_patches:
         names = [p[0] for p in poly.patches]
         ids = [names.index(nm) for nm in pcfg.escape_patches if nm in names]
