@@ -78,7 +78,7 @@ def load_polymesh(case_dir: str, regenerate: bool = True, log=print) -> polymesh
     return blockmesh.generate(dict_path)
 
 
-def _cached_tet_mesh(case_dir: str, poly, dtype, log):
+def _cached_tet_mesh(case_dir: str, poly, dtype, log, min_build_s: float = 10.0):
     """Geometry-only tet mesh with an on-disk cache.
 
     The host-side table build (face dedup, walk tables, quality base
@@ -114,7 +114,7 @@ def _cached_tet_mesh(case_dir: str, poly, dtype, log):
     t0 = time.perf_counter()
     mesh, tet_cell = polymesh.mesh_from_polymesh(poly, u_cells=None, dtype=dtype)
     build_s = time.perf_counter() - t0
-    if build_s > 10.0 and os.path.isdir(os.path.dirname(cache)):
+    if build_s > min_build_s and os.path.isdir(os.path.dirname(cache)):
         import jax
 
         host = jax.tree_util.tree_map(lambda x: np.asarray(x), mesh)

@@ -232,3 +232,31 @@ def test_choose_strategy_memory_model():
     assert choose_strategy(mesh, 1000, 8, hbm_bytes=100 * b) == "dp"
     # mesh bigger than the per-device budget -> partition
     assert choose_strategy(mesh, 1000, 8, hbm_bytes=b) == "partitioned"
+
+
+def test_tet_mesh_cache_roundtrip(tmp_path):
+    """The geometry cache restores an identical mesh and invalidates on
+    polyMesh changes (fingerprint over points/owner/faces)."""
+    from cudaparticlesfoam_tpu.io import blockmesh
+    from cudaparticlesfoam_tpu.models.case import _cached_tet_mesh
+
+    case = make_case(tmp_path, num_particles=10)
+    pm = blockmesh.generate(os.path.join(case, "system", "blockMeshDict"))
+    polymesh.write_polymesh(pm, os.path.join(case, "constant", "polyMesh"))
+    m1, tc1 = _cached_tet_mesh(case, pm, None, lambda *a: None, min_build_s=0.0)
+    cache = os.path.join(case, "constant", "polyMesh", ".tetmesh_cache.pkl")
+    assert os.path.exists(cache)
+    logs = []
+    m2, tc2 = _cached_tet_mesh(case, pm, None,
+                               lambda *a: logs.append(" ".join(map(str, a))))
+    assert any("restored from cache" in ln for ln in logs)
+    np.testing.assert_array_equal(np.asarray(m2.tet_row), np.asarray(m1.tet_row))
+    np.testing.assert_array_equal(tc2, tc1)
+    # geometry change invalidates the fingerprint
+    pm2 = blockmesh.generate(os.path.join(case, "system", "blockMeshDict"))
+    pm2.points = pm2.points * 1.001
+    logs2 = []
+    _cached_tet_mesh(case, pm2, None,
+                     lambda *a: logs2.append(" ".join(map(str, a))),
+                     min_build_s=0.0)
+    assert not any("restored from cache" in ln for ln in logs2)
