@@ -89,10 +89,6 @@ class Layout:
 LAYOUT_TET = Layout(row_w=20, width=32, vel=12, nbr=15)
 LAYOUT_PK = Layout(row_w=28, width=40, vel=12, nbr=24)
 
-# back-compat aliases (tet layout)
-RU, RN = ROW + LAYOUT_TET.vel, ROW + LAYOUT_TET.nbr
-WIDTH = LAYOUT_TET.width
-
 
 def layout_for(cfg) -> Layout:
     return (

@@ -97,7 +97,7 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0):
     """Slab-decompose a PolyMesh into a ShardedFlowMesh + per-device BC
     stacking helpers.  Returns (smesh, perm) where ``perm[d, i]`` is the
     global cell id of device d's owned cell i (-1 padding)."""
-    from ..io.polymesh import cell_centres_volumes, face_centres_areas
+    from ..io.polymesh import face_centres_areas
 
     gm = fv.fv_mesh(pm, dtype=dtype)
     nc = pm.n_cells
