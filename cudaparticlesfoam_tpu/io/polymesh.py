@@ -916,12 +916,19 @@ def latest_time_dir(case_dir: str) -> str | None:
 # ---------------------------------------------------------------------------
 
 
-def write_polymesh(pm: PolyMesh, mesh_dir: str) -> None:
+def write_polymesh(pm: PolyMesh, mesh_dir: str, binary: bool = False) -> None:
+    """Write constant/polyMesh.  ``binary=True`` emits OpenFOAM
+    ``format binary`` files (points/owner/neighbour as raw lists, faces
+    as a ``faceCompactIOList`` offsets+flat pair) — what big production
+    cases use; round-trips through the binary readers above."""
     os.makedirs(mesh_dir, exist_ok=True)
+    fmt = "binary" if binary else "ascii"
 
     def header(obj, cls, note=None):
         h = foamfile._HEADER
-        h += "FoamFile\n{\n    version 2.0;\n    format ascii;\n"
+        h += f"FoamFile\n{{\n    version 2.0;\n    format {fmt};\n"
+        if binary:
+            h += '    arch "LSB;label=32;scalar=64";\n'
         h += f"    class {cls};\n"
         if note:
             h += f'    note "{note}";\n'
@@ -929,33 +936,56 @@ def write_polymesh(pm: PolyMesh, mesh_dir: str) -> None:
         h += f"    object {obj};\n}}\n\n"
         return h
 
-    with open(os.path.join(mesh_dir, "points"), "w") as fh:
-        fh.write(header("points", "vectorField"))
-        fh.write(f"{len(pm.points)}\n(\n")
-        np.savetxt(fh, pm.points, fmt="(%.12g %.12g %.12g)")
-        fh.write(")\n")
-    with open(os.path.join(mesh_dir, "faces"), "w") as fh:
-        fh.write(header("faces", "faceList"))
-        fh.write(f"{pm.n_faces}\n(\n")
-        sizes = np.diff(pm.face_offsets)
-        for i in range(pm.n_faces):
-            verts = pm.face(i)
-            fh.write(f"{sizes[i]}(" + " ".join(map(str, verts)) + ")\n")
-        fh.write(")\n")
+    def wbinlist(fh, arr, dtype):
+        a = np.ascontiguousarray(arr, dtype=dtype)
+        fh.write(f"{len(a)}\n(".encode())
+        fh.write(a.tobytes())
+        fh.write(b")\n")
+
+    if binary:
+        with open(os.path.join(mesh_dir, "points"), "wb") as fh:
+            fh.write(header("points", "vectorField").encode())
+            wbinlist(fh, np.asarray(pm.points).reshape(-1), "<f8")
+        with open(os.path.join(mesh_dir, "faces"), "wb") as fh:
+            fh.write(header("faces", "faceCompactIOList").encode())
+            wbinlist(fh, pm.face_offsets, "<i4")
+            wbinlist(fh, pm.face_verts, "<i4")
+    else:
+        with open(os.path.join(mesh_dir, "points"), "w") as fh:
+            fh.write(header("points", "vectorField"))
+            fh.write(f"{len(pm.points)}\n(\n")
+            np.savetxt(fh, pm.points, fmt="(%.12g %.12g %.12g)")
+            fh.write(")\n")
+        with open(os.path.join(mesh_dir, "faces"), "w") as fh:
+            fh.write(header("faces", "faceList"))
+            fh.write(f"{pm.n_faces}\n(\n")
+            sizes = np.diff(pm.face_offsets)
+            for i in range(pm.n_faces):
+                verts = pm.face(i)
+                fh.write(f"{sizes[i]}(" + " ".join(map(str, verts)) + ")\n")
+            fh.write(")\n")
     note = (
         f"nPoints:{len(pm.points)}  nCells:{pm.n_cells}  "
         f"nFaces:{pm.n_faces}  nInternalFaces:{pm.n_internal_faces}"
     )
-    with open(os.path.join(mesh_dir, "owner"), "w") as fh:
-        fh.write(header("owner", "labelList", note))
-        fh.write(f"{len(pm.owner)}\n(\n")
-        np.savetxt(fh, pm.owner, fmt="%d")
-        fh.write(")\n")
-    with open(os.path.join(mesh_dir, "neighbour"), "w") as fh:
-        fh.write(header("neighbour", "labelList", note))
-        fh.write(f"{len(pm.neighbour)}\n(\n")
-        np.savetxt(fh, pm.neighbour, fmt="%d")
-        fh.write(")\n")
+    if binary:
+        with open(os.path.join(mesh_dir, "owner"), "wb") as fh:
+            fh.write(header("owner", "labelList", note).encode())
+            wbinlist(fh, pm.owner, "<i4")
+        with open(os.path.join(mesh_dir, "neighbour"), "wb") as fh:
+            fh.write(header("neighbour", "labelList", note).encode())
+            wbinlist(fh, pm.neighbour, "<i4")
+    else:
+        with open(os.path.join(mesh_dir, "owner"), "w") as fh:
+            fh.write(header("owner", "labelList", note))
+            fh.write(f"{len(pm.owner)}\n(\n")
+            np.savetxt(fh, pm.owner, fmt="%d")
+            fh.write(")\n")
+        with open(os.path.join(mesh_dir, "neighbour"), "w") as fh:
+            fh.write(header("neighbour", "labelList", note))
+            fh.write(f"{len(pm.neighbour)}\n(\n")
+            np.savetxt(fh, pm.neighbour, fmt="%d")
+            fh.write(")\n")
     with open(os.path.join(mesh_dir, "boundary"), "w") as fh:
         fh.write(header("boundary", "polyBoundaryMesh"))
         fh.write(f"{len(pm.patches)}\n(\n")

@@ -198,6 +198,20 @@ def test_field_roundtrip(tmp_path):
     np.testing.assert_allclose(back, vals)
 
 
+def test_polymesh_binary_writer_roundtrip(tmp_path, pitz_mesh):
+    """write_polymesh(binary=True) round-trips through the binary readers
+    (faceCompactIOList + raw label/scalar lists), bit-exact."""
+    d = str(tmp_path / "polyMeshBin")
+    polymesh.write_polymesh(pitz_mesh, d, binary=True)
+    back = polymesh.read_polymesh(d)
+    np.testing.assert_array_equal(back.points, pitz_mesh.points)
+    np.testing.assert_array_equal(back.owner, pitz_mesh.owner)
+    np.testing.assert_array_equal(back.neighbour, pitz_mesh.neighbour)
+    np.testing.assert_array_equal(back.face_verts, pitz_mesh.face_verts)
+    np.testing.assert_array_equal(back.face_offsets, pitz_mesh.face_offsets)
+    assert back.patches == pitz_mesh.patches
+
+
 def test_field_binary_roundtrip(tmp_path):
     vals = np.linspace(-2.0, 7.0, 30).reshape(10, 3)
     p = str(tmp_path / "U")
