@@ -59,16 +59,27 @@ class AsyncVTUWriter:
     def write(self, path_or_step, state, out_dir: str = ".", **kw) -> str:
         import types
 
-        host = types.SimpleNamespace(
-            pos=np.asarray(state.pos),
-            vel=np.asarray(state.vel),
-            tet_id=np.asarray(state.tet_id),
-            active=np.asarray(state.active),
+        def snap(x):
+            # device-side copy (microseconds) so the caller may DONATE the
+            # state to the next fused chunk; the worker thread then pulls
+            # the copy to host, keeping the device->host transfer (seconds
+            # through a tunneled TPU) off the compute critical path too
+            if isinstance(x, np.ndarray):
+                return x
+            import jax.numpy as jnp
+
+            return jnp.array(x)
+
+        held = types.SimpleNamespace(
+            pos=snap(state.pos),
+            vel=snap(state.vel),
+            tet_id=snap(state.tet_id),
+            active=snap(state.active),
         )
         self.drain()
         os.makedirs(out_dir, exist_ok=True)
         self._pending = self._ex.submit(
-            write_particles_vtu, path_or_step, host, out_dir=out_dir, **kw
+            write_particles_vtu, path_or_step, held, out_dir=out_dir, **kw
         )
         return frame_path(path_or_step, out_dir)
 
