@@ -162,3 +162,56 @@ def test_read_dataset_ascii(tmp_path):
     t = np.asarray(m.tets)[0]
     a, b, c, d = pts[t[0]], pts[t[1]], pts[t[2]], pts[t[3]]
     assert np.dot(d - a, np.cross(b - a, c - a)) > 0
+
+
+def test_dataset_pk_pipeline(tmp_path):
+    """The reference's dataset path end-to-end: readDataSet with a
+    PER-VERTEX solution (HostTetMesh.h:146-262) -> pk row table ->
+    VertexVelocity advection on the cached engine.  A linear velocity
+    field u = (x, 0, 0) is reproduced exactly by P1 interpolation, so a
+    particle's dx/dt = x and one Euler step moves it by x*dt."""
+    import jax.numpy as jnp
+
+    from cudaparticlesfoam_tpu import StepConfig, run_cycles, make_state
+    from cudaparticlesfoam_tpu.ops import locate as locate_ops
+
+    # two unit cubes side by side, 6 tets each, via the box fixture
+    box = meshlib.box_mesh(2, 1, 1)
+    pts = np.asarray(box.points)
+    tets = np.asarray(box.tets)
+    vert = tmp_path / "vert.dat"
+    cell = tmp_path / "cell.dat"
+    solv = tmp_path / "solv.dat"
+    vert.write_text(
+        f"NumTetVerts = {len(pts)}\nx y z\n"
+        + "\n".join(" ".join(f"{v:.17g}" for v in p) for p in pts)
+        + "\n"
+    )
+    cell.write_text(
+        f"NumTetCells = {len(tets)}\nid1 id2 id3 id4\n"
+        + "\n".join(" ".join(map(str, t)) for t in tets)
+        + "\n"
+    )
+    solv.write_text(
+        "p u v w\n"
+        + "\n".join(f"0 {p[0]:.17g} 0 0" for p in pts)
+        + "\n"
+    )
+    m = meshlib.read_dataset(str(vert), str(cell), solv_fname=str(solv))
+    m = meshlib.with_pk_rows(m)
+    loc = locate_ops.build_grid_locator(m)
+    pos0 = np.array([[0.25, 0.5, 0.5], [1.5, 0.3, 0.7], [0.9, 0.9, 0.1]])
+    st = make_state(pos0)
+    st = __import__("dataclasses").replace(
+        st, tet_id=jnp.asarray(locate_ops.locate_seeds(m, loc, st.pos))
+    )
+    dt = 0.05
+    cfg = StepConfig(dt=dt, use_brownian=False,
+                     velocity_interp="VertexVelocity")
+    assert cfg.resolved_engine() == "cached"
+    out = run_cycles(m, st, cfg, 1)
+    np.testing.assert_allclose(
+        np.asarray(out.pos)[:, 0], pos0[:, 0] * (1 + dt), rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(out.pos)[:, 1:], pos0[:, 1:],
+                               atol=1e-7)
