@@ -162,3 +162,27 @@ def test_pk_update_velocity_refreshes_rows(setup_pk):
     np.testing.assert_allclose(
         rows[:, 12:24], vv[tets].reshape(len(tets), 12), rtol=1e-6
     )
+
+
+def test_pk_sharded_dp(setup_pk):
+    """VertexVelocity cached engine under particle-DP sharding (8 virtual
+    devices): matches the single-device result."""
+    import jax
+
+    if len(jax.devices("cpu")) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from cudaparticlesfoam_tpu.parallel import sharding
+
+    mesh, st = setup_pk
+    cfg = StepConfig(velocity_interp="VertexVelocity", dt=0.05,
+                     use_brownian=False)
+    ref = run_cycles(mesh, st, cfg, 30)
+    dmesh, rmesh, sst = sharding.distribute(mesh, st, 8)
+    out = sharding.run_cycles_sharded(rmesh, sst, cfg, 30)
+    n = st.n_particles
+    np.testing.assert_allclose(
+        np.asarray(out.pos)[:n], np.asarray(ref.pos), atol=1e-9
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.tet_id)[:n], np.asarray(ref.tet_id)
+    )
