@@ -35,6 +35,10 @@ class ParticlesConfig:
     reflect_wall: bool = True
     save_streamlines: bool = False
     velocity_interp: str = "TetVelocity"
+    # cell-location algorithm: the reference selects this at BUILD time
+    # (RTX env -> -DConvexPoly, applications/*/Make/options:1-5); here it
+    # is a case option: "bary" (RTX build) | "convex" (ConvexPoly build)
+    locate_mode: str = "bary"
     # new, TPU-build options
     rng_seed: int = 0
     seeding_method: str = "reference"   # bit-exact owl LCG positions
@@ -60,6 +64,7 @@ class ParticlesConfig:
             use_brownian=self.use_brownian,
             reflect_wall=self.reflect_wall,
             velocity_interp=self.velocity_interp,
+            locate_mode=self.locate_mode,
             escape_faces=bool(self.escape_patches),
         )
 
@@ -81,6 +86,7 @@ class ParticlesConfig:
             reflect_wall=bool(g(d, "reflectWall", 1)),
             save_streamlines=bool(g(d, "saveStreamlines", 0)),
             velocity_interp=str(g(d, "velocityInterpMethod", "TetVelocity")),
+            locate_mode=str(g(d, "locateMode", "bary")),
             rng_seed=int(g(d, "rngSeed", 0.0)),
             seeding_method=str(g(d, "seedingMethod", "reference")),
             seeding_file=d.get("seedingFile"),

@@ -82,6 +82,12 @@ class TetMesh:
     # 24:28 neighbor codes.  Built lazily by :func:`with_pk_rows` (it costs
     # +112 MB at 1M tets, so TetVelocity-only runs skip it).
     tet_row_pk: jnp.ndarray | None = None
+    # packed row for the ConvexPoly tracer (``traceIntet``,
+    # ``ConvexQuery.cu:32-131``): cols 0:12 the 4 inward face normals,
+    # 12:16 plane offsets, 16:20 neighbor codes, 20:24 global face ids
+    # (exact float integers, < 2^24 faces in f32).  ONE gather per trace
+    # hop instead of four; built lazily by :func:`with_convex_rows`.
+    tet_row_cx: jnp.ndarray | None = None
 
     @property
     def dtype(self):
@@ -467,6 +473,11 @@ def refresh_geometry(mesh: TetMesh, new_points) -> TetMesh:
                 tinv.reshape(nt, 9)
             )
         )
+    if mesh.tet_row_cx is not None:
+        kw["tet_row_cx"] = (
+            mesh.tet_row_cx.at[:, 0:12].set(n.reshape(nt, 12))
+            .at[:, 12:16].set(dpl)
+        )
     return dataclasses.replace(
         mesh,
         points=pts,
@@ -479,6 +490,29 @@ def refresh_geometry(mesh: TetMesh, new_points) -> TetMesh:
         bounds_hi=jnp.max(pts, axis=0),
         **kw,
     )
+
+
+def with_convex_rows(mesh: TetMesh) -> TetMesh:
+    """Attach the ConvexPoly packed row table (lazy: +24 floats/tet).
+
+    Collapses the tracer's four per-hop gathers (face normals, plane
+    offsets, neighbor codes, face ids) into one — gather cost on TPU is
+    per INDEX, so the trace's while-loop trips get ~4x cheaper."""
+    import dataclasses
+
+    if mesh.tet_row_cx is not None:
+        return mesh
+    nt = mesh.n_tets
+    row = jnp.concatenate(
+        [
+            mesh.tet_face_n.reshape(nt, 12),
+            mesh.tet_face_d,
+            mesh.tet_nbr.astype(mesh.dtype),
+            mesh.tet_faces.astype(mesh.dtype),
+        ],
+        axis=1,
+    )
+    return dataclasses.replace(mesh, tet_row_cx=row)
 
 
 def with_pk_rows(mesh: TetMesh) -> TetMesh:

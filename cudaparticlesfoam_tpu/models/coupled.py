@@ -67,6 +67,10 @@ def run_replay(
     pcfg = case.particles
     out_dir = out_dir or case_dir
     cfg = suggest_tuning(case.tet_mesh, pcfg.step_config())
+    if cfg.locate_mode == "convex":
+        from ..mesh import with_convex_rows
+
+        case.tet_mesh = with_convex_rows(case.tet_mesh)
 
     tdirs = caselib.time_dirs(case_dir)
     # start at the first snapshot; advance between consecutive snapshots
@@ -128,6 +132,10 @@ def run_coupled(
     ctrl = case.control
     out_dir = out_dir or case_dir
     cfg = suggest_tuning(case.tet_mesh, pcfg.step_config())
+    if cfg.locate_mode == "convex":
+        from ..mesh import with_convex_rows
+
+        case.tet_mesh = with_convex_rows(case.tet_mesh)
 
     if flow_devices and flow_devices > 1:
         from ..parallel.flowshard import ShardedFlowSolver

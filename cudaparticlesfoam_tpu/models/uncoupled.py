@@ -65,6 +65,10 @@ def run(
     with timer.phase("Seed"):
         state = caselib.init_particles(case, log=log)
     cfg = suggest_tuning(case.tet_mesh, pcfg.step_config())
+    if cfg.locate_mode == "convex":
+        from ..mesh import with_convex_rows
+
+        case.tet_mesh = with_convex_rows(case.tet_mesh)
 
     # warm-up advect: initCuda.H:184-199 computes vel/disp once (no move)
     # so frame 0 carries velocities; reproduce via the advect op alone.

@@ -38,14 +38,33 @@ MAX_TETS = 50    # ConvexQuery.cu:169
 MAX_BOUNCES = 5  # ConvexQuery.cu:353
 
 
+def _tet_tables(mesh: TetMesh, safe):
+    """(normals[c,4,3], offsets[c,4], nbr[c,4], fids[c,4]) for tets
+    ``safe`` — ONE row gather when the packed table is attached
+    (:func:`~cudaparticlesfoam_tpu.mesh.with_convex_rows`), else four."""
+    if mesh.tet_row_cx is not None:
+        row = mesh.tet_row_cx[safe]
+        c = safe.shape[0]
+        return (
+            row[:, 0:12].reshape(c, 4, 3),
+            row[:, 12:16],
+            row[:, 16:20].astype(jnp.int32),
+            row[:, 20:24].astype(jnp.int32),
+        )
+    return (
+        mesh.tet_face_n[safe],
+        mesh.tet_face_d[safe],
+        mesh.tet_nbr[safe],
+        mesh.tet_faces[safe],
+    )
+
+
 def _exit_face(mesh: TetMesh, p0, seg, tet, inlet_face):
     """One ``traceIntet``: (dT, slot, next_code, face_id) for the segment
     p0 -> p0+seg leaving ``tet``; slot=-1 when the segment ends inside."""
     c = p0.shape[0]
     safe = jnp.maximum(tet, 0)
-    n = mesh.tet_face_n[safe]              # [c,4,3]
-    d = mesh.tet_face_d[safe]              # [c,4]
-    fids = mesh.tet_faces[safe]            # [c,4]
+    n, d, nbr, fids = _tet_tables(mesh, safe)
     tol = jnp.asarray(TOL, p0.dtype)
 
     # the reference evaluates dot(A-P0, n) with n oriented INWARD of the
@@ -71,7 +90,7 @@ def _exit_face(mesh: TetMesh, p0, seg, tet, inlet_face):
     hit = best_slot >= 0
     slot_safe = jnp.maximum(best_slot, 0)
     lane = jnp.arange(c)
-    nxt = mesh.tet_nbr[safe, slot_safe]
+    nxt = nbr[lane, slot_safe]
     face_id = fids[lane, slot_safe]
     return (
         best_dt,
@@ -131,13 +150,11 @@ def _hit_face_plane(mesh: TetMesh, stop_tet, p_cross, last_face):
     reflectInTet re-identifies it by its dT==tol signature,
     ``ConvexQuery.cu:286``; carrying the id is exact at corners)."""
     safe = jnp.maximum(stop_tet, 0)
-    nrm = mesh.tet_face_n[safe]
-    dpl = mesh.tet_face_d[safe]
-    fids = mesh.tet_faces[safe]
+    nrm, dpl, nbr, fids = _tet_tables(mesh, safe)
     match = fids == last_face[:, None]
     # fallback: nearest boundary plane when no id match (shouldn't happen)
     dist = jnp.abs(dpl - jnp.sum(nrm * p_cross[:, None, :], axis=-1))
-    is_bd = mesh.tet_nbr[safe] < 0
+    is_bd = nbr < 0
     score = jnp.where(match, -1.0, jnp.where(is_bd, dist, jnp.inf))
     slot = jnp.argmin(score, axis=-1).astype(jnp.int32)
     lane = jnp.arange(stop_tet.shape[0])

@@ -79,3 +79,18 @@ def test_convex_with_brownian_containment(setup):
     assert (pos >= -1e-3).all() and (pos <= 6.0 + 1e-3).all()
     assert (np.asarray(out.tet_id) >= 0).all()
     assert np.asarray(out.active).all()
+
+
+def test_packed_rows_identical(setup):
+    """with_convex_rows collapses the tracer's per-hop gathers into one;
+    results must be bit-identical to the unpacked tables."""
+    from cudaparticlesfoam_tpu.mesh import with_convex_rows
+
+    mesh, st = setup
+    cfg = StepConfig(dt=0.08, use_brownian=False, locate_mode="convex",
+                     engine="simple")
+    a = run_cycles(mesh, st, cfg, 60)
+    b = run_cycles(with_convex_rows(mesh), st, cfg, 60)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_array_equal(np.asarray(a.tet_id), np.asarray(b.tet_id))
+    np.testing.assert_array_equal(np.asarray(a.vel), np.asarray(b.vel))
