@@ -1,0 +1,250 @@
+"""Row-cached fused sub-step for the ConvexPoly locate mode.
+
+The reference's DEFAULT build (``-DConvexPoly``,
+``applications/*/Make/options:1-5``) traces displacement segments through
+face planes (``query/ConvexQuery.cu``).  Phase-1 cached engine:
+
+1. **Stream** the mega rows: advect velocity, Brownian, tentative end
+   point, and a plane-based ``traceIntet`` EXIT test (``face_dist < tol``,
+   ``tol < dT <= 1``, ``ConvexQuery.cu:77-101``) all come from the cached
+   row — non-crossers (the common case at sane dt) touch no random memory
+   and finish inline.
+2. **Rare stage**: lanes whose segment exits their tet are block-compacted
+   (the same two-stage 8-lane scheme as :mod:`.fused`) and resolved by the
+   PROVEN simple-path sequence — :func:`..ops.convex.trace_segment` +
+   :func:`..ops.convex.convex_reflect` (+ the barycentric safety net when
+   configured) — inside the small buffer, then scattered back with
+   refreshed row caches.  All reference semantics (inlet-face skip,
+   -(startTet+1) wall codes, <=5 bounces) come from the tested tracer,
+   not a re-implementation.
+
+Mega-row layout (32 cols):
+  0:3 pos (segment START inside the cycle; final pos after it) |
+  3:6 vel | 6 tet (float int) | 7 active |
+  8:32 cached tet_row_cx (inward plane normals 8:20, offsets 20:24,
+  neighbor codes 24:28, per-tet velocity 28:31, pad 31)
+
+Requires :func:`~cudaparticlesfoam_tpu.mesh.with_convex_rows` PLUS the
+per-tet velocity appended (see :func:`cx_table`); f32 needs < 2^24 tets.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..mesh import TetMesh
+from . import convex as convex_ops
+from .fused import BLOCK, P0, V0, TET, ACT, ROW, _brownian_noise
+
+WIDTH = 32
+ROW_W = 24
+RN = ROW                    # inward normals [4x3] at 8:20
+RD = ROW + 12               # plane offsets at 20:24
+RB = ROW + 16               # neighbor codes at 24:28
+RU = ROW + 20               # tet velocity at 28:31
+
+
+def cx_table(mesh: TetMesh):
+    """[nt, 24] engine table: with_convex_rows' planes/offsets/neighbors
+    with the per-tet velocity replacing the face-id block (the inline
+    stage only needs an exit CLASSIFICATION; the rare stage re-traces with
+    the full tables, where face ids live)."""
+    row = mesh.tet_row_cx
+    return jnp.concatenate(
+        [
+            row[:, 0:16],                       # normals + offsets
+            row[:, 16:20],                      # neighbor codes
+            mesh.tet_vel.astype(row.dtype),
+            jnp.zeros((mesh.n_tets, 1), row.dtype),
+        ],
+        axis=1,
+    )
+
+
+def pack_state(mesh: TetMesh, tab, pos, vel, tet_id, active):
+    n = pos.shape[0]
+    dt = pos.dtype
+    m = jnp.zeros((n, WIDTH), dtype=dt)
+    m = m.at[:, P0 : P0 + 3].set(pos)
+    m = m.at[:, V0 : V0 + 3].set(vel)
+    m = m.at[:, TET].set(tet_id.astype(dt))
+    m = m.at[:, ACT].set(active.astype(dt))
+    m = m.at[:, ROW : ROW + ROW_W].set(tab[jnp.maximum(tet_id, 0)])
+    return m
+
+
+def _exits_tet(m, ex, ey, ez):
+    """Does the segment pos -> (ex,ey,ez) exit the cached tet?  The
+    ``traceIntet`` admission test per face (``ConvexQuery.cu:77-101``)
+    in column math."""
+    tol = jnp.asarray(convex_ops.TOL, m.dtype)
+    px, py, pz = m[:, P0], m[:, P0 + 1], m[:, P0 + 2]
+    sx, sy, sz = ex - px, ey - py, ez - pz
+    crossing = jnp.zeros(m.shape[0], bool)
+    for i in range(4):
+        nx = m[:, RN + 3 * i]
+        ny = m[:, RN + 3 * i + 1]
+        nz = m[:, RN + 3 * i + 2]
+        d = m[:, RD + i]
+        face_dist = nx * px + ny * py + nz * pz - d
+        denom = -(nx * sx + ny * sy + nz * sz)
+        dt_ = face_dist / denom
+        ok = (
+            (face_dist < tol)
+            & jnp.isfinite(dt_)
+            & (dt_ > tol)
+            & (dt_ <= 1.0)
+        )
+        crossing = crossing | ok
+    return crossing
+
+
+def mega_cycle(mesh: TetMesh, tab, m, rng_key, step, cfg, dt):
+    n = m.shape[0]
+    if n % BLOCK:
+        pad = BLOCK - n % BLOCK
+        mp = jnp.pad(m, ((0, pad), (0, 0)))
+        return _cycle_aligned(mesh, tab, mp, rng_key, step, cfg, dt)[:n]
+    return _cycle_aligned(mesh, tab, m, rng_key, step, cfg, dt)
+
+
+def _cycle_aligned(mesh: TetMesh, tab, m, rng_key, step, cfg, dt):
+    n = m.shape[0]
+    nb = n // BLOCK
+
+    tet = m[:, TET].astype(jnp.int32)
+    act = m[:, ACT] > 0.5
+    alive = (act & (tet >= 0)) if cfg.use_advection else act
+    alf = alive.astype(m.dtype)
+
+    ux, uy, uz = m[:, RU], m[:, RU + 1], m[:, RU + 2]
+    if cfg.use_advection:
+        dx, dy, dz = alf * ux * dt, alf * uy * dt, alf * uz * dt
+        vx = jnp.where(alive, ux, m[:, V0])
+        vy = jnp.where(alive, uy, m[:, V0 + 1])
+        vz = jnp.where(alive, uz, m[:, V0 + 2])
+    else:
+        dx = dy = dz = jnp.zeros_like(ux)
+        vx, vy, vz = m[:, V0], m[:, V0 + 1], m[:, V0 + 2]
+    if cfg.use_brownian:
+        sigma = jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(m.dtype)
+        xi = _brownian_noise(rng_key, step, n, m.dtype, cfg)
+        dx = dx + alf * sigma * xi[:, 0]
+        dy = dy + alf * sigma * xi[:, 1]
+        dz = dz + alf * sigma * xi[:, 2]
+    actf = alf if cfg.use_advection else m[:, ACT]
+
+    ex = m[:, P0] + dx
+    ey = m[:, P0 + 1] + dy
+    ez = m[:, P0 + 2] + dz
+    pending = alive & _exits_tet(m, ex, ey, ez)
+
+    # inline resolution for non-crossers: final pos = segment end, same
+    # tet, same row; vel refreshed above.  Crossers keep their START in
+    # the pos columns (the rare trace marches pos -> pos + disp) and the
+    # displacement rides a side array (the mega is full).
+    fin = ~pending
+    m = jnp.concatenate(
+        [
+            jnp.where(fin, ex, m[:, P0])[:, None],
+            jnp.where(fin, ey, m[:, P0 + 1])[:, None],
+            jnp.where(fin, ez, m[:, P0 + 2])[:, None],
+            vx[:, None], vy[:, None], vz[:, None],
+            tet[:, None].astype(m.dtype), actf[:, None],
+            m[:, ROW : ROW + ROW_W],
+        ],
+        axis=1,
+    )
+    disp = jnp.stack([dx, dy, dz], axis=1)
+
+    def run_lanes(mc, dsub, lanes_act):
+        """Resolve compacted lanes with the tested simple-path sequence
+        (stepper.cycle's convex branch)."""
+        pos = mc[:, P0 : P0 + 3]
+        vel = mc[:, V0 : V0 + 3]
+        tet_s = mc[:, TET].astype(jnp.int32)
+        code, stop_tet, p_cross, hit_face = convex_ops.trace_segment(
+            mesh, pos, dsub, tet_s, active=lanes_act, max_tets=cfg.max_hops
+        )
+        d2 = dsub
+        if cfg.reflect_wall:
+            pos, d2, vel, code = convex_ops.convex_reflect(
+                mesh, pos, d2, vel, code, stop_tet, p_cross, hit_face
+            )
+            if cfg.convex_bary_fix:
+                from . import locate as locate_ops
+
+                p_land = pos + jnp.where(lanes_act[:, None], d2, 0.0)
+                tet_chk, _ = locate_ops.walk(mesh, p_land, code)
+                zero = jnp.zeros_like(d2)
+                d_fix, vel, code = locate_ops.reflect_walls(
+                    mesh, p_land, zero, vel, tet_chk,
+                    max_bounces=cfg.max_bounces,
+                )
+                d2 = jnp.where(lanes_act[:, None], d2 + d_fix, d2)
+        p_fin = pos + jnp.where(lanes_act[:, None], d2, 0.0)
+        rows_new = tab[jnp.maximum(code, 0)]
+        upd = lanes_act
+        mc = mc.at[:, P0 : P0 + 3].set(
+            jnp.where(upd[:, None], p_fin, mc[:, P0 : P0 + 3])
+        )
+        mc = mc.at[:, V0 : V0 + 3].set(
+            jnp.where(upd[:, None], vel, mc[:, V0 : V0 + 3])
+        )
+        mc = mc.at[:, TET].set(
+            jnp.where(upd, code, tet_s).astype(mc.dtype)
+        )
+        mc = mc.at[:, ROW : ROW + ROW_W].set(
+            jnp.where(upd[:, None], rows_new, mc[:, ROW : ROW + ROW_W])
+        )
+        return mc
+
+    # rare stage: identical block scheme to fused._mega_cycle_aligned,
+    # with the side displacement array gathered/scattered alongside
+    capb = min(max(int(nb * cfg.walk_capacity_frac), 32), nb)
+    nl = capb * BLOCK
+    cap_l = max(nl // 4, 64)
+    max_rounds = -(-n // cap_l) + -(-nb // capb)
+
+    def rare_cond(carry):
+        m, disp, pending, r = carry
+        return (r < max_rounds) & jnp.any(pending)
+
+    def rare_round(carry):
+        m, disp, pending, r = carry
+        m3 = m.reshape(nb, BLOCK, WIDTH)
+        d3 = disp.reshape(nb, BLOCK, 3)
+        pend2 = pending.reshape(nb, BLOCK)
+        bpend = jnp.any(pend2, axis=1)
+        nbp = jnp.sum(bpend.astype(jnp.int32))
+        bidx = jnp.nonzero(bpend, size=capb, fill_value=nb)[0].astype(jnp.int32)
+        safe_b = jnp.minimum(bidx, nb - 1)
+        mb = m3[safe_b].reshape(nl, WIDTH)
+        db = d3[safe_b].reshape(nl, 3)
+        lane_b = lax.broadcasted_iota(jnp.int32, (capb, BLOCK), 0)
+        inrange = lane_b < jnp.minimum(nbp, capb)
+        lanes_act = (pend2[safe_b] & inrange).reshape(-1)
+        cnt_l = jnp.sum(lanes_act.astype(jnp.int32))
+        idxl = jnp.nonzero(lanes_act, size=cap_l, fill_value=nl)[0].astype(jnp.int32)
+        safe_l = jnp.minimum(idxl, nl - 1)
+        sub = mb[safe_l]
+        dsub = db[safe_l]
+        subact = lax.broadcasted_iota(jnp.int32, (cap_l, 1), 0)[:, 0] < jnp.minimum(
+            cnt_l, cap_l
+        )
+        sub = run_lanes(sub, dsub, subact)
+        mb = mb.at[idxl].set(sub, mode="drop")
+        rank = jnp.cumsum(lanes_act.astype(jnp.int32)) - 1
+        handled = lanes_act & (rank < cap_l)
+        m3 = m3.at[bidx].set(mb.reshape(capb, BLOCK, WIDTH), mode="drop")
+        pend2 = pend2.at[bidx].set(
+            pend2[safe_b] & ~handled.reshape(capb, BLOCK), mode="drop"
+        )
+        return m3.reshape(n, WIDTH), disp, pend2.reshape(n), r + 1
+
+    m, _, _, _ = lax.while_loop(
+        rare_cond, rare_round,
+        (m, disp, pending, jnp.zeros((), jnp.int32)),
+    )
+    return m

@@ -82,6 +82,15 @@ class StepConfig:
 
     def resolved_engine(self) -> str:
         if self.engine == "auto":
+            if self.locate_mode == "convex":
+                # ConvexPoly cached engine (TetVelocity + Euler, like the
+                # reference's default build); needs with_convex_rows(mesh)
+                return (
+                    "cached"
+                    if self.velocity_interp == advect_ops.TET_VELOCITY
+                    and self.integrator == "euler"
+                    else "simple"
+                )
             return (
                 "cached"
                 if self.velocity_interp
@@ -164,6 +173,31 @@ def _run_cycles_impl(
     dt = jnp.asarray(cfg.dt if dt is None else dt, dtype=state.dtype)
 
     engine = cfg.resolved_engine()
+    if engine == "cached" and cfg.locate_mode == "convex":
+        if mesh.tet_row_cx is None:
+            # without with_convex_rows(mesh): simple engine
+            engine = "simple"
+        else:
+            from .ops import fused, fused_convex
+
+            tab = fused_convex.cx_table(mesh)
+            m0 = fused_convex.pack_state(
+                mesh, tab, state.pos, state.vel, state.tet_id, state.active
+            )
+
+            def body(i, carry):
+                m, step = carry
+                m = fused_convex.mega_cycle(
+                    mesh, tab, m, state.rng_key, step, cfg, dt
+                )
+                return m, step + 1
+
+            m, step = lax.fori_loop(0, n_cycles, body, (m0, state.step))
+            pos, vel, tet, act = fused.unpack_state(m)
+            return dataclasses.replace(
+                state, pos=pos, vel=vel, disp=jnp.zeros_like(state.disp),
+                tet_id=tet, active=act, step=step,
+            )
     if engine == "cached":
         from .ops import fused
 

@@ -94,3 +94,51 @@ def test_packed_rows_identical(setup):
     np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
     np.testing.assert_array_equal(np.asarray(a.tet_id), np.asarray(b.tet_id))
     np.testing.assert_array_equal(np.asarray(a.vel), np.asarray(b.vel))
+
+
+def test_cached_convex_matches_simple(setup):
+    """Phase-1 cached ConvexPoly engine (inline exit classification +
+    block-compacted simple-path resolution) reproduces the simple engine
+    exactly: pure advection with wall reflection, and with Brownian."""
+    from cudaparticlesfoam_tpu.mesh import with_convex_rows
+
+    mesh, st = setup
+    mesh_cx = with_convex_rows(mesh)
+    for kw in (dict(use_brownian=False), dict(diffusion_coeff=1e-3)):
+        a = run_cycles(
+            mesh_cx, st,
+            StepConfig(engine="simple", locate_mode="convex", dt=0.08, **kw),
+            60,
+        )
+        b = run_cycles(
+            mesh_cx, st,
+            StepConfig(engine="cached", locate_mode="convex", dt=0.08, **kw),
+            60,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.pos), np.asarray(b.pos), atol=1e-9
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.tet_id), np.asarray(b.tet_id)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.active), np.asarray(b.active)
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.vel), np.asarray(b.vel), atol=1e-9
+        )
+
+
+def test_cached_convex_without_rows_falls_back(setup):
+    """auto engine on convex mode without with_convex_rows: simple path."""
+    mesh, st = setup
+    cfg = StepConfig(locate_mode="convex", dt=0.08, use_brownian=False)
+    assert cfg.resolved_engine() == "cached"
+    a = run_cycles(mesh, st, cfg, 20)          # falls back silently
+    b = run_cycles(
+        mesh, st,
+        StepConfig(engine="simple", locate_mode="convex", dt=0.08,
+                   use_brownian=False),
+        20,
+    )
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
