@@ -78,6 +78,11 @@ def load_polymesh(case_dir: str, regenerate: bool = True, log=print) -> polymesh
     return blockmesh.generate(dict_path)
 
 
+# version of the host-side tet decomposition + table-build algorithm;
+# part of the cache fingerprint (see _cached_tet_mesh)
+_TET_CACHE_VERSION = 2
+
+
 def _cached_tet_mesh(case_dir: str, poly, dtype, log, min_build_s: float = 10.0):
     """Geometry-only tet mesh with an on-disk cache.
 
@@ -91,8 +96,14 @@ def _cached_tet_mesh(case_dir: str, poly, dtype, log, min_build_s: float = 10.0)
     import pickle
 
     fp = hashlib.sha1()
+    # bump _TET_CACHE_VERSION on ANY change to the decomposition/table
+    # build (tet_decompose, quality base points, walk/pk/convex rows) —
+    # the fingerprint must invalidate caches built by older algorithms
+    fp.update(f"v{_TET_CACHE_VERSION}".encode())
     fp.update(np.ascontiguousarray(poly.points).tobytes())
     fp.update(np.ascontiguousarray(poly.owner).tobytes())
+    fp.update(np.ascontiguousarray(poly.neighbour).tobytes())
+    fp.update(np.ascontiguousarray(poly.face_offsets).tobytes())
     fp.update(np.ascontiguousarray(poly.face_verts).tobytes())
     fp.update(str(dtype).encode())
     digest = fp.hexdigest()

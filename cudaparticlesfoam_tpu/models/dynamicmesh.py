@@ -103,7 +103,7 @@ def read_dynamic_mesh(case_dir: str) -> "SolidBodyMotion | None":
         return None
     fn = d.get("solidBodyMotionFunction")
     coeffs = {}
-    if fn is None and "motionSolverLibs" in d or "motionSolver" in d:
+    if fn is None and ("motionSolverLibs" in d or "motionSolver" in d):
         # dynamicMotionSolverFvMesh form: solver solidBody; + nested coeffs
         fn = d.get("solidBody", {}).get("solidBodyMotionFunction")
         coeffs = d.get("solidBody", {})

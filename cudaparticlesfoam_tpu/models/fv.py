@@ -117,6 +117,11 @@ class BoundaryCoeffs:
     # per outer iteration based on the current flux sign
     io_mask: jnp.ndarray | None = None    # [n_bd] bool
     io_value: jnp.ndarray | None = None   # [n_bd, ncomp]
+    # slip/symmetry faces: for vector fields the face value is the owner
+    # value with the face-normal component removed (U_f = U_P - (U_P.n)n);
+    # a tensor relation the scalar affine form cannot express, handled as
+    # a projection in boundary_value.  Scalars fall back to zeroGradient.
+    slip_mask: jnp.ndarray | None = None  # [n_bd] bool
 
 
 def make_bcs(m: FvMesh, spec: dict, n_comp: int, default="zeroGradient", dtype=None):
@@ -135,11 +140,15 @@ def make_bcs(m: FvMesh, spec: dict, n_comp: int, default="zeroGradient", dtype=N
     b = np.zeros((n_bd, n_comp))
     io_mask = np.zeros(n_bd, bool)
     io_value = np.zeros((n_bd, n_comp))
+    slip_mask = np.zeros(n_bd, bool)
     fixed_types = ("fixedValue", "noSlip", "totalPressure", "uniformTotalPressure",
                    "uniformFixedValue", "movingWallVelocity")
-    grad_types = ("zeroGradient", "empty", "slip", "calculated", "symmetry",
-                  "outletInlet",
-                  "pressureInletOutletParSlipVelocity", "waveTransmissive")
+    grad_types = ("zeroGradient", "empty", "calculated",
+                  "outletInlet", "waveTransmissive")
+    # tangential projection for vectors; identical to zeroGradient for
+    # scalars (parSlip's tangential part is slip too)
+    slip_types = ("slip", "symmetry", "symmetryPlane",
+                  "pressureInletOutletParSlipVelocity")
     io_types = ("inletOutlet", "pressureInletOutletVelocity")
     for name, ptype, start, cnt in m.patch_slices:
         entry = spec.get(name)
@@ -156,6 +165,10 @@ def make_bcs(m: FvMesh, spec: dict, n_comp: int, default="zeroGradient", dtype=N
         elif btype in grad_types:
             a[sl] = 1.0
             b[sl] = 0.0
+        elif btype in slip_types:
+            a[sl] = 1.0
+            b[sl] = 0.0
+            slip_mask[sl] = True
         elif btype in io_types:
             # outflow branch (zeroGradient) as the base; backflow flips to
             # fixedValue(inletValue) via effective_bcs per outer iteration
@@ -172,6 +185,7 @@ def make_bcs(m: FvMesh, spec: dict, n_comp: int, default="zeroGradient", dtype=N
         b=jnp.asarray(b, dtype).reshape(n_bd, n_comp),
         io_mask=jnp.asarray(io_mask),
         io_value=jnp.asarray(io_value, dtype).reshape(n_bd, n_comp),
+        slip_mask=jnp.asarray(slip_mask) if slip_mask.any() else None,
     )
 
 
@@ -191,12 +205,19 @@ def effective_bcs(bc: BoundaryCoeffs, flux_b) -> BoundaryCoeffs:
 
 
 def boundary_value(m: FvMesh, bc: BoundaryCoeffs, phi):
-    """phi on boundary faces: a * phi_owner + b."""
+    """phi on boundary faces: a * phi_owner + b (slip faces: tangential
+    projection for vectors — zeroes the wall-normal component so slip
+    walls carry no mass flux)."""
     own = m.owner[m.n_internal :]
     po = phi[own]
     if phi.ndim == 1:
         return bc.a * po + bc.b[:, 0]
-    return bc.a[:, None] * po + bc.b
+    out = bc.a[:, None] * po + bc.b
+    if bc.slip_mask is not None:
+        nhat = m.sf[m.n_internal :] / m.mag_sf[m.n_internal :, None]
+        tang = po - jnp.sum(po * nhat, axis=-1, keepdims=True) * nhat
+        out = jnp.where(bc.slip_mask[:, None], tang, out)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -98,8 +98,9 @@ def load_flow_case(case_dir: str, pm=None, dtype=jnp.float32, time_dir="0"):
     ``time_dir`` selects the field snapshot directory: "0" for a cold
     start, or the latest written time for a restart (the reference
     restarts through OpenFOAM's ``startFrom latestTime`` time-directory
-    machinery).  BC *specs* come from the same directory (OpenFOAM
-    rewrites them at every field write); internal fields fall back to
+    machinery).  BC *specs* always come from ``0/``: our field writer
+    tags boundaries "calculated" (which carries no inlet values), so the
+    restart dir's specs are not usable.  Internal fields fall back to
     ``0/`` when the restart dir misses a field.
     """
     if pm is None:
@@ -291,11 +292,25 @@ def turbulence_model(case_dir: str) -> str:
     sim = str(d.get("simulationType", "laminar"))
     if sim == "laminar":
         return "laminar"
+    if sim != "RAS":
+        raise ValueError(
+            f"unsupported simulationType {sim!r} in {path} "
+            "(supported: laminar, RAS)"
+        )
     ras = d.get("RAS", {})
-    if isinstance(ras, dict) and str(ras.get("RASModel", "")) == "kEpsilon":
-        if str(ras.get("turbulence", "on")) in ("on", "true", "yes", "1"):
-            return "kEpsilon"
-    return "laminar"
+    if not isinstance(ras, dict):
+        raise ValueError(f"RAS sub-dictionary missing/malformed in {path}")
+    if str(ras.get("turbulence", "on")) not in ("on", "true", "yes", "1"):
+        return "laminar"
+    model = str(ras.get("RASModel", ""))
+    if model in ("kEpsilon", "kOmegaSST"):
+        return model
+    raise ValueError(
+        f"unsupported RASModel {model!r} in {path} "
+        "(supported: kEpsilon, kOmegaSST; the reference constructs any "
+        "OpenFOAM model, applications/cudaParticlesPimpleFoam/"
+        "createFields.H:53-61)"
+    )
 
 
 def read_residual_control(case_dir: str) -> dict:
@@ -315,7 +330,7 @@ def solve_steady(
     pm=None,
     n_iters: int = 500,
     cfg: SimpleConfig | None = None,
-    tol: float = 1e-5,
+    tol: float | None = None,
     dtype=jnp.float32,
     log=print,
     log_every: int = 50,
@@ -332,8 +347,10 @@ def solve_steady(
     m, st, u_bcs, p_bcs, nu, pin, _ = load_flow_case(case_dir, pm=pm, dtype=dtype)
     num = read_numerics(case_dir)
     rc = read_residual_control(case_dir)
-    if "U" in rc:
-        tol = float(rc["U"])
+    if tol is None:
+        # default to fvSolution's SIMPLE.residualControl.U; an explicit
+        # caller tolerance wins over the case value
+        tol = float(rc["U"]) if "U" in rc else 1e-5
     if cfg is None:
         cfg = SimpleConfig(nu=nu, pin_pressure=pin,
                            div_scheme=num["div_scheme"],

@@ -131,6 +131,9 @@ def run(
 
     wall0 = time.perf_counter()
     with device_trace(profile_dir):
+        inj_active = pcfg.injection_interval > 0 and (
+            engine is None or engine.supports_injection
+        )
         i = 0
         while i < n_cycles:
             # run up to the next write boundary in one fused program
@@ -139,6 +142,13 @@ def run(
             else:
                 next_write = ((i // pcfg.save_interval) + 1) * pcfg.save_interval
                 chunk = min(next_write, n_cycles) - i
+            if inj_active:
+                # break chunks at injection boundaries too, so every
+                # multiple of injectionInterval is a chunk start (an
+                # interval that does not divide saveInterval used to
+                # inject only at step 0)
+                inj = pcfg.injection_interval
+                chunk = min(chunk, ((i // inj) + 1) * inj - i)
             with timer.phase("Advect"):
                 if engine is None:
                     # donated: the previous state's buffers are reused
@@ -149,11 +159,7 @@ def run(
                     engine.advance(chunk, cycle_dt)
             prev = i
             i += chunk
-            if (
-                pcfg.injection_interval > 0
-                and prev % pcfg.injection_interval == 0
-                and (engine is None or engine.supports_injection)
-            ):
+            if inj_active and prev % pcfg.injection_interval == 0:
                 from ..state import inject
 
                 if engine is not None:

@@ -289,6 +289,11 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0):
 def shard_bcs(bc: fv.BoundaryCoeffs, bglob, dtype=None):
     """Stack per-device BoundaryCoeffs by the device boundary-face lists
     (padded faces get a=1, b=0: zeroGradient into the dummy cell)."""
+    if bc.slip_mask is not None:
+        raise NotImplementedError(
+            "slip/symmetry vector BCs are not supported by the sharded "
+            "flow solver yet; run single-device"
+        )
     a = np.asarray(bc.a)
     b = np.asarray(bc.b)
     io = np.asarray(bc.io_mask) if bc.io_mask is not None else None
