@@ -641,25 +641,29 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
         mb = m3[safe_b].reshape(nl, W)             # [capb,8,W] block gather
         lane_b = lax.broadcasted_iota(jnp.int32, (capb, BLOCK), 0)
         inrange = lane_b < jnp.minimum(nbp, capb)
-        lanes_act = (pend2[safe_b] & inrange).reshape(-1)
-        # exact second-stage compaction inside the small arena (a nonzero
-        # here is ~n/16-sized; the walk's hop gathers then touch only truly
-        # pending lanes instead of every arena lane)
-        cnt_l = jnp.sum(lanes_act.astype(jnp.int32))
-        idxl = jnp.nonzero(lanes_act, size=cap_l, fill_value=nl)[0].astype(jnp.int32)
+        pendb = pend2[safe_b] & inrange            # [capb,8] lanes to run
+        lanes_act = pendb.reshape(-1)
+        # --- exact second-stage compaction via SORT.  jnp.nonzero here
+        # lowered to a scalar-memory scatter at ~130 ns/index = 8.25 ms at
+        # a 62k arena — the single hottest op of the whole cycle.  A
+        # bitonic lax.sort of (iota-where-pending) is vector-friendly, and
+        # its ascending/fill-at-end output keeps the write-back scatter on
+        # the fast sorted path (arbitrary index order there ran ~530 ns/idx).
+        lane_iota = lax.broadcasted_iota(jnp.int32, (nl, 1), 0)[:, 0]
+        skey = lax.sort(jnp.where(lanes_act, lane_iota, nl))
+        idxl = skey[:cap_l]                        # pending lane ids, fill=nl
         sub = mb[jnp.minimum(idxl, nl - 1)]            # [cap_l,W] lane gather
-        subact = lax.broadcasted_iota(jnp.int32, (cap_l, 1), 0)[:, 0] < jnp.minimum(
-            cnt_l, cap_l
-        )
-        sub = run_lanes(sub, subact)
+        sub = run_lanes(sub, idxl < nl)
         mb = mb.at[idxl].set(sub, mode="drop")         # [cap_l,W] lane scatter
-        rank = jnp.cumsum(lanes_act.astype(jnp.int32)) - 1
-        handled = lanes_act & (rank < cap_l)
+        # handled = pending lanes with id <= the last taken id (sorted
+        # take ⇒ a pure threshold; no rank cumsum needed)
+        thresh = skey[cap_l - 1]
+        handled = lanes_act & (lane_iota <= jnp.minimum(thresh, nl - 1))
         m3 = m3.at[bidx].set(
             mb.reshape(capb, BLOCK, W), mode="drop"
         )                                              # [capb,8,W] block scatter
         pend2 = pend2.at[bidx].set(
-            pend2[safe_b] & ~handled.reshape(capb, BLOCK), mode="drop"
+            pendb & ~handled.reshape(capb, BLOCK), mode="drop"
         )
         return m3.reshape(n, W), pend2.reshape(n), r + 1
 
