@@ -227,21 +227,29 @@ def run_coupled(
                     compress=ctrl.write_compression,
                 )
                 if getattr(flow, "kes", None) is not None:
-                    # k/epsilon in the time dir so latestTime restarts
-                    # resume the closure state too
+                    # closure fields (k + epsilon or omega) in the time dir
+                    # so latestTime restarts resume the closure state too
                     import numpy as _np
                     import os as _os
 
                     bf = {nm: {"type": "calculated"}
                           for nm, *_ in flow.m.patch_slices}
-                    for fname, vals in (
-                        ("k", flow.kes.k), ("epsilon", flow.kes.eps),
-                    ):
+                    if hasattr(flow.kes, "eps"):
+                        fields = (("k", flow.kes.k, -2),
+                                  ("epsilon", flow.kes.eps, -3))
+                    else:
+                        # kOmegaSST: omega has dimensions [0 0 -1]
+                        fields = (("k", flow.kes.k, -2),
+                                  ("omega", flow.kes.omega, None))
+                    for fname, vals, tdim in fields:
+                        dims = (
+                            (0, 0, -1, 0, 0, 0, 0) if tdim is None
+                            else (0, 2, tdim, 0, 0, 0, 0)
+                        )
                         pmio.write_field(
                             _os.path.join(tdir, fname), fname,
                             _np.asarray(vals),
-                            dimensions=(0, 2, -2 if fname == "k" else -3,
-                                        0, 0, 0, 0),
+                            dimensions=dims,
                             boundary_field=bf,
                             binary=ctrl.write_format == "binary",
                             compress=ctrl.write_compression,

@@ -262,13 +262,15 @@ class FlowSolver:
             log(f"#flow: dynamic mesh: {motion.kind} "
                 f"(moving walls: {solver.moving_patches})")
         solver.kes = solver.k_bcs = solver.e_bcs = solver.wi = None
-        if turbulence_model(case.case_dir) == "kEpsilon":
+        solver.turb_model = turbulence_model(case.case_dir)
+        if solver.turb_model != "laminar":
             from . import turbulence as turb
 
-            solver.kes, solver.k_bcs, solver.e_bcs, solver.wi = turb.init_from_case(
-                case.case_dir, m, time_dir=getattr(case, "time_dir", "0")
+            solver.kes, solver.k_bcs, solver.e_bcs, solver.wi = turb.init_model(
+                solver.turb_model, case.case_dir, m,
+                time_dir=getattr(case, "time_dir", "0"),
             )
-            log("#flow: kEpsilon closure active")
+            log(f"#flow: {solver.turb_model} closure active")
         log(f"#flow: PIMPLE solver on {m.n_cells} cells, nu={nu}")
         return solver
 
@@ -332,7 +334,8 @@ class FlowSolver:
         if getattr(self, "kes", None) is not None:
             from . import turbulence as turb
 
-            self.kes = turb.k_epsilon_step(
+            self.kes = turb.model_step(
+                getattr(self, "turb_model", "kEpsilon"),
                 self.m, self.kes, self.state.u, self.u_bcs, self.state.flux,
                 self.k_bcs, self.e_bcs, self.wi, self.cfg.nu, dt=dt_e,
             )

@@ -360,11 +360,11 @@ def solve_steady(
     amg = fv.build_amg(m) if cfg.p_solver == "amg" else None
     turbulence = turbulence if turbulence is not None else turbulence_model(case_dir)
     kes = k_bcs = e_bcs = wi = None
-    if turbulence == "kEpsilon":
+    if turbulence != "laminar":
         from . import turbulence as turb
 
-        kes, k_bcs, e_bcs, wi = turb.init_from_case(case_dir, m, dtype=dtype)
-        log(f"#flow: kEpsilon closure active ({len(np.asarray(wi.wall_cell))} wall cells)")
+        kes, k_bcs, e_bcs, wi = turb.init_model(turbulence, case_dir, m, dtype=dtype)
+        log(f"#flow: {turbulence} closure active ({len(np.asarray(wi.wall_cell))} wall cells)")
     for i in range(n_iters):
         nut_bd = None
         if kes is not None:
@@ -378,8 +378,9 @@ def solve_steady(
         if kes is not None:
             from . import turbulence as turb
 
-            kes = turb.k_epsilon_step(
-                m, kes, st.u, u_bcs, st.flux, k_bcs, e_bcs, wi, cfg.nu
+            kes = turb.model_step(
+                turbulence, m, kes, st.u, u_bcs, st.flux, k_bcs, e_bcs, wi,
+                cfg.nu,
             )
         if i % log_every == 0:
             log(

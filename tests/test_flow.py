@@ -281,3 +281,85 @@ def test_slip_bc_zeroes_normal_component(channel):
     pb = np.asarray(fv.boundary_value(m, p_bcs, jnp.arange(m.n_cells, dtype=m.sf.dtype)))
     own = np.asarray(m.owner)[m.n_internal:][sl]
     np.testing.assert_allclose(pb[sl], own.astype(float), atol=1e-12)
+
+
+def test_komega_sst_channel(channel, tmp_path):
+    # same turbulent channel through the kOmegaSST closure: stable, flatter
+    # than laminar, bounded nut, F1/F2 machinery exercised end-to-end
+    import shutil
+
+    case, pm = channel
+    tcase = str(tmp_path / "sstchan")
+    shutil.copytree(case, tcase)
+    with open(f"{tcase}/constant/transportProperties", "w") as fh:
+        fh.write("FoamFile { version 2.0; format ascii; class dictionary; "
+                 "object transportProperties; }\nnu [0 2 -1 0 0 0 0] 1e-05;\n")
+    with open(f"{tcase}/constant/turbulenceProperties", "w") as fh:
+        fh.write("FoamFile { version 2.0; format ascii; class dictionary; "
+                 "object turbulenceProperties; }\nsimulationType RAS;\n"
+                 "RAS { RASModel kOmegaSST; turbulence on; }\n")
+    with open(f"{tcase}/0/k", "w") as fh:
+        fh.write("FoamFile { version 2.0; format ascii; class volScalarField; object k; }\n"
+                 "dimensions [0 2 -2 0 0 0 0];\ninternalField uniform 0.00375;\n"
+                 "boundaryField {\n inlet { type fixedValue; value uniform 0.00375; }\n"
+                 " outlet { type zeroGradient; }\n walls { type kqRWallFunction; value uniform 0.00375; }\n"
+                 " frontAndBack { type empty; }\n}\n")
+    with open(f"{tcase}/0/omega", "w") as fh:
+        fh.write("FoamFile { version 2.0; format ascii; class volScalarField; object omega; }\n"
+                 "dimensions [0 0 -1 0 0 0 0];\ninternalField uniform 2.2;\n"
+                 "boundaryField {\n inlet { type fixedValue; value uniform 2.2; }\n"
+                 " outlet { type zeroGradient; }\n walls { type omegaWallFunction; value uniform 2.2; }\n"
+                 " frontAndBack { type empty; }\n}\n")
+    assert simple.turbulence_model(tcase) == "kOmegaSST"
+    m, st, _ = simple.solve_steady(tcase, pm=pm, n_iters=250, log=lambda *a: None)
+    u = np.asarray(st.u)
+    assert not np.isnan(u).any()
+    cc = np.asarray(m.cc)
+    sel = np.abs(cc[:, 0] - 1.9) < 0.05
+    ux = u[sel, 0]
+    assert 1.05 < ux.max() / max(ux.mean(), 1e-9) < 1.45  # flatter than laminar
+
+
+def test_sst_blending_functions(channel):
+    # F1 -> 1 at the wall (wall-distance term dominates), -> 0 far away on
+    # a synthetic state; wall distance positive and monotone into the duct
+    import jax.numpy as jnp
+
+    from cudaparticlesfoam_tpu.models import turbulence as turb
+
+    case, pm = channel
+    m = fv.fv_mesh(pm)
+    y = turb.wall_distance(m)
+    assert (y > 0).all()
+    # duct walls at y=0/0.1: wall distance <= 0.05 + slack everywhere
+    assert y.max() <= 0.051
+    cc = np.asarray(m.cc)
+    np.testing.assert_allclose(
+        y, np.minimum(np.abs(cc[:, 1]), np.abs(0.1 - cc[:, 1])), atol=5e-3
+    )
+
+
+def test_turbulence_model_unknown_is_error(channel, tmp_path):
+    import shutil
+
+    case, pm = channel
+    tcase = str(tmp_path / "badmodel")
+    shutil.copytree(case, tcase)
+    with open(f"{tcase}/constant/turbulenceProperties", "w") as fh:
+        fh.write("FoamFile { version 2.0; format ascii; class dictionary; "
+                 "object turbulenceProperties; }\nsimulationType RAS;\n"
+                 "RAS { RASModel SpalartAllmaras; turbulence on; }\n")
+    with pytest.raises(ValueError, match="SpalartAllmaras"):
+        simple.turbulence_model(tcase)
+    with open(f"{tcase}/constant/turbulenceProperties", "w") as fh:
+        fh.write("FoamFile { version 2.0; format ascii; class dictionary; "
+                 "object turbulenceProperties; }\nsimulationType LES;\n"
+                 "LES { LESModel Smagorinsky; }\n")
+    with pytest.raises(ValueError, match="LES"):
+        simple.turbulence_model(tcase)
+    # RAS with turbulence off degrades to laminar, not an error
+    with open(f"{tcase}/constant/turbulenceProperties", "w") as fh:
+        fh.write("FoamFile { version 2.0; format ascii; class dictionary; "
+                 "object turbulenceProperties; }\nsimulationType RAS;\n"
+                 "RAS { RASModel kEpsilon; turbulence off; }\n")
+    assert simple.turbulence_model(tcase) == "laminar"
