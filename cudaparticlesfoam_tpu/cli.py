@@ -42,7 +42,20 @@ def main(argv=None):
         choices=("auto", "single", "dp", "partitioned"),
         help="multi-chip execution strategy override",
     )
-    add_case_cmd("replay", "particle tracking over recorded U snapshots")
+    def add_particle_parallel(p):
+        p.add_argument(
+            "--devices", type=int, default=None,
+            help="particle devices (default: all); >1 auto-selects DP vs "
+                 "spatially-partitioned by mesh size",
+        )
+        p.add_argument(
+            "--strategy", default="auto",
+            choices=("auto", "single", "dp", "partitioned"),
+            help="multi-chip particle strategy override",
+        )
+
+    p = add_case_cmd("replay", "particle tracking over recorded U snapshots")
+    add_particle_parallel(p)
     p = add_case_cmd("coupled", "native PIMPLE flow + particle tracking")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument(
@@ -50,6 +63,7 @@ def main(argv=None):
         help="domain-decompose the fluid solve over N devices "
              "(decomposePar/mpirun equivalent)",
     )
+    add_particle_parallel(p)
     p = add_case_cmd("simple", "steady incompressible flow (SIMPLE)")
     p.add_argument("--iters", type=int, default=None)
 
@@ -113,7 +127,8 @@ def main(argv=None):
         from .models import coupled
 
         coupled.run_replay(
-            args.case, out_dir=args.out, write_output=not args.no_write, dtype=dtype
+            args.case, out_dir=args.out, write_output=not args.no_write,
+            dtype=dtype, devices=args.devices, strategy=args.strategy,
         )
     elif args.cmd == "coupled":
         from .models import coupled
@@ -125,6 +140,8 @@ def main(argv=None):
             dtype=dtype,
             n_steps=args.steps,
             flow_devices=args.flow_devices,
+            devices=args.devices,
+            strategy=args.strategy,
         )
     elif args.cmd == "simple":
         from .models import simple

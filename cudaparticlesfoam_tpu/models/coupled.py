@@ -28,12 +28,20 @@ from . import case as caselib
 
 
 def _advance_interval(case, state, cfg, pcfg, delta_t, step0, out_dir,
-                      write_output, log, writer=None):
+                      write_output, log, writer=None, engine=None):
     """One Eulerian interval: sub-cycle with VTU writes on the reference's
-    step schedule (``advect.H:86-184``).  Returns (state, next step0)."""
+    step schedule (``advect.H:86-184``).  Returns (state, next step0).
+
+    With ``engine`` set, sub-steps run on the multi-chip
+    :class:`..parallel.auto.ParticleEngine` (DP or spatially partitioned)
+    instead of the single-device fused stepper — the scale-out inversion
+    of the reference's particles-on-master-GPU-only design
+    (``initCuda.H:322``)."""
     n_cycles, cycle_dt = n_cycles_for(delta_t, pcfg.dt)
     log(f"dtE:{delta_t} dtL: {pcfg.dt}")
     log(f"nCycles: {n_cycles} cycleDt: {cycle_dt}")
+    if engine is not None:
+        engine.update_from_case(case)    # fresh U into the engine's tables
     i = 0
     while i < n_cycles:
         step = step0 + i
@@ -42,17 +50,37 @@ def _advance_interval(case, state, cfg, pcfg, delta_t, step0, out_dir,
         else:
             next_write = ((step // pcfg.save_interval) + 1) * pcfg.save_interval
             chunk = min(next_write - step0, n_cycles) - i
-        state = run_cycles_donated(case.tet_mesh, state, cfg, chunk, cycle_dt)
+        if engine is not None:
+            engine.advance(chunk, cycle_dt)
+        else:
+            state = run_cycles_donated(case.tet_mesh, state, cfg, chunk, cycle_dt)
         prev = step
         i += chunk
         if write_output and prev % pcfg.save_interval == 0:
+            if engine is not None:
+                state = engine.snapshot()
             if writer is not None:
                 writer.write(prev + 1, state, out_dir=out_dir, verbose=True)
             else:
                 vtu.write_particles_vtu(
                     prev + 1, state, out_dir=out_dir, verbose=True
                 )
+    if engine is not None:
+        state = engine.snapshot()
     return state, step0 + n_cycles
+
+
+def _make_engine(case, state, cfg, devices, strategy, log):
+    """ParticleEngine when multi-chip execution is requested (None keeps
+    the plain single-device fast path)."""
+    n_dev = devices if devices is not None else len(jax.devices())
+    if strategy == "auto" and n_dev <= 1 and devices is None:
+        return None
+    from ..parallel.auto import ParticleEngine
+
+    return ParticleEngine(
+        case.tet_mesh, state, cfg, devices=n_dev, strategy=strategy, log=log
+    )
 
 
 def run_replay(
@@ -61,6 +89,8 @@ def run_replay(
     write_output: bool = True,
     dtype=None,
     log=print,
+    devices: int | None = None,
+    strategy: str = "auto",
 ):
     """Advance particles over the case's recorded U snapshots."""
     case = caselib.load_case(case_dir, dtype=dtype, log=log)
@@ -75,6 +105,7 @@ def run_replay(
     tdirs = caselib.time_dirs(case_dir)
     # start at the first snapshot; advance between consecutive snapshots
     state = caselib.init_particles(case, log=log)
+    engine = _make_engine(case, state, cfg, devices, strategy, log)
     writer = vtu.AsyncVTUWriter()
     if write_output:
         writer.write(0, state, out_dir=out_dir, verbose=True)
@@ -95,7 +126,7 @@ def run_replay(
         delta_t = t_next - t_prev
         state, step0 = _advance_interval(
             case, state, cfg, pcfg, delta_t, step0, out_dir, write_output,
-            log, writer=writer,
+            log, writer=writer, engine=engine,
         )
         n_total = step0
     jax.block_until_ready(state.pos)
@@ -118,12 +149,18 @@ def run_coupled(
     log=print,
     n_steps: int | None = None,
     flow_devices: int | None = None,
+    devices: int | None = None,
+    strategy: str = "auto",
 ):
     """Full coupled run: native PIMPLE flow step + per-step advection.
 
     ``flow_devices=N`` runs the fluid solve domain-decomposed over an
     N-device mesh (shard_map + ppermute halo exchange — the reference's
-    ``mpirun -np 4 ... -parallel`` analog, Allrun-parallel:10-11).
+    ``mpirun -np 4 ... -parallel`` analog, Allrun-parallel:10-11);
+    ``devices``/``strategy`` scale the PARTICLE side (DP or spatial
+    partitioning) like the uncoupled driver — together they replace the
+    reference's everything-gathered-to-one-GPU layout
+    (``initCuda.H:209-322``).
     """
     from . import pimple as pimplelib
 
@@ -144,6 +181,7 @@ def run_coupled(
     else:
         flow = pimplelib.FlowSolver.from_case(case, log=log)
     state = caselib.init_particles(case, log=log)
+    engine = _make_engine(case, state, cfg, devices, strategy, log)
     writer = vtu.AsyncVTUWriter()
     if write_output:
         writer.write(0, state, out_dir=out_dir, verbose=True)
@@ -205,6 +243,8 @@ def run_coupled(
             case.tet_mesh = meshlib.refresh_geometry(
                 case.tet_mesh, flow.dyn.tet_vertices(flow.m)
             )
+            if engine is not None:
+                engine.update_from_case(case, geometry=True)
         t += dt_e
         k += 1
         log(f"Time = {t:g}  (deltaT {dt_e:g})")
@@ -263,7 +303,7 @@ def run_coupled(
             case.update_velocity(flow.cell_velocity())
             state, step0 = _advance_interval(
                 case, state, cfg, pcfg, dt_e, step0, out_dir, write_output,
-                log, writer=writer,
+                log, writer=writer, engine=engine,
             )
         if n_steps is not None and k >= n_steps:
             break

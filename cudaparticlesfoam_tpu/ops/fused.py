@@ -495,12 +495,14 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
     # stage: at very large batches the full-batch masked gather's
     # per-index cost grows (HBM pressure) past what block compaction
     # costs, flipping the round-1 "never compact before hop 1" rule.
+    # NOTE on attempted alternatives (all measured SLOWER, v5e, round 3):
+    # gathering rows only for crosser-containing 8-lane blocks (sort-
+    # compacted block ids + windowed merge) ran 2.7x slower — XLA wraps
+    # the [nb,8,row_w] view of the row columns in layout copies; and
+    # index-distribution tricks (constant fill index, cache-sized fill
+    # regions) do nothing — the gather is issue-rate-bound per index
+    # (~122M idx/s in-engine), not cache- or bandwidth-bound.
     n_hops = max(int(getattr(cfg, "inline_hops", 1)), 0)
-    blocked_hop = getattr(cfg, "hop_gather", "full") == "block"
-    if blocked_hop:
-        capc = min(
-            max(int(nb * getattr(cfg, "hop_block_frac", 0.5)), 32), nb
-        )
     for _ in range(n_hops):
         code = _pick_rows(cur_rows, ly.nbr, s_cur).astype(jnp.int32)
         mv = unresolved & (code >= 0)
@@ -508,37 +510,12 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
         wall_slot = jnp.where(new_wall, s_cur, wall_slot)
         wall = wall | new_wall
         idx = jnp.where(mv, code, jnp.maximum(cur_tet, 0))
-        if blocked_hop:
-            # gather rows only for 8-lane blocks that contain a crosser:
-            # at a few % crossing, 3-10x fewer random indices on the big
-            # row table than the full-batch masked gather.  Blocks beyond
-            # the capc capacity keep their stale rows and their movers
-            # stay unresolved — the exact rare stage picks them up.
-            bflag = jnp.any(mv.reshape(nb, BLOCK), axis=1)
-            biota = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0]
-            skey_h = lax.sort(jnp.where(bflag, biota, nb))
-            cbidx = skey_h[:capc]                      # crosser blocks, fill=nb
-            safe_c = jnp.minimum(cbidx, nb - 1)
-            idxb = idx.reshape(nb, BLOCK)[safe_c]      # [capc,8] small gather
-            rows_b = tab[idxb.reshape(-1)].reshape(capc, BLOCK, ly.row_w)
-            rows3 = cur_rows.reshape(nb, BLOCK, ly.row_w)
-            rows3 = rows3.at[cbidx].set(rows_b, mode="drop")
-            cur_rows = rows3.reshape(n, ly.row_w)
-            thresh_h = jnp.minimum(skey_h[capc - 1], nb - 1)
-            cov = mv & (biota <= thresh_h)[:, None].reshape(nb, 1).repeat(
-                BLOCK, 1
-            ).reshape(-1)
-            cur_tet = jnp.where(cov, code, cur_tet)
-            bw = _bary4_rows(cur_rows, px, py, pz)
-            s_cur, wmin_h = _argmin4(*bw)
-            unresolved = (cov & (wmin_h < 0.0)) | (mv & ~cov)
-        else:
-            rows_g = tab[idx]                      # ONE [n,row_w] gather per hop
-            cur_rows = jnp.where(mv[:, None], rows_g, cur_rows)
-            cur_tet = jnp.where(mv, code, cur_tet)
-            bw = _bary4_rows(cur_rows, px, py, pz)
-            s_cur, wmin_h = _argmin4(*bw)
-            unresolved = mv & (wmin_h < 0.0)
+        rows_g = tab[idx]                          # ONE [n,row_w] gather per hop
+        cur_rows = jnp.where(mv[:, None], rows_g, cur_rows)
+        cur_tet = jnp.where(mv, code, cur_tet)
+        bw = _bary4_rows(cur_rows, px, py, pz)
+        s_cur, wmin_h = _argmin4(*bw)
+        unresolved = mv & (wmin_h < 0.0)
 
     # --- inline single bounce (the dominant wall case): mirror pos and
     # vel across the exit-face plane of the boundary-adjacent tet

@@ -138,6 +138,47 @@ class ParticleEngine:
     def supports_injection(self) -> bool:
         return self.strategy == "single"
 
+    def update_from_case(self, case, geometry: bool = False) -> None:
+        """Refresh the engine's mesh copy after ``case.update_velocity``
+        (or, with ``geometry=True``, a dynamic-mesh geometry refresh) —
+        the multi-chip analog of the per-Eulerian-step
+        ``cudaUpdateVelocity`` upload (``advect.H:44-83``)."""
+        from ..mesh import replace_velocity
+
+        tm = case.tet_mesh
+        if self.strategy == "single":
+            self.mesh = tm
+        elif self.strategy == "dp":
+            if geometry:
+                from . import sharding
+
+                self.mesh = sharding.replicate_mesh(tm, self.dmesh)
+            else:
+                # velocity-only refresh of the replicated tables (row
+                # caches embed u)
+                self.mesh = replace_velocity(
+                    self.mesh, tet_vel=tm.tet_vel,
+                    vert_vel=tm.vert_vel if self.mesh.tet_row_pk is not None
+                    else None,
+                )
+        else:   # partitioned
+            if geometry:
+                raise NotImplementedError(
+                    "dynamic meshes are not supported with the partitioned "
+                    "particle strategy; use --strategy dp"
+                )
+            import jax.sharding as jsh
+
+            from . import partition
+
+            pm = partition.update_velocity(self._pm, tm.tet_vel)
+            self._pm = dataclasses.replace(
+                pm,
+                tet_row=jax.device_put(
+                    pm.tet_row, jsh.NamedSharding(self.dmesh, jsh.PartitionSpec("s"))
+                ),
+            )
+
     @property
     def migration_stats(self) -> dict:
         if self.strategy != "partitioned":

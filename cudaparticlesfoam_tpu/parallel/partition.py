@@ -115,6 +115,24 @@ def partition_mesh(mesh: TetMesh, n_shards: int) -> PartitionedMesh:
     )
 
 
+def update_velocity(pm: PartitionedMesh, tet_vel) -> PartitionedMesh:
+    """Refresh the per-tet velocity columns of the partitioned walk rows
+    from a GLOBAL (old-numbering) tet velocity array — the coupled/replay
+    drivers' per-Eulerian-interval U refresh (``advect.H:44-83``) without
+    re-partitioning."""
+    import dataclasses
+
+    tv = jnp.asarray(tet_vel, pm.tet_row.dtype)[pm.inv_perm]
+    total = pm.n_shards * pm.tets_per_shard
+    pad = total - pm.n_tets
+    if pad:
+        tv = jnp.concatenate([tv, jnp.zeros((pad, 3), tv.dtype)])
+    row = pm.tet_row.at[:, :, 12:15].set(
+        tv.reshape(pm.n_shards, pm.tets_per_shard, 3)
+    )
+    return dataclasses.replace(pm, tet_row=row)
+
+
 def distribute_particles(
     pm: PartitionedMesh, pos, vel, tet_old, active, rng_key=None,
     slack: float = 2.0,

@@ -69,13 +69,6 @@ class StepConfig:
     # batch, column math) before the rare stage; semantics identical to
     # bounce 1 of RTreflection (RTQuery.cu:92-186)
     inline_bounce: bool = True
-    # inline-hop row fetch strategy: "full" gathers a row for every lane
-    # (masked indices); "block" gathers only 8-lane blocks that contain a
-    # crosser — at a few % crossing that is 3-10x fewer random indices on
-    # the big row table.  Overflow beyond hop_block_frac of the blocks
-    # rides the exact rare stage (never a correctness trade).
-    hop_gather: str = "full"
-    hop_block_frac: float = 0.5
     # set by the case drivers when absorbing (escape) patches exist so the
     # inline bounce checks bd_escape; the rare-stage reflector always does
     escape_faces: bool = False

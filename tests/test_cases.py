@@ -289,3 +289,46 @@ def test_injection_fires_on_unaligned_interval(tmp_path, monkeypatch):
     # injections at steps 0,3,...,99 -> 34 events (the bug gave 4)
     assert len(calls) == 34
     monkeypatch.setattr(statelib, "inject", real_inject)
+
+
+def test_replay_strategy_parity(tmp_path):
+    """Multi-chip particles in the REPLAY driver (VERDICT r2 missing #2):
+    DP and partitioned engines track the single-device trajectory across
+    per-interval velocity refreshes (engine.update_from_case)."""
+    import jax
+
+    if len(jax.devices("cpu")) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from cudaparticlesfoam_tpu.models import coupled
+
+    runs = {}
+    for strat, dev in (("single", 1), ("dp", 8), ("partitioned", 8)):
+        case_dir = make_case(
+            tmp_path / strat, num_particles=200,
+            extra_dict={"dt": 1e-3, "saveInterval": 100000,
+                        "useBrownianMotion": 0},
+        )
+        from cudaparticlesfoam_tpu.io import blockmesh
+
+        pm = blockmesh.generate(os.path.join(case_dir, "system", "blockMeshDict"))
+        # two snapshots with DIFFERENT fields so the engine's velocity
+        # refresh path is actually exercised
+        for t, ux in [("282.01", 0.5), ("282.02", -0.25)]:
+            os.makedirs(os.path.join(case_dir, t), exist_ok=True)
+            u = np.tile([ux, 0.0, 0.0], (pm.n_cells, 1))
+            polymesh.write_field(os.path.join(case_dir, t, "U"), "U", u)
+        out = tmp_path / f"out_{strat}"
+        out.mkdir()
+        _, state, stats = coupled.run_replay(
+            case_dir, out_dir=str(out), write_output=False,
+            log=lambda *a: None, devices=dev, strategy=strat,
+        )
+        assert stats["cycles"] == 20
+        runs[strat] = state
+    ref = np.asarray(runs["single"].pos)
+    assert np.abs(ref).sum() > 0
+    for strat in ("dp", "partitioned"):
+        np.testing.assert_allclose(np.asarray(runs[strat].pos), ref, atol=1e-9)
+        np.testing.assert_array_equal(
+            np.asarray(runs[strat].tet_id), np.asarray(runs["single"].tet_id)
+        )
