@@ -67,20 +67,27 @@ def build_workload(n_side, n_particles, diffusion=1e-3):
     return mesh, st
 
 
-def run_config(name, n_side, n_particles, dt, n_cycles, diffusion=1e-3):
+def run_config(name, n_side, n_particles, dt, n_cycles, diffusion=1e-3,
+               locate_mode="bary", workload=None):
     import jax
 
     from cudaparticlesfoam_tpu import StepConfig, run_cycles
     from cudaparticlesfoam_tpu.parallel import sharding
     from cudaparticlesfoam_tpu.stepper import suggest_tuning
 
-    mesh, st = build_workload(n_side, n_particles, diffusion)
+    mesh, st = workload or build_workload(n_side, n_particles, diffusion)
+    if locate_mode == "convex" and mesh.tet_row_cx is None:
+        from cudaparticlesfoam_tpu.mesh import with_convex_rows
+
+        t0 = time.perf_counter()
+        mesh = with_convex_rows(mesh)
+        log(f"convex rows built ({time.perf_counter()-t0:.1f}s)")
     # hardware bit-generator Brownian noise: statistically equivalent
     # normals (the reference's curand is equally non-bit-matching,
     # particles.cu:551-599); saves ~0.8 ms/cycle of threefry VPU work
     cfg = suggest_tuning(
         mesh, StepConfig(dt=dt, diffusion_coeff=diffusion,
-                         brownian_rng="rbg"), dt
+                         brownian_rng="rbg", locate_mode=locate_mode), dt
     )
     log(f"[{name}] tuned: inline_hops={cfg.inline_hops} "
         f"walk_capacity_frac={cfg.walk_capacity_frac:.4f}")
@@ -115,7 +122,7 @@ def run_config(name, n_side, n_particles, dt, n_cycles, diffusion=1e-3):
     log(f"[{name}] {n_cycles} cycles in {dt_wall:.2f}s -> "
         f"{steps_per_sec/1e6:.1f}M steps/s; active={int(d['active'])} "
         f"out={int(d['out_of_domain'])}")
-    return steps_per_sec
+    return steps_per_sec, (mesh, st)
 
 
 def main():
@@ -123,8 +130,14 @@ def main():
     n_particles = int(float(sys.argv[2])) if len(sys.argv) > 2 else 1_000_000
     n_cycles = int(sys.argv[3]) if len(sys.argv) > 3 else 200
 
-    headline = run_config("north-star", n_side, n_particles, 0.05, n_cycles)
-    tutorial = run_config("tutorial-scale", 29, 100_000, 1.0, max(n_cycles, 200))
+    headline, wl = run_config("north-star", n_side, n_particles, 0.05, n_cycles)
+    # the reference's DEFAULT build mode (-DConvexPoly,
+    # applications/*/Make/options:1-5): same workload, convex locate
+    convex, _ = run_config(
+        "convex-default", n_side, n_particles, 0.05, n_cycles,
+        locate_mode="convex", workload=wl,
+    )
+    tutorial, _ = run_config("tutorial-scale", 29, 100_000, 1.0, max(n_cycles, 200))
 
     north_star = 100e6  # BASELINE.json: >=100M particle-steps/sec/chip
     print(
@@ -135,6 +148,7 @@ def main():
                 "unit": "particle-steps/s",
                 "vs_baseline": round(headline / north_star, 4),
                 "tutorial_scale_steps_per_sec": round(tutorial, 1),
+                "convex_mode_steps_per_sec": round(convex, 1),
             }
         )
     )

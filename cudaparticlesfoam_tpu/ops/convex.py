@@ -59,14 +59,16 @@ def _tet_tables(mesh: TetMesh, safe):
     )
 
 
-def _exit_face(mesh: TetMesh, p0, seg, tet, inlet_face):
-    """One ``traceIntet``: (dT, slot, next_code, face_id) for the segment
-    p0 -> p0+seg leaving ``tet``; slot=-1 when the segment ends inside."""
+def _exit_face_tables(n, d, nbr, p0, seg, suppress):
+    """Core of one ``traceIntet`` on explicit per-lane tables:
+    (dT, slot) of the admitted exit face with minimal dT (scan order,
+    strict '<'), slot=-1 when the segment ends inside.  ``suppress`` is
+    the [c,4] bool mask of faces excluded from admission (the inlet-face
+    skip — by face id in :func:`_exit_face`, by came-from neighbor code in
+    the cached engine; equivalent because two tets share exactly one
+    face)."""
     c = p0.shape[0]
-    safe = jnp.maximum(tet, 0)
-    n, d, nbr, fids = _tet_tables(mesh, safe)
     tol = jnp.asarray(TOL, p0.dtype)
-
     # the reference evaluates dot(A-P0, n) with n oriented INWARD of the
     # current tet (sorted-face parity, ConvexQuery.cu:77-79): inside points
     # give face_dist <= 0, so the `face_dist < tol` test admits real exits
@@ -78,7 +80,7 @@ def _exit_face(mesh: TetMesh, p0, seg, tet, inlet_face):
         (face_dist < tol)
         & (dt_ > tol)
         & (dt_ <= 1.0)
-        & (fids != inlet_face[:, None])
+        & ~suppress
     )
     dt_masked = jnp.where(ok, dt_, 1.1)
     best_dt = jnp.full(c, 1.1, p0.dtype)
@@ -87,6 +89,18 @@ def _exit_face(mesh: TetMesh, p0, seg, tet, inlet_face):
         upd = dt_masked[:, i] < best_dt
         best_dt = jnp.where(upd, dt_masked[:, i], best_dt)
         best_slot = jnp.where(upd, jnp.int32(i), best_slot)
+    return best_dt, best_slot
+
+
+def _exit_face(mesh: TetMesh, p0, seg, tet, inlet_face):
+    """One ``traceIntet``: (dT, slot, next_code, face_id) for the segment
+    p0 -> p0+seg leaving ``tet``; slot=-1 when the segment ends inside."""
+    c = p0.shape[0]
+    safe = jnp.maximum(tet, 0)
+    n, d, nbr, fids = _tet_tables(mesh, safe)
+    best_dt, best_slot = _exit_face_tables(
+        n, d, nbr, p0, seg, fids == inlet_face[:, None]
+    )
     hit = best_slot >= 0
     slot_safe = jnp.maximum(best_slot, 0)
     lane = jnp.arange(c)

@@ -74,30 +74,21 @@ def pack_state(mesh: TetMesh, tab, pos, vel, tet_id, active):
     return m
 
 
-def _exits_tet(m, ex, ey, ez):
-    """Does the segment pos -> (ex,ey,ez) exit the cached tet?  The
-    ``traceIntet`` admission test per face (``ConvexQuery.cu:77-101``)
-    in column math."""
-    tol = jnp.asarray(convex_ops.TOL, m.dtype)
-    px, py, pz = m[:, P0], m[:, P0 + 1], m[:, P0 + 2]
-    sx, sy, sz = ex - px, ey - py, ez - pz
-    crossing = jnp.zeros(m.shape[0], bool)
-    for i in range(4):
-        nx = m[:, RN + 3 * i]
-        ny = m[:, RN + 3 * i + 1]
-        nz = m[:, RN + 3 * i + 2]
-        d = m[:, RD + i]
-        face_dist = nx * px + ny * py + nz * pz - d
-        denom = -(nx * sx + ny * sy + nz * sz)
-        dt_ = face_dist / denom
-        ok = (
-            (face_dist < tol)
-            & jnp.isfinite(dt_)
-            & (dt_ > tol)
-            & (dt_ <= 1.0)
-        )
-        crossing = crossing | ok
-    return crossing
+def _row_tables(rows):
+    """(normals[c,4,3], offsets[c,4], nbr[c,4]) views of [c,24] rows
+    (same slicing as convex._tet_tables on tet_row_cx, minus face ids —
+    the cached engine substitutes came-from-neighbor suppression)."""
+    c = rows.shape[0]
+    return (
+        rows[:, 0:12].reshape(c, 4, 3),
+        rows[:, 12:16],
+        rows[:, 16:20].astype(jnp.int32),
+    )
+
+
+# inlet_nbr sentinel that can never equal a neighbor code (codes are
+# >= -(n boundary faces) and < n_tets)
+_NO_INLET = -(2 ** 30)
 
 
 def mega_cycle(mesh: TetMesh, tab, m, rng_key, step, cfg, dt):
@@ -138,21 +129,61 @@ def _cycle_aligned(mesh: TetMesh, tab, m, rng_key, step, cfg, dt):
     ex = m[:, P0] + dx
     ey = m[:, P0 + 1] + dy
     ez = m[:, P0 + 2] + dz
-    pending = alive & _exits_tet(m, ex, ey, ez)
+    p0 = m[:, P0 : P0 + 3]
+    p_end = jnp.stack([ex, ey, ez], axis=1)
+    seg = p_end - p0
+    nrm0, dpl0, nbr0 = _row_tables(m[:, ROW : ROW + ROW_W])
+    dt0, slot0 = convex_ops._exit_face_tables(
+        nrm0, dpl0, nbr0, p0, seg, nbr0 == _NO_INLET
+    )
+    crossing = alive & (slot0 >= 0)
 
-    # inline resolution for non-crossers: final pos = segment end, same
-    # tet, same row; vel refreshed above.  Crossers keep their START in
+    # --- inline hop-1 (phase 2): the dominant crosser case is a single
+    # interior face crossing (``traceIntet`` hop into the neighbor, then
+    # the remaining segment ends there).  Resolve it with ONE cx-row
+    # gather: march point p1 = p0 + dT*seg, exit-test the remaining
+    # segment in the neighbor's cached planes with the inlet face
+    # suppressed by its came-from neighbor code (exactly equivalent to
+    # the reference's face-id skip — two tets share one face,
+    # ConvexQuery.cu:87).  Wall hits and multi-hop lanes keep their
+    # ORIGINAL state and ride the exact rare stage.
+    res2 = jnp.zeros_like(crossing)
+    if max(int(getattr(cfg, "inline_hops", 1)), 0) >= 1:
+        lane4 = slot0[:, None] == jnp.arange(4, dtype=jnp.int32)[None, :]
+        nxt0 = jnp.sum(jnp.where(lane4, nbr0, 0), axis=1)
+        interior = crossing & (nxt0 >= 0)
+        idx = jnp.where(interior, nxt0, jnp.maximum(tet, 0))
+        rows_g = tab[idx]                      # ONE [n,24] gather
+        p1 = p0 + dt0[:, None] * seg           # march point (trace_segment:127)
+        nrm1, dpl1, nbr1 = _row_tables(rows_g)
+        dt1, slot1 = convex_ops._exit_face_tables(
+            nrm1, dpl1, nbr1, p1, p_end - p1, nbr1 == tet[:, None]
+        )
+        res2 = interior & (slot1 < 0)          # segment ends in the neighbor
+
+    # inline resolution: final pos = segment end; hop-1 lanes refresh
+    # tet/row from the gather.  Unresolved crossers keep their START in
     # the pos columns (the rare trace marches pos -> pos + disp) and the
     # displacement rides a side array (the mega is full).
+    pending = crossing & ~res2
     fin = ~pending
+    if max(int(getattr(cfg, "inline_hops", 1)), 0) >= 1:
+        tet_new = jnp.where(res2, nxt0, tet)
+        row_new = jnp.where(res2[:, None], rows_g, m[:, ROW : ROW + ROW_W])
+        # vel columns stay the OLD tet's advected velocity — the next
+        # cycle's advect reads the refreshed row, matching the reference's
+        # tetVel[tetID]-at-advect-time order (particles.cu:361)
+    else:
+        tet_new = tet
+        row_new = m[:, ROW : ROW + ROW_W]
     m = jnp.concatenate(
         [
             jnp.where(fin, ex, m[:, P0])[:, None],
             jnp.where(fin, ey, m[:, P0 + 1])[:, None],
             jnp.where(fin, ez, m[:, P0 + 2])[:, None],
             vx[:, None], vy[:, None], vz[:, None],
-            tet[:, None].astype(m.dtype), actf[:, None],
-            m[:, ROW : ROW + ROW_W],
+            tet_new[:, None].astype(m.dtype), actf[:, None],
+            row_new,
         ],
         axis=1,
     )
