@@ -163,14 +163,16 @@ def run(
                 from ..state import inject
 
                 if engine is not None:
-                    state = engine.state
+                    # host-ordered unpadded view: padding slots must not
+                    # masquerade as dead, injectable particles
+                    state = engine.snapshot()
                 state, n_inj = inject(
                     state, case.tet_mesh, case.locator,
                     pcfg.seeding_box_lo, pcfg.seeding_box_hi,
                     pcfg.injection_count, rng_seed=pcfg.rng_seed,
                 )
                 if engine is not None:
-                    engine.state = state
+                    engine.set_state(state)
                 if n_inj:
                     log(f"#adv: injected {n_inj} particles at step {prev}")
             if prev % pcfg.save_interval == 0:

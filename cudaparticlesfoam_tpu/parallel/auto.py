@@ -119,8 +119,18 @@ class ParticleEngine:
         elif strategy == "partitioned":
             from . import partition, sharding
 
+            if getattr(cfg, "locate_mode", "bary") == "convex":
+                raise NotImplementedError(
+                    "ConvexPoly locate is not supported by the partitioned "
+                    "strategy yet; use --strategy dp (mesh replicated) or "
+                    "single-device"
+                )
+            layout = (
+                "pk" if getattr(cfg, "velocity_interp", "") == "VertexVelocity"
+                else "tet"
+            )
             S = max(n_dev, 1)
-            self._pm = partition.partition_mesh(tet_mesh, S)
+            self._pm = partition.partition_mesh(tet_mesh, S, layout=layout)
             self.dmesh = sharding.make_device_mesh(S, axis="s")
             sp = partition.distribute_particles(
                 self._pm, state.pos, state.vel, state.tet_id, state.active,
@@ -136,7 +146,22 @@ class ParticleEngine:
 
     @property
     def supports_injection(self) -> bool:
-        return self.strategy == "single"
+        return self.strategy in ("single", "dp")
+
+    def set_state(self, state: ParticleState) -> None:
+        """Replace the particle state (injection path): single assigns,
+        DP re-pads and re-shards over the device mesh."""
+        if self.strategy == "single":
+            self.state = state
+        elif self.strategy == "dp":
+            from . import sharding
+
+            self.state = sharding.shard_state(state, self.dmesh)
+        else:
+            raise NotImplementedError(
+                "set_state on the partitioned strategy (use snapshot + "
+                "a rebuilt engine)"
+            )
 
     def update_from_case(self, case, geometry: bool = False) -> None:
         """Refresh the engine's mesh copy after ``case.update_velocity``

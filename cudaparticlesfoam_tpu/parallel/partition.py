@@ -48,10 +48,11 @@ from ..utils.pytree import pytree_dataclass
 class PartitionedMesh:
     """Slab-partitioned walk tables; arrays carry a leading shard axis."""
 
-    tet_row: jnp.ndarray    # [S, P, 20]  (neighbor codes remain GLOBAL ids)
+    tet_row: jnp.ndarray    # [S, P, 20|28] (neighbor codes remain GLOBAL ids)
     tet_nbr: jnp.ndarray    # [S, P, 4]   int32 global codes
     perm: jnp.ndarray       # [nt] old tet id -> new (sorted) id
     inv_perm: jnp.ndarray   # [nt] new -> old
+    bd_escape: jnp.ndarray  # [n_bd] bool, replicated (absorbing patches)
     n_shards: int
     tets_per_shard: int
     n_tets: int
@@ -73,8 +74,13 @@ class ShardedParticles:
     capacity: int
 
 
-def partition_mesh(mesh: TetMesh, n_shards: int) -> PartitionedMesh:
-    """Slab-partition along the longest bounding-box axis."""
+def partition_mesh(mesh: TetMesh, n_shards: int,
+                   layout: str = "tet") -> PartitionedMesh:
+    """Slab-partition along the longest bounding-box axis.
+
+    ``layout``: "tet" slices the 20-col TetVelocity walk rows, "pk" the
+    28-col VertexVelocity rows (A/Tinv prefix identical; velocity payload
+    is the 4 cached vertex velocities, blended per step)."""
     pts = np.asarray(mesh.points, dtype=np.float64)
     tets = np.asarray(mesh.tets)
     cen = pts[tets].mean(axis=1)
@@ -89,26 +95,40 @@ def partition_mesh(mesh: TetMesh, n_shards: int) -> PartitionedMesh:
     perm = np.empty(nt, np.int32)                       # old -> new
     perm[order] = np.arange(nt, dtype=np.int32)
 
-    row = np.asarray(mesh.tet_row)[inv_perm]            # [nt,20]
+    if layout == "pk":
+        if mesh.tet_row_pk is None:
+            raise ValueError("pk layout needs mesh.tet_row_pk (with_pk_rows)")
+        src = np.asarray(mesh.tet_row_pk)               # [nt,28]
+    else:
+        src = np.asarray(mesh.tet_row)                  # [nt,20]
+    w = src.shape[1]
+    row = src[inv_perm]
     nbr_old = np.asarray(mesh.tet_nbr)[inv_perm]        # [nt,4] old codes
     nbr = np.where(nbr_old >= 0, perm[np.clip(nbr_old, 0, nt - 1)], nbr_old)
-    # renumber the neighbor codes embedded in the packed rows
+    # renumber the neighbor codes embedded in the packed rows (unused by
+    # the shard-local cycle, which reads the separate tet_nbr array, but
+    # kept consistent)
     row = row.copy()
-    row[:, 15:19] = nbr.astype(row.dtype)
+    nbr_col = 24 if layout == "pk" else 15
+    row[:, nbr_col : nbr_col + 4] = nbr.astype(row.dtype)
 
     if pad:
         # padding tets: self-contained dummies (all-boundary) never reached
-        prow = np.zeros((pad, 20), row.dtype)
+        prow = np.zeros((pad, w), row.dtype)
         prow[:, 3] = prow[:, 7] = prow[:, 11] = 1.0      # identity Tinv
-        prow[:, 15:19] = -1.0
+        prow[:, nbr_col : nbr_col + 4] = -1.0
         row = np.concatenate([row, prow])
         nbr = np.concatenate([nbr, np.full((pad, 4), -1, np.int32)])
 
+    bd_esc = np.asarray(mesh.bd_escape)
+    if bd_esc.size == 0:
+        bd_esc = np.zeros(1, bool)
     return PartitionedMesh(
-        tet_row=jnp.asarray(row.reshape(n_shards, per, 20)),
+        tet_row=jnp.asarray(row.reshape(n_shards, per, w)),
         tet_nbr=jnp.asarray(nbr.reshape(n_shards, per, 4), jnp.int32),
         perm=jnp.asarray(perm),
         inv_perm=jnp.asarray(inv_perm),
+        bd_escape=jnp.asarray(bd_esc),
         n_shards=n_shards,
         tets_per_shard=per,
         n_tets=nt,
@@ -119,9 +139,14 @@ def update_velocity(pm: PartitionedMesh, tet_vel) -> PartitionedMesh:
     """Refresh the per-tet velocity columns of the partitioned walk rows
     from a GLOBAL (old-numbering) tet velocity array — the coupled/replay
     drivers' per-Eulerian-interval U refresh (``advect.H:44-83``) without
-    re-partitioning."""
+    re-partitioning.  (TetVelocity rows only — the pk layout carries
+    vertex velocities.)"""
     import dataclasses
 
+    if pm.tet_row.shape[-1] != 20:
+        raise NotImplementedError(
+            "per-interval velocity refresh on partitioned pk rows"
+        )
     tv = jnp.asarray(tet_vel, pm.tet_row.dtype)[pm.inv_perm]
     total = pm.n_shards * pm.tets_per_shard
     pad = total - pm.n_tets
@@ -213,7 +238,12 @@ def collect_particles(pm: PartitionedMesh, sp: ShardedParticles, n_particles: in
         pos[ids] = ppos[s][sel]
         vel[ids] = pvel[s][sel]
         t = ptet[s][sel]
-        tet[ids] = np.where(t >= 0, inv[np.clip(t, 0, pm.n_tets - 1)], t)
+        # map BOTH hosting tets and -(tet+1) out-of-domain codes back to
+        # the original numbering (escape/wall codes carry a tet id too)
+        neg = t < 0
+        t_new = np.where(neg, -t - 1, t)
+        t_old = inv[np.clip(t_new, 0, pm.n_tets - 1)]
+        tet[ids] = np.where(neg, -(t_old + 1), t_old)
         act[ids] = pact[s][sel]
     return pos, vel, tet, act
 
@@ -223,13 +253,15 @@ def collect_particles(pm: PartitionedMesh, sp: ShardedParticles, n_particles: in
 # ---------------------------------------------------------------------------
 
 
-def _local_cycle(rows, nbrs, shard_id, per, pos, vel, tet, act, res, key, step, cfg, dt):
+def _local_cycle(rows, nbrs, bd_esc, shard_id, per, pos, vel, tet, act, res,
+                 pid, key, step, cfg, dt):
     """Reference cycle on one shard's residents; walks pause at remote
     neighbors (tet left as a remote GLOBAL id).  Lanes that arrived by
     migration with an unfinished relocation are settled (walk+reflect
     toward their current position) BEFORE the advect, so trajectories
     match the single-device run."""
     lo = shard_id * per
+    n_bd = bd_esc.shape[0]
 
     def local_rows(g):
         return rows[jnp.clip(g - lo, 0, per - 1)]
@@ -299,6 +331,17 @@ def _local_cycle(rows, nbrs, shard_id, per, pos, vel, tet, act, res, key, step, 
         def rbody(c):
             p, tet, s, settled, b = c
             refl = ~settled
+            # absorbing (escape) boundary faces deactivate instead of
+            # reflecting — same data-driven outlet handling as the fused
+            # engine's rare reflector (mesh.bd_escape)
+            nbr_row_e = nbrs[jnp.clip(jnp.maximum(tet, 0) - lo, 0, per - 1)]
+            lane_e = jnp.arange(tet.shape[0])
+            code_e = nbr_row_e[lane_e, s]
+            bd = jnp.clip(-code_e - 1, 0, n_bd - 1)
+            esc = refl & (code_e < 0) & bd_esc[bd]
+            tet = jnp.where(esc, -(tet + 1), tet)
+            settled = settled | esc
+            refl = refl & ~esc
             row = local_rows(jnp.maximum(tet, 0))
             # gradient of bary slot s
             def comp(o):
@@ -348,18 +391,32 @@ def _local_cycle(rows, nbrs, shard_id, per, pos, vel, tet, act, res, key, step, 
     # --- advect + brownian (reference cycle) ---
     live = res & act & (tet >= 0) & in_shard(tet)
     row = local_rows(jnp.maximum(tet, 0))
-    u = row[:, 12:15]
+    if row.shape[1] >= 28 and getattr(cfg, "velocity_interp", "") == "VertexVelocity":
+        # Pk: barycentric blend of the 4 cached vertex velocities at the
+        # CURRENT position (particles.cu:245-313)
+        wa, wb, wc, wd = bary(row, pos)
+        u = (
+            wa[:, None] * row[:, 12:15] + wb[:, None] * row[:, 15:18]
+            + wc[:, None] * row[:, 18:21] + wd[:, None] * row[:, 21:24]
+        )
+    else:
+        u = row[:, 12:15]
     if cfg.use_advection:
         vel = jnp.where(live[:, None], u, vel)
         disp = jnp.where(live[:, None], u * dt, 0.0)
     else:
         disp = jnp.zeros_like(pos)
     if cfg.use_brownian:
-        k = jax.random.fold_in(jax.random.fold_in(key, step), shard_id)
-        sigma = jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(pos.dtype)
-        disp = disp + jnp.where(
-            live[:, None], sigma * jax.random.normal(k, pos.shape, pos.dtype), 0.0
+        # noise keyed by (run key, step, GLOBAL particle id): streams are
+        # stable across migrations and shard counts (a slot/shard keying
+        # changed a particle's stream whenever it migrated)
+        kstep = jax.random.fold_in(key, step)
+        ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+            kstep, jnp.maximum(pid, 0)
         )
+        xi = jax.vmap(lambda kk: jax.random.normal(kk, (3,), pos.dtype))(ks)
+        sigma = jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(pos.dtype)
+        disp = disp + jnp.where(live[:, None], sigma * xi, 0.0)
     target = pos + disp
     if cfg.use_advection:
         act = act & ((tet >= 0) | ~res)
@@ -457,14 +514,16 @@ def make_partitioned_step(pm: PartitionedMesh, cfg: StepConfig, device_mesh: Mes
     S = pm.n_shards
     per = pm.tets_per_shard
 
-    def shard_body(rows, nbrs, pos, vel, tet, act, res, pid, key, step, dt):
+    def shard_body(rows, nbrs, bd_esc, pos, vel, tet, act, res, pid, key,
+                   step, dt):
         rows, nbrs = rows[0], nbrs[0]
         pos, vel, tet, act, res, pid = (
             x[0] for x in (pos, vel, tet, act, res, pid)
         )
         sid = lax.axis_index("s")
         pos, vel, tet, act = _local_cycle(
-            rows, nbrs, sid, per, pos, vel, tet, act, res, key, step, cfg, dt
+            rows, nbrs, bd_esc, sid, per, pos, vel, tet, act, res, pid,
+            key, step, cfg, dt
         )
         cap_out = max(int(pos.shape[0] * cap_out_frac), 16)
         pos, vel, tet, act, res, pid, migrated, dropped = _migrate(
@@ -479,14 +538,14 @@ def make_partitioned_step(pm: PartitionedMesh, cfg: StepConfig, device_mesh: Mes
     smapped = shard_map(
         shard_body,
         mesh=device_mesh,
-        in_specs=(spec_s,) * 8 + (P(), P(), P()),
+        in_specs=(spec_s, spec_s, P()) + (spec_s,) * 6 + (P(), P(), P()),
         out_specs=(spec_s,) * 8,
     )
 
     @jax.jit
     def step(pmesh: PartitionedMesh, sp: ShardedParticles, dt):
         pos, vel, tet, act, res, pid, migrated, dropped = smapped(
-            pmesh.tet_row, pmesh.tet_nbr,
+            pmesh.tet_row, pmesh.tet_nbr, pmesh.bd_escape,
             sp.pos, sp.vel, sp.tet, sp.active, sp.resident, sp.pid,
             sp.rng_key, sp.step, jnp.asarray(dt, sp.pos.dtype),
         )
@@ -522,6 +581,7 @@ def shard_arrays(pm: PartitionedMesh, sp: ShardedParticles, device_mesh: Mesh):
         tet_nbr=jax.device_put(pm.tet_nbr, sh),
         perm=jax.device_put(pm.perm, rep),
         inv_perm=jax.device_put(pm.inv_perm, rep),
+        bd_escape=jax.device_put(pm.bd_escape, rep),
     )
     sp = dataclasses.replace(
         sp,
