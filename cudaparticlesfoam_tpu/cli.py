@@ -101,6 +101,16 @@ def main(argv=None):
 
         jax.config.update("jax_enable_x64", True)
 
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        # some plugin backends (axon TPU tunnel) ignore JAX_PLATFORMS for
+        # default placement; honor the user's explicit CPU request
+        import jax
+
+        try:
+            jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        except RuntimeError:
+            pass
+
     if args.cmd == "blockmesh":
         from .io import blockmesh, polymesh
 

@@ -75,6 +75,8 @@ class ShardedFlowMesh:
     send_dn: jnp.ndarray      # [D, H]
     cell_mask: jnp.ndarray    # [D, C_ext] True on owned (non-ghost, non-pad)
     glob_cell: jnp.ndarray    # [D, C_ext] global cell id (or -1)
+    fglob: jnp.ndarray        # [D, nf] signed global face id+1 (0 = pad;
+    #                           negative = local orientation flipped)
     n_dev: int
     axis: str
     n_loc: int                # owned cells per device (padded count)
@@ -172,10 +174,11 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0):
 
     # per-device face lists: internal-local + cross (as internal with ghost
     # neighbour) then boundary
-    dev_faces = []     # (own_l, nei_l, sf, mag, w, delta, nonortho, cf) per dev
+    dev_faces = []     # (own_l, nei_l, sf, mag, w, delta, nonortho, cf, fg) per dev
     dev_bd = []        # (own_l, sf, mag, bd_delta, bglob, cf) per dev
     for d in range(n_dev):
         oi, ni_, sfl, magl, wl, dl, kl, cfl = [], [], [], [], [], [], [], []
+        fgl = []
         for f in range(n_int):
             a, b = own[f], nei[f]
             da, db = dev_of[a], dev_of[b]
@@ -183,7 +186,7 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0):
                 oi.append(loc_id[a]); ni_.append(loc_id[b])
                 sfl.append(f_area[f]); magl.append(mag_g[f])
                 wl.append(w_g[f]); dl.append(delta_g[f]); kl.append(nonor_g[f])
-                cfl.append(f_ctr[f])
+                cfl.append(f_ctr[f]); fgl.append(f + 1)
             elif da == d or db == d:
                 # keep owner-side orientation per device: local cell is
                 # "owner", remote ghost is "neighbour"; flip geometry if the
@@ -191,9 +194,11 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0):
                 if da == d:
                     oi.append(loc_id[a]); ni_.append(ghost_slot[d][b])
                     sfl.append(f_area[f]); wl.append(w_g[f])
+                    fgl.append(f + 1)
                 else:
                     oi.append(loc_id[b]); ni_.append(ghost_slot[d][a])
                     sfl.append(-f_area[f]); wl.append(1.0 - w_g[f])
+                    fgl.append(-(f + 1))
                 magl.append(mag_g[f]); dl.append(delta_g[f])
                 kl.append(nonor_g[f] if da == d else -nonor_g[f])
                 cfl.append(f_ctr[f])
@@ -208,7 +213,8 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0):
         dev_faces.append((np.array(oi, np.int64), np.array(ni_, np.int64),
                           np.array(sfl), np.array(magl), np.array(wl),
                           np.array(dl), np.array(kl).reshape(-1, 3),
-                          np.array(cfl).reshape(-1, 3)))
+                          np.array(cfl).reshape(-1, 3),
+                          np.array(fgl, np.int64)))
         dev_bd.append((np.array(bo, np.int64), np.array(bsf).reshape(-1, 3),
                        np.array(bmag), np.array(bdl),
                        np.array(bgl, np.int64), np.array(bcf).reshape(-1, 3)))
@@ -225,9 +231,9 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0):
 
     owner_s, neigh_s, sf_s, mag_s, w_s, delta_s, k_s = [], [], [], [], [], [], []
     bdelta_s, vol_s, cc_s, cf_s = [], [], [], []
-    sup_s, sdn_s, mask_s, glob_s, bglob_s = [], [], [], [], []
+    sup_s, sdn_s, mask_s, glob_s, bglob_s, fglob_s = [], [], [], [], [], []
     for d in range(n_dev):
-        oi, ni_, sfl, magl, wl, dl, kl, cfl = dev_faces[d]
+        oi, ni_, sfl, magl, wl, dl, kl, cfl, fgl = dev_faces[d]
         bo, bsf, bmag, bdl, bgl, bcf = dev_bd[d]
         # padded faces: zero geometry, both cells -> dummy (no contribution:
         # sf=0, delta=0, flux on them stays 0)
@@ -269,6 +275,10 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0):
         gl[: len(cells_d)] = cells_d
         glob_s.append(gl)
         bglob_s.append(padded(bgl, nf_bd, -1, np.int64))
+        fglob_s.append(np.concatenate([
+            padded(fgl, nf_int, 0, np.int64),
+            padded(np.asarray(bgl, np.int64) + n_int + 1, nf_bd, 0, np.int64),
+        ]))
 
     as_f = lambda xs: jnp.asarray(np.stack(xs), dtype)
     as_i = lambda xs: jnp.asarray(np.stack(xs), jnp.int32)
@@ -280,6 +290,7 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0):
         send_up=as_i(sup_s), send_dn=as_i(sdn_s),
         cell_mask=jnp.asarray(np.stack(mask_s)),
         glob_cell=as_i(glob_s),
+        fglob=as_i(fglob_s),
         n_dev=n_dev, axis="f", n_loc=n_loc,
         fv_meta=(c_ext, nf_int + nf_bd, nf_int, ()),
     )
@@ -384,16 +395,20 @@ def _mesh_specs(smesh: ShardedFlowMesh, axis: str):
         **{k: P(axis) for k in (
             "owner", "neighbour", "sf", "mag_sf", "cf", "cc", "vol", "w",
             "delta", "bd_delta", "nonortho", "send_up", "send_dn",
-            "cell_mask", "glob_cell")},
+            "cell_mask", "glob_cell", "fglob")},
         n_dev=smesh.n_dev, axis="f", n_loc=smesh.n_loc, fv_meta=smesh.fv_meta,
     )
 
 
-def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh):
+def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
+                        with_turb: bool = False):
     """Build the shard_map'ed PIMPLE step over ``device_mesh``.
 
-    Returns step(u_ext, p_ext, flux, u_bcs_s, p_bcs_s, dt) operating on
-    stacked arrays; ghost slots refreshed internally via ppermute.
+    Returns step(u_ext, p_ext, flux, u_bcs_s, p_bcs_s, dt[, nut, k,
+    wall_cell, y_wall, wall_bd]) operating on stacked arrays; ghost slots
+    refreshed internally via ppermute.  With ``with_turb`` the momentum
+    diffusivity is nu + nut (faces interpolated from the halo-refreshed
+    cell field, wall boundary faces corrected by the nutkWallFunction).
     """
     n_dev = smesh.n_dev
     n_loc = smesh.n_loc
@@ -415,7 +430,7 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh):
     def psum_dot(mask, a, b):
         return lax.psum(jnp.sum(jnp.where(mask, a * b, 0.0)), axis)
 
-    def local_step(m_s, u, p, flux, u_bcs, p_bcs, dt):
+    def local_step(m_s, u, p, flux, u_bcs, p_bcs, dt, *turb_args):
         # strip the leading device axis shard_map leaves on the pytrees
         lm = m_s.local_fv()
         mask = m_s.cell_mask[0]
@@ -428,6 +443,17 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh):
             return refresh(m_s, x)
 
         safe_diag = lambda d: jnp.where(mask, d, 1.0)
+
+        if with_turb:
+            nut, k_t, wall_cell, y_wall, wall_bd = (x[0] for x in turb_args)
+            nut_h = hx(nut)
+            nu_f = cfg.nu + jnp.concatenate([
+                fv.face_interp(lm, nut_h),
+                _wall_nut_bd_local(lm, nut_h, k_t, wall_cell, y_wall,
+                                   wall_bd, cfg.nu, n_int),
+            ])
+        else:
+            nu_f = cfg.nu
 
         def jacobi(A, b, x0, sweeps):
             inv_d = 1.0 / safe_diag(A.diag)
@@ -474,11 +500,12 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh):
         ddt = jnp.where(mask, ddt, 0.0)
         u_old = u
 
+        u_res = jnp.zeros((), u.dtype)
         for _outer in range(cfg.n_outer):
             u_bcs_e = fv.effective_bcs(u_bcs, flux[n_int:])
             uh = hx(u)
             A = fv.assemble_transport(
-                lm, flux, cfg.nu, u_bcs_e, 3, ddt_coeff=ddt, phi_old=u_old
+                lm, flux, nu_f, u_bcs_e, 3, ddt_coeff=ddt, phi_old=u_old
             )
             ph = hx(p)
             grad_p = fv.gradient(lm, ph, p_bcs)
@@ -498,6 +525,15 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh):
                 )
             b = jnp.where(mask[:, None], b, 0.0)
             u_star = jacobi(A, b, u, cfg.n_jacobi)
+            # final momentum residual |b - A u*| / |b| (psum-global; the
+            # single-device step's u_res, pimple.py)
+            r_u = jnp.where(
+                mask[:, None], b - fv.matvec(lm, A, hx(u_star)), 0.0
+            )
+            u_res = jnp.sqrt(lax.psum(jnp.sum(r_u * r_u), axis)) / (
+                jnp.sqrt(lax.psum(jnp.sum(jnp.where(mask[:, None], b, 0.0) ** 2),
+                                  axis)) + 1e-300
+            )
 
             rau = m_s.vol[0] / safe_diag(A.diag)
             rauh = hx(rau)
@@ -523,12 +559,30 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh):
                 )) / safe_diag(A.diag)[:, None]
                 hbyah = hx(hbya)
                 phi_hbya = fv.flux_of(lm, hbyah, u_bcs_e)
-                rhs = Ap.source[:, 0] - fv.surface_sum(lm, phi_hbya)
-                rhs = jnp.where(mask, rhs, 0.0)
-                p, p_res, _ = cg(Ap, rhs, p, cfg.p_tol, cfg.p_max_iter)
+                rhs0 = Ap.source[:, 0] - fv.surface_sum(lm, phi_hbya)
+                # explicit non-orthogonal correctors (pEqn.H:42-57):
+                # re-solve with the k . grad(p) correction flux rebuilt
+                # from each fresh p (halo-refreshed gradient)
+                corr = jnp.zeros((lm.n_internal,), u.dtype)
+                for _no in range(getattr(cfg, "n_nonortho", 0) + 1):
+                    rhs = jnp.where(
+                        mask, rhs0 + fv.surface_sum_internal(lm, corr), 0.0
+                    )
+                    p, p_res, _ = cg(Ap, rhs, p, cfg.p_tol, cfg.p_max_iter)
+                    if _no < getattr(cfg, "n_nonortho", 0):
+                        ph = hx(p)
+                        gp = hx(fv.gradient(lm, ph, p_bcs))
+                        wgt = lm.w[:, None]
+                        gpf = (
+                            wgt * gp[lm.owner[: lm.n_internal]]
+                            + (1.0 - wgt) * gp[lm.neighbour]
+                        )
+                        corr = rau_f[: lm.n_internal] * jnp.sum(
+                            lm.nonortho * gpf, axis=-1
+                        )
                 ph = hx(p)
                 dp = ph[lm.neighbour] - ph[lm.owner[:n_int]]
-                flux_i = phi_hbya[:n_int] - rau_f[:n_int] * lm.delta * dp
+                flux_i = phi_hbya[:n_int] - rau_f[:n_int] * lm.delta * dp - corr
                 dp_b = (p_bcs.a - 1.0) * ph[lm.owner[n_int:]] + p_bcs.b[:, 0]
                 flux_b = phi_hbya[n_int:] - rau_f[n_int:] * lm.bd_delta * dp_b
                 flux = jnp.concatenate([flux_i, flux_b])
@@ -542,21 +596,166 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh):
             axis,
         )
         return (u[None], p[None], flux[None],
-                {"p_res": p_res[None], "continuity": cont[None]})
+                {"u_res": u_res[None], "p_res": p_res[None],
+                 "continuity": cont[None]})
 
     specs = _mesh_specs(smesh, axis)
     bc_spec = fv.BoundaryCoeffs(a=P(axis), b=P(axis),
                                 io_mask=P(axis), io_value=P(axis))
 
+    n_turb = 5 if with_turb else 0
     step = shard_map(
         local_step,
         mesh=device_mesh,
-        in_specs=(specs, P(axis), P(axis), P(axis), bc_spec, bc_spec, P()),
+        in_specs=(specs, P(axis), P(axis), P(axis), bc_spec, bc_spec, P())
+        + (P(axis),) * n_turb,
         out_specs=(P(axis), P(axis), P(axis),
-                   {"p_res": P(axis), "continuity": P(axis)}),
+                   {"u_res": P(axis), "p_res": P(axis), "continuity": P(axis)}),
         check_rep=False,
     )
     return jax.jit(step)
+
+
+def _wall_nut_bd_local(lm, nut_h, k, wall_cell, y_wall, wall_bd, nu, n_int):
+    """Per-shard nutkWallFunction boundary-face eddy viscosity
+    (models.turbulence.wall_nut_bd on the local bd faces; padded entries
+    point at the dummy cell / slot 0 and are masked by y_wall < 0)."""
+    from ..models import turbulence as turb
+
+    out = nut_h[lm.owner[n_int:]]
+    valid = y_wall > 0.0
+    wc = jnp.maximum(wall_cell, 0)
+    kw = jnp.maximum(k[wc], turb.SMALL)
+    yplus = turb.CMU ** 0.25 * jnp.sqrt(kw) * jnp.maximum(y_wall, 0.0) / nu
+    nut_w = jnp.where(
+        yplus > turb.YPLUS_LAM,
+        nu * (yplus * turb.KAPPA
+              / jnp.log(jnp.maximum(turb.E_WALL * yplus, 1.0 + turb.SMALL))
+              - 1.0),
+        0.0,
+    )
+    wb = jnp.where(valid, wall_bd, out.shape[0])   # invalid -> dropped
+    return out.at[wb].set(jnp.maximum(nut_w, 0.0), mode="drop")
+
+
+def make_sharded_keps(smesh: ShardedFlowMesh, device_mesh: Mesh,
+                      nu: float, n_sweeps: int = 6):
+    """Shard_map'ed transient k-epsilon update mirroring
+    ``models.turbulence.k_epsilon_step`` (dt mode): production from the
+    halo-refreshed velocity gradient, eddy-diffusivity faces from the
+    halo-refreshed nut, implicit sinks, log-law wall pins on the local
+    wall cells, Jacobi sweeps with per-sweep halo refresh."""
+    from ..models import turbulence as turb
+
+    n_dev = smesh.n_dev
+    n_loc = smesh.n_loc
+    axis = device_mesh.axis_names[0]
+    n_halo = smesh.send_up.shape[1]
+    gp0, gn0 = n_loc, n_loc + n_halo
+
+    def local(m_s, k, eps, nut, u, flux, u_bcs, k_bcs, e_bcs,
+              wall_cell, y_wall, dt):
+        lm = m_s.local_fv()
+        mask = m_s.cell_mask[0]
+        n_int = lm.n_internal
+        u_bcs = jax.tree.map(lambda x: x[0], u_bcs)
+        k_bcs = jax.tree.map(lambda x: x[0], k_bcs)
+        e_bcs = jax.tree.map(lambda x: x[0], e_bcs)
+        k, eps, nut, u, flux = k[0], eps[0], nut[0], u[0], flux[0]
+        wall_cell, y_wall = wall_cell[0], y_wall[0]
+
+        def hx(x):
+            up = x[m_s.send_up[0]]
+            dn = x[m_s.send_dn[0]]
+            x = x.at[gp0 : gp0 + n_halo].set(
+                lax.ppermute(up, axis, _perm_up(n_dev)))
+            x = x.at[gn0 : gn0 + n_halo].set(
+                lax.ppermute(dn, axis, _perm_dn(n_dev)))
+            return x
+
+        k = jnp.maximum(k, turb.SMALL)
+        eps = jnp.maximum(eps, turb.SMALL)
+        uh = hx(u)
+        grads = []
+        for comp in range(3):
+            bc_c = fv.BoundaryCoeffs(a=u_bcs.a, b=u_bcs.b[:, comp : comp + 1])
+            grads.append(fv.gradient(lm, uh[:, comp], bc_c))
+        g = jnp.stack(grads, axis=1)
+        s = 0.5 * (g + jnp.swapaxes(g, 1, 2))
+        pk = nut * 2.0 * jnp.sum(s * s, axis=(1, 2))
+
+        ddt = jnp.where(mask, m_s.vol[0] / jnp.asarray(dt, k.dtype), 0.0)
+        safe_diag = lambda d: jnp.where(mask, d, 1.0)
+
+        def jacobi1(A, b, x0):
+            inv_d = 1.0 / safe_diag(A.diag)
+            x = x0
+            for _ in range(n_sweeps):
+                xh = hx(x)
+                r = b - (A.diag * x + jnp.zeros_like(x)
+                         .at[lm.owner[:n_int]].add(A.upper * xh[lm.neighbour])
+                         .at[lm.neighbour].add(A.lower * xh[lm.owner[:n_int]]))
+                x = jnp.where(mask, x + inv_d * r, 0.0)
+            return x
+
+        nut_h = hx(nut)
+        big = jnp.asarray(1e30, k.dtype)
+        valid_w = y_wall > 0.0
+        wc = jnp.where(valid_w, wall_cell, lm.n_cells - 1)   # dummy slot
+
+        # epsilon equation
+        gamma_e = nu + jnp.concatenate(
+            [fv.face_interp(lm, nut_h), nut_h[lm.owner[n_int:]]]
+        ) / turb.SIGMA_EPS
+        Ae = fv.assemble_transport(
+            lm, flux, gamma_e, e_bcs, 1, ddt_coeff=ddt, phi_old=eps[:, None]
+        )
+        diag_e = Ae.diag + turb.C2 * (eps / k) * m_s.vol[0]
+        src_e = Ae.source[:, 0] + turb.C1 * pk * (eps / k) * m_s.vol[0]
+        ew = turb.CMU ** 0.75 * jnp.maximum(
+            k[jnp.maximum(wall_cell, 0)], turb.SMALL
+        ) ** 1.5 / (turb.KAPPA * jnp.maximum(y_wall, turb.SMALL))
+        diag_e = diag_e.at[wc].add(jnp.where(valid_w, big, 0.0), mode="drop")
+        src_e = src_e.at[wc].add(jnp.where(valid_w, big * ew, 0.0), mode="drop")
+        eps_new = jacobi1(
+            dataclasses.replace(Ae, diag=diag_e), jnp.where(mask, src_e, 0.0),
+            eps * mask.astype(k.dtype),
+        )
+        eps_new = jnp.where(mask, jnp.maximum(eps_new, turb.SMALL), 0.0)
+
+        # k equation
+        gamma_k = nu + jnp.concatenate(
+            [fv.face_interp(lm, nut_h), nut_h[lm.owner[n_int:]]]
+        ) / turb.SIGMA_K
+        Ak = fv.assemble_transport(
+            lm, flux, gamma_k, k_bcs, 1, ddt_coeff=ddt, phi_old=k[:, None]
+        )
+        diag_k = Ak.diag + (eps_new / jnp.maximum(k, turb.SMALL)) * m_s.vol[0]
+        src_k = Ak.source[:, 0] + pk * m_s.vol[0]
+        k_new = jacobi1(
+            dataclasses.replace(Ak, diag=diag_k), jnp.where(mask, src_k, 0.0),
+            k * mask.astype(k.dtype),
+        )
+        k_new = jnp.where(mask, jnp.maximum(k_new, turb.SMALL), 0.0)
+
+        nut_new = jnp.where(
+            mask,
+            jnp.clip(turb.CMU * k_new * k_new
+                     / jnp.maximum(eps_new, turb.SMALL), 0.0, 1e5),
+            0.0,
+        )
+        return k_new[None], eps_new[None], nut_new[None]
+
+    specs = _mesh_specs(smesh, axis)
+    bc_spec = fv.BoundaryCoeffs(a=P(axis), b=P(axis),
+                                io_mask=P(axis), io_value=P(axis))
+    return jax.jit(shard_map(
+        local, mesh=device_mesh,
+        in_specs=(specs,) + (P(axis),) * 5 + (bc_spec,) * 3
+        + (P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_rep=False,
+    ))
 
 
 def make_courant(smesh: ShardedFlowMesh, device_mesh: Mesh):
@@ -583,12 +782,14 @@ def make_courant(smesh: ShardedFlowMesh, device_mesh: Mesh):
 class ShardedFlowSolver:
     """Drop-in FlowSolver running the PIMPLE step domain-decomposed over
     the device mesh — the product path behind ``coupled --flow-devices N``
-    (the reference's ``Allrun-parallel`` analog).  Laminar closure only;
-    the kEpsilon closure stays on the single-device path for now."""
+    (the reference's ``Allrun-parallel`` analog).  Supports the laminar
+    and kEpsilon closures (the reference's parallel tutorial runs
+    kEpsilon, ``TJunction/constant/turbulenceProperties:21-27``); kOmegaSST
+    and MRF/dynamic-mesh cases stay on the single-device flow path."""
 
     def __init__(self, case, n_dev: int, log=print, **cfg_kw):
         from ..models.pimple import PimpleConfig
-        from ..models.simple import load_flow_case, read_numerics
+        from ..models.simple import load_flow_case, read_numerics, turbulence_model
         from . import sharding as shardlib
 
         m, st, u_bcs, p_bcs, nu, pin, p_tables = load_flow_case(
@@ -597,12 +798,17 @@ class ShardedFlowSolver:
         num = read_numerics(case.case_dir)
         cfg_kw.setdefault("div_scheme", num["div_scheme"])
         cfg_kw.setdefault("n_correctors", num["n_correctors"])
+        cfg_kw.setdefault("n_nonortho", num["n_nonortho"])
         cfg_kw.setdefault("n_outer", num["n_outer"])
         self.cfg = PimpleConfig(nu=nu, pin_pressure=pin, **cfg_kw)
         self.m = m
         self.u_bcs = u_bcs
         self.smesh, bglob = decompose(case.poly, n_dev, dtype=jnp.float32)
         self.dmesh = shardlib.make_device_mesh(n_dev, axis="f")
+        self.bglob = bglob
+        self.p_bcs = p_bcs
+        self.p_tables = p_tables
+        self.time = 0.0
         self.u_bcs_s = shard_bcs(u_bcs, bglob)
         self.p_bcs_s = shard_bcs(p_bcs, bglob)
         self.u_s = scatter_cells(self.smesh, np.asarray(st.u))
@@ -610,27 +816,124 @@ class ShardedFlowSolver:
         self.flux_s = make_flux_init(self.smesh, self.dmesh)(
             self.smesh, self.u_s, self.u_bcs_s
         )
-        self._step = make_sharded_pimple(self.smesh, self.cfg, self.dmesh)
+
+        self.turb_model = turbulence_model(case.case_dir)
+        self._turb_on = False
+        if self.turb_model == "kEpsilon":
+            self._init_keps(case, m, u_bcs, bglob, nu, log)
+        elif self.turb_model != "laminar":
+            raise NotImplementedError(
+                f"turbulence model {self.turb_model!r} is not supported by "
+                "the sharded flow solver; run the flow single-device"
+            )
+        self._step = make_sharded_pimple(
+            self.smesh, self.cfg, self.dmesh, with_turb=self._turb_on
+        )
         self._courant = make_courant(self.smesh, self.dmesh)
         self.log = log
         log(f"#flow: sharded PIMPLE on {n_dev} devices, "
-            f"{case.poly.n_cells} cells ({self.smesh.n_loc}/shard), nu={nu}")
+            f"{case.poly.n_cells} cells ({self.smesh.n_loc}/shard), nu={nu}"
+            + (f", {self.turb_model} closure" if self._turb_on else ""))
+
+    def _init_keps(self, case, m, u_bcs, bglob, nu, log):
+        """Scatter k/eps/nut + build per-device wall arrays (local bd slot,
+        local owner cell, wall distance) from the global wall_info."""
+        from ..models import turbulence as turb
+
+        kes, k_bcs, e_bcs, wi = turb.init_from_case(case.case_dir, m)
+        self.k_s = scatter_cells(self.smesh, np.asarray(kes.k))
+        self.e_s = scatter_cells(self.smesh, np.asarray(kes.eps))
+        self.nut_s = scatter_cells(self.smesh, np.asarray(kes.nut))
+        self.k_bcs_s = shard_bcs(k_bcs, bglob)
+        self.e_bcs_s = shard_bcs(e_bcs, bglob)
+        # global bd-face id -> (wall distance, is-wall)
+        n_bd_g = m.n_faces - m.n_internal
+        y_of = np.full(n_bd_g, -1.0)
+        y_of[np.asarray(wi.wall_bd_face)] = np.asarray(wi.y_wall)
+        bg = np.asarray(bglob)
+        nf_int_l = self.smesh.fv_meta[2]
+        own_l = np.asarray(self.smesh.owner)[:, nf_int_l:]
+        D, B = bg.shape
+        wc = np.full((D, B), -1, np.int64)
+        yw = np.full((D, B), -1.0)
+        wb = np.full((D, B), -1, np.int64)
+        for d in range(D):
+            sel = (bg[d] >= 0) & (y_of[np.clip(bg[d], 0, n_bd_g - 1)] > 0.0)
+            wc[d, sel] = own_l[d, sel]
+            yw[d, sel] = y_of[bg[d, sel]]
+            wb[d, sel] = np.nonzero(sel)[0]
+        self.wall_cell_s = jnp.asarray(wc, jnp.int32)
+        self.y_wall_s = jnp.asarray(yw, jnp.float32)
+        self.wall_bd_s = jnp.asarray(wb, jnp.int32)
+        self._keps = make_sharded_keps(self.smesh, self.dmesh, nu)
+        self._turb_on = True
+        log(f"#flow: sharded kEpsilon ({int((yw > 0).sum())} wall faces)")
+
+    def _apply_p_tables(self, t: float):
+        """Time-varying pressure-BC tables (uniformTotalPressure p0 ramps,
+        same semantics as FlowSolver._apply_p_tables) interpolated into the
+        GLOBAL p BCs and re-sharded."""
+        if not self.p_tables:
+            return
+        import dataclasses as _dc
+
+        b = self.p_bcs.b
+        names = {pz[0]: pz for pz in self.m.patch_slices}
+        for patch, tab in self.p_tables.items():
+            if patch not in names:
+                continue
+            ts = np.array([x[0] for x in tab])
+            vs = np.array([x[1] for x in tab])
+            val = float(np.interp(t, ts, vs))
+            _, _, start, cnt = names[patch]
+            b = b.at[start : start + cnt, 0].set(val)
+        pb = _dc.replace(self.p_bcs, b=b)
+        self.p_bcs_s = shard_bcs(pb, self.bglob)
 
     def advance(self, dt_e: float):
-        self.u_s, self.p_s, self.flux_s, diag = self._step(
+        self.time += dt_e
+        self._apply_p_tables(self.time)
+        args = (
             self.smesh, self.u_s, self.p_s, self.flux_s,
             self.u_bcs_s, self.p_bcs_s, dt_e,
         )
+        if self._turb_on:
+            args = args + (
+                self.nut_s, self.k_s, self.wall_cell_s, self.y_wall_s,
+                self.wall_bd_s,
+            )
+        self.u_s, self.p_s, self.flux_s, diag = self._step(*args)
+        if self._turb_on:
+            self.k_s, self.e_s, self.nut_s = self._keps(
+                self.smesh, self.k_s, self.e_s, self.nut_s, self.u_s,
+                self.flux_s, self.u_bcs_s, self.k_bcs_s, self.e_bcs_s,
+                self.wall_cell_s, self.y_wall_s, dt_e,
+            )
         res = {
-            "u_res": float("nan"),
+            "u_res": float(np.asarray(diag["u_res"])[0]),
             "p_res": float(np.asarray(diag["p_res"])[0]),
             "continuity": float(np.asarray(diag["continuity"])[0]),
         }
         self.log(
-            f"#flow: p residual={res['p_res']:.3e} "
+            f"#flow: U residual={res['u_res']:.3e} "
+            f"p residual={res['p_res']:.3e} "
             f"continuity={res['continuity']:.3e} (sharded)"
         )
         return res
+
+    @property
+    def kes(self):
+        """Gathered closure state (None when laminar) — the coupled
+        driver writes .k/.eps restart fields from this."""
+        if not self._turb_on:
+            return None
+        from ..models.turbulence import KEpsilonState
+
+        return KEpsilonState(
+            k=jnp.asarray(gather_cells(self.smesh, self.k_s)),
+            eps=jnp.asarray(gather_cells(self.smesh, self.e_s)),
+            nut=jnp.asarray(gather_cells(self.smesh, self.nut_s)),
+        )
 
     def stable_dt(self, ctrl, dt_current=None):
         dt0 = dt_current or ctrl.delta_t
@@ -645,13 +948,20 @@ class ShardedFlowSolver:
         from ..models.simple import FlowState
 
         u = jnp.asarray(gather_cells(self.smesh, self.u_s))
-        # global face flux for function objects (scalarTransport): linear
-        # reconstruction from the gathered velocity (the Rhie-Chow face
-        # correction stays shard-local)
+        # global face flux gathered from the shard-local CORRECTED fluxes
+        # via the signed global-face map (the previous linear
+        # reconstruction from u was not conservative)
+        fg = np.asarray(self.smesh.fglob)
+        fl = np.asarray(self.flux_s)
+        nf_g = self.m.n_faces
+        flux_g = np.zeros(nf_g, fl.dtype)
+        valid = fg != 0
+        gids = np.abs(fg[valid]) - 1
+        flux_g[gids] = np.where(fg[valid] > 0, fl[valid], -fl[valid])
         return FlowState(
             u=u,
             p=jnp.asarray(gather_cells(self.smesh, self.p_s)),
-            flux=fv.flux_of(self.m, u, self.u_bcs),
+            flux=jnp.asarray(flux_g),
         )
 
     def cell_velocity(self) -> np.ndarray:
