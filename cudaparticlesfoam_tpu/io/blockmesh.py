@@ -4,10 +4,14 @@ The reference's tutorial pipeline depends on OpenFOAM's ``blockMesh``
 (``tutorials/.../Allrun:8``); this module regenerates those meshes natively
 so cases run end-to-end without an OpenFOAM install.  Supports the feature
 set the tutorial dicts use (``pitzDaily/system/blockMeshDict``,
-``TJunction/system/blockMeshDict``): ``scale``, ``$var`` macros, hex blocks,
-``simpleGrading`` / ``edgeGrading`` with scalar or multi-section
-``(lenFrac cellFrac ratio)`` specs, straight edges, named boundary patches
-(including ``empty`` for 2-D cases).  Curved edge types raise.
+``TJunction/system/blockMeshDict``) and beyond: ``scale``, ``$var``
+macros, hex blocks, ``simpleGrading`` / ``edgeGrading`` with scalar or
+multi-section ``(lenFrac cellFrac ratio)`` specs, curved edges (``arc``
+by interpolation point or ``origin``, ``polyLine``, ``spline``/
+``BSpline`` as Catmull-Rom through the given points) via edge-transfinite
+interpolation, named boundary patches (including ``empty`` for 2-D
+cases).  Blocks without curved edges take a pure-trilinear fast path that
+is bit-identical to the pre-curved-edge mesher.
 
 Output is a :class:`~cudaparticlesfoam_tpu.io.polymesh.PolyMesh` with
 OpenFOAM's canonical face ordering (upper-triangular internal faces first,
@@ -104,7 +108,154 @@ def _grading_points(spec, n: int) -> np.ndarray:
     return out
 
 
-def _block_points(corners: np.ndarray, n: tuple, gradings) -> np.ndarray:
+# local corner pairs of the 12 hex edges, grouped by direction, in the
+# _EDGE_CORNER_POS cross-axis corner order (0,0),(1,0),(1,1),(0,1)
+_EDGE_LOCAL = {
+    0: [(0, 1), (3, 2), (7, 6), (4, 5)],
+    1: [(0, 3), (1, 2), (5, 6), (4, 7)],
+    2: [(0, 4), (1, 5), (2, 6), (3, 7)],
+}
+
+
+def _arc_3pt(p0, p1, pm):
+    """Circular arc through p0 -> pm -> p1; returns C(t) vectorized over a
+    parameter grid t in [0,1] (t measured as angle fraction)."""
+    A, B, C = np.asarray(p0), np.asarray(pm), np.asarray(p1)
+    a = A - C
+    b = B - C
+    axb = np.cross(a, b)
+    n2 = float(axb @ axb)
+    if n2 < 1e-30:          # collinear: degenerate, straight line
+        return lambda t: A + np.asarray(t)[..., None] * (C - A)
+    centre = C + np.cross((a @ a) * b - (b @ b) * a, axb) / (2.0 * n2)
+    r0 = A - centre
+    rm = B - centre
+    r1 = C - centre
+    nhat = np.cross(r0, rm)
+    nhat = nhat / (np.linalg.norm(nhat) + 1e-300)
+    r2 = float(r0 @ r0)
+    cosb = float(r0 @ r1) / r2
+    sinb = float(np.cross(r0, r1) @ nhat) / r2
+    beta = np.arctan2(sinb, cosb) % (2.0 * np.pi)
+
+    def curve(t):
+        th = np.asarray(t)[..., None] * beta
+        # Rodrigues rotation of r0 about nhat
+        ct, st = np.cos(th), np.sin(th)
+        k = nhat
+        rot = (
+            r0 * ct
+            + np.cross(k, r0) * st
+            + k * (k @ r0) * (1.0 - ct)
+        )
+        return centre + rot
+
+    return curve
+
+
+def _arc_origin(p0, p1, origin):
+    """``arc v0 v1 origin (x y z)`` form: minor arc about the centre."""
+    A, C = np.asarray(p0), np.asarray(p1)
+    centre = np.asarray(origin, float)
+    r0 = A - centre
+    r1 = C - centre
+    nhat = np.cross(r0, r1)
+    nn = np.linalg.norm(nhat)
+    if nn < 1e-30:
+        return lambda t: A + np.asarray(t)[..., None] * (C - A)
+    nhat = nhat / nn
+    r2 = float(r0 @ r0)
+    cosb = float(r0 @ r1) / r2
+    sinb = float(np.cross(r0, r1) @ nhat) / r2
+    beta = np.arctan2(sinb, cosb) % (2.0 * np.pi)
+
+    def curve(t):
+        th = np.asarray(t)[..., None] * beta
+        ct, st = np.cos(th), np.sin(th)
+        k = nhat
+        rot = r0 * ct + np.cross(k, r0) * st + k * (k @ r0) * (1.0 - ct)
+        return centre + rot
+
+    return curve
+
+
+def _catmull_rom(p0, pts, p1):
+    """Catmull-Rom through [p0, pts..., p1] with chord-length parameters
+    (the spline/BSpline edge types; polyLine uses the linear variant)."""
+    P = np.vstack([p0, pts, p1]) if len(pts) else np.vstack([p0, p1])
+    seg = np.linalg.norm(np.diff(P, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    s = s / (s[-1] + 1e-300)
+    # endpoint-clamped phantom points
+    Pe = np.vstack([2 * P[0] - P[1], P, 2 * P[-1] - P[-2]])
+
+    def curve(t):
+        t = np.clip(np.asarray(t, float), 0.0, 1.0)
+        idx = np.clip(np.searchsorted(s, t, side="right") - 1, 0, len(s) - 2)
+        t0, t1 = s[idx], s[idx + 1]
+        u = ((t - t0) / np.maximum(t1 - t0, 1e-300))[..., None]
+        pA, pB, pC, pD = Pe[idx], Pe[idx + 1], Pe[idx + 2], Pe[idx + 3]
+        return 0.5 * (
+            (2.0 * pB)
+            + (-pA + pC) * u
+            + (2.0 * pA - 5.0 * pB + 4.0 * pC - pD) * u * u
+            + (-pA + 3.0 * pB - 3.0 * pC + pD) * u * u * u
+        )
+
+    return curve
+
+
+def _polyline(p0, pts, p1):
+    P = np.vstack([p0, pts, p1]) if len(pts) else np.vstack([p0, p1])
+    seg = np.linalg.norm(np.diff(P, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    s = s / (s[-1] + 1e-300)
+
+    def curve(t):
+        t = np.clip(np.asarray(t, float), 0.0, 1.0)
+        idx = np.clip(np.searchsorted(s, t, side="right") - 1, 0, len(s) - 2)
+        u = ((t - s[idx]) / np.maximum(s[idx + 1] - s[idx], 1e-300))[..., None]
+        return P[idx] + u * (P[idx + 1] - P[idx])
+
+    return curve
+
+
+def _parse_edges(entries, vertices, scale):
+    """edges list -> {(v0, v1): curve fn} (curve parameter runs v0 -> v1);
+    vertex ids are the blockMeshDict vertex indices."""
+    curves = {}
+    i = 0
+    while i < len(entries):
+        etype = str(entries[i])
+        v0 = int(entries[i + 1])
+        v1 = int(entries[i + 2])
+        i += 3
+        if etype == "line":
+            continue
+        if etype == "arc":
+            if isinstance(entries[i], str) and entries[i] == "origin":
+                org = np.asarray(entries[i + 1], float) * scale
+                i += 2
+                curves[(v0, v1)] = _arc_origin(vertices[v0], vertices[v1], org)
+            else:
+                mid = np.asarray(entries[i], float) * scale
+                i += 1
+                curves[(v0, v1)] = _arc_3pt(vertices[v0], vertices[v1], mid)
+        elif etype in ("polyLine",):
+            pts = np.asarray(entries[i], float).reshape(-1, 3) * scale
+            i += 1
+            curves[(v0, v1)] = _polyline(vertices[v0], pts, vertices[v1])
+        elif etype in ("spline", "BSpline", "polySpline"):
+            pts = np.asarray(entries[i], float).reshape(-1, 3) * scale
+            i += 1
+            curves[(v0, v1)] = _catmull_rom(vertices[v0], pts, vertices[v1])
+        else:
+            raise ValueError(f"unsupported edge type {etype!r}")
+    return curves
+
+
+def _block_points(corners: np.ndarray, n: tuple, gradings,
+                  edge_curves=None) -> np.ndarray:
     """Points of one hex block [nx+1, ny+1, nz+1, 3].
 
     ``gradings`` = per direction, list of 4 specs (edge order above).
@@ -152,7 +303,32 @@ def _block_points(corners: np.ndarray, n: tuple, gradings) -> np.ndarray:
                    U * (1 - V) * W,
                    U * V * W,
                    (1 - U) * V * W], axis=-1)           # [...,8]
-    return np.einsum("...c,cj->...j", cu, corners)
+    tri = np.einsum("...c,cj->...j", cu, corners)
+    if not edge_curves or not any(fn is not None for fn in edge_curves.values()):
+        # straight-edge fast path: bit-identical to the pre-curved mesher
+        return tri
+
+    # edge-transfinite interpolation: P = sum over the 12 edge terms minus
+    # 2x the corner trilinear (each edge term with straight edges reduces
+    # to the trilinear, so straight edges contribute exactly their share)
+    params = (U, V, W)
+    P = -2.0 * tri
+    for d in range(3):
+        t = params[d]
+        # cross-axis params: for x-edges (v,w), y-edges (u,w), z-edges (u,v)
+        cross = {0: (V, W), 1: (U, W), 2: (U, V)}[d]
+        for e, (a, b) in enumerate(_EDGE_LOCAL[d]):
+            fn = edge_curves.get((d, e))
+            if fn is None:
+                Ce = corners[a] + t[..., None] * (corners[b] - corners[a])
+            else:
+                Ce = fn(t)
+            pa, pb = _EDGE_CORNER_POS[e]
+            wgt = (cross[0] if pa else (1 - cross[0])) * (
+                cross[1] if pb else (1 - cross[1])
+            )
+            P = P + wgt[..., None] * Ce
+    return P
 
 
 def _parse_blocks(entries, scope):
@@ -210,8 +386,7 @@ def generate(dict_path_or_text: str) -> PolyMesh:
     d = foamfile.parse(text)
     scale = float(d.get("scale", d.get("convertToMeters", 1.0)))
     vertices = np.asarray(d["vertices"], dtype=np.float64) * scale
-    if d.get("edges"):
-        raise NotImplementedError("curved block edges not supported")
+    edge_specs = _parse_edges(d.get("edges") or [], vertices, scale)
     blocks = _parse_blocks(d["blocks"], d)
     boundary = _parse_boundary(d.get("boundary", []))
 
@@ -221,7 +396,19 @@ def generate(dict_path_or_text: str) -> PolyMesh:
     block_point_ids = []
     for vert_ids, n, gradings in blocks:
         corners = vertices[vert_ids]
-        pts = _block_points(corners, n, gradings).reshape(-1, 3)
+        block_edges = {}
+        if edge_specs:
+            for dd in range(3):
+                for e, (a, b) in enumerate(_EDGE_LOCAL[dd]):
+                    ga, gb = int(vert_ids[a]), int(vert_ids[b])
+                    fn = edge_specs.get((ga, gb))
+                    if fn is None:
+                        rev = edge_specs.get((gb, ga))
+                        if rev is not None:
+                            fn = (lambda f: lambda t: f(1.0 - np.asarray(t)))(rev)
+                    if fn is not None:
+                        block_edges[(dd, e)] = fn
+        pts = _block_points(corners, n, gradings, block_edges).reshape(-1, 3)
         block_point_ids.append(None)
         all_pts.append(pts)
 
