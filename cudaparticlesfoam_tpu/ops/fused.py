@@ -418,16 +418,43 @@ def _reflect_mega(mesh: TetMesh, tab, mc, px, py, pz, code, slot, act,
 
 
 def mega_cycle(mesh: TetMesh, m, rng_key, step, cfg, dt):
-    """One sub-step over the mega-row state (see module docstring)."""
+    """One sub-step over the mega-row state (see module docstring).
+
+    ``cfg.cycle_chunks > 1`` processes the batch as that many sub-batches
+    within the cycle — at 10M lanes the full-batch hop gather's per-index
+    cost roughly doubles (HBM queue pressure), and sub-batching restores
+    the 1M-scale rate.  Bit-identical to unchunked: the Brownian noise is
+    drawn once for the full batch and sliced.
+    """
     n = m.shape[0]
     if n % BLOCK:
         pad = BLOCK - n % BLOCK
         mp = jnp.pad(m, ((0, pad), (0, 0)))
-        return _mega_cycle_aligned(mesh, mp, rng_key, step, cfg, dt)[:n]
-    return _mega_cycle_aligned(mesh, m, rng_key, step, cfg, dt)
+        return mega_cycle(mesh, mp, rng_key, step, cfg, dt)[:n]
+    chunks = max(int(getattr(cfg, "cycle_chunks", 1)), 1)
+    per = -(-(n // BLOCK) // chunks) * BLOCK
+    if chunks <= 1 or per >= n or per < 64 * BLOCK:
+        return _mega_cycle_aligned(mesh, m, rng_key, step, cfg, dt)
+    noise = (
+        _brownian_noise(rng_key, step, n, m.dtype, cfg)
+        if cfg.use_brownian else None
+    )
+    outs = []
+    for c in range(chunks):
+        lo = c * per
+        hi = min(lo + per, n)
+        if lo >= hi:
+            break
+        outs.append(
+            _mega_cycle_aligned(
+                mesh, m[lo:hi], rng_key, step, cfg, dt,
+                noise=None if noise is None else noise[lo:hi],
+            )
+        )
+    return jnp.concatenate(outs, axis=0)
 
 
-def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
+def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt, noise=None):
     n = m.shape[0]
     nb = n // BLOCK
     ly = layout_for(cfg)
@@ -460,7 +487,9 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt):
         vx, vy, vz = m[:, V0], m[:, V0 + 1], m[:, V0 + 2]
     if cfg.use_brownian:
         sigma = jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(m.dtype)
-        xi = _brownian_noise(rng_key, step, n, m.dtype, cfg)
+        xi = noise if noise is not None else _brownian_noise(
+            rng_key, step, n, m.dtype, cfg
+        )
         dx = dx + alf * sigma * xi[:, 0]
         dy = dy + alf * sigma * xi[:, 1]
         dz = dz + alf * sigma * xi[:, 2]

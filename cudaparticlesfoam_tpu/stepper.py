@@ -69,6 +69,10 @@ class StepConfig:
     # batch, column math) before the rare stage; semantics identical to
     # bounce 1 of RTreflection (RTQuery.cu:92-186)
     inline_bounce: bool = True
+    # sub-batches per cycle (>=8M-particle runs: the full-batch hop
+    # gather's per-index cost grows with outstanding HBM loads; chunking
+    # restores the small-batch rate; bit-identical results)
+    cycle_chunks: int = 1
     # set by the case drivers when absorbing (escape) patches exist so the
     # inline bounce checks bd_escape; the rare-stage reflector always does
     escape_faces: bool = False

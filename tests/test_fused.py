@@ -186,3 +186,32 @@ def test_pk_sharded_dp(setup_pk):
     np.testing.assert_array_equal(
         np.asarray(out.tet_id)[:n], np.asarray(ref.tet_id)
     )
+
+
+def test_cycle_chunks_bit_identical():
+    """cycle_chunks sub-batching must be bit-identical to the full-batch
+    cycle (noise drawn once and sliced; lanes independent)."""
+    import dataclasses
+
+    import numpy as np
+
+    from cudaparticlesfoam_tpu import (
+        StepConfig, box_mesh, build_grid_locator, locate_seeds,
+        replace_velocity, run_cycles, seed_in_box,
+    )
+    from cudaparticlesfoam_tpu.state import replace as rs
+
+    mesh = box_mesh(6, 6, 6)
+    loc = build_grid_locator(mesh)
+    cen = np.asarray(mesh.points, dtype=np.float64)[np.asarray(mesh.tets)].mean(axis=1)
+    outward = cen - 3.0
+    outward /= np.linalg.norm(outward, axis=1, keepdims=True) + 1e-12
+    mesh = replace_velocity(mesh, tet_vel=outward * 1.2)
+    st = seed_in_box(4096, (0.5,) * 3, (5.5,) * 3, method="threefry")
+    st = rs(st, tet_id=locate_seeds(mesh, loc, st.pos))
+    base = StepConfig(dt=0.07, diffusion_coeff=1e-3, engine="cached")
+    a = run_cycles(mesh, st, base, 25)
+    b = run_cycles(mesh, st, dataclasses.replace(base, cycle_chunks=4), 25)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_array_equal(np.asarray(a.tet_id), np.asarray(b.tet_id))
+    np.testing.assert_array_equal(np.asarray(a.vel), np.asarray(b.vel))
