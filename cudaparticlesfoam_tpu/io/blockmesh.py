@@ -332,7 +332,7 @@ def _block_points(corners: np.ndarray, n: tuple, gradings,
 
 
 def _parse_blocks(entries, scope):
-    """blocks list -> [(vert_ids[8], (nx,ny,nz), gradings[3][4])]."""
+    """blocks list -> [(vert_ids[8], (nx,ny,nz), gradings[3][4], zone)]."""
     out = []
     i = 0
     while i < len(entries):
@@ -341,7 +341,9 @@ def _parse_blocks(entries, scope):
         vert_ids = entries[i + 1]
         i += 2
         # optional cell-zone name
+        zone = None
         if isinstance(entries[i], str) and not isinstance(entries[i], list):
+            zone = entries[i]
             i += 1
         n = tuple(int(x) for x in entries[i])
         i += 1
@@ -357,7 +359,7 @@ def _parse_blocks(entries, scope):
             gradings = [specs[0:4], specs[4:8], specs[8:12]]
         else:
             raise ValueError(f"unsupported grading {gtype!r}")
-        out.append((np.asarray(vert_ids, dtype=int), n, gradings))
+        out.append((np.asarray(vert_ids, dtype=int), n, gradings, zone))
     return out
 
 
@@ -394,7 +396,7 @@ def generate(dict_path_or_text: str) -> PolyMesh:
     tol = 1e-10 * max(np.abs(vertices).max(), 1.0)
     all_pts = []
     block_point_ids = []
-    for vert_ids, n, gradings in blocks:
+    for vert_ids, n, gradings, _zone in blocks:
         corners = vertices[vert_ids]
         block_edges = {}
         if edge_specs:
@@ -423,7 +425,7 @@ def generate(dict_path_or_text: str) -> PolyMesh:
 
     # global ids per block
     offset = 0
-    for bi, (vert_ids, n, _) in enumerate(blocks):
+    for bi, (vert_ids, n, _, _zone) in enumerate(blocks):
         cnt = (n[0] + 1) * (n[1] + 1) * (n[2] + 1)
         block_point_ids[bi] = inverse[offset : offset + cnt].reshape(
             n[0] + 1, n[1] + 1, n[2] + 1
@@ -433,7 +435,7 @@ def generate(dict_path_or_text: str) -> PolyMesh:
     # --- hex cells ---
     hexes = []
     cell_block = []
-    for bi, (vert_ids, n, _) in enumerate(blocks):
+    for bi, (vert_ids, n, _, _zone) in enumerate(blocks):
         g = block_point_ids[bi]
         nx, ny, nz = n
         # cell ordering: x fastest, then y, then z (blockMesh convention)
@@ -455,6 +457,17 @@ def generate(dict_path_or_text: str) -> PolyMesh:
         )
         hexes.append(hx)
         cell_block.append(np.full(len(hx), bi))
+    # cellZones from named blocks (hex (...) zoneName (...) ...)
+    cell_zones = {}
+    c0 = 0
+    for bi, (vert_ids, n, _, zone) in enumerate(blocks):
+        cnt = n[0] * n[1] * n[2]
+        if zone is not None:
+            cell_zones.setdefault(zone, []).append(np.arange(c0, c0 + cnt))
+        c0 += cnt
+    cell_zones = {
+        k: np.concatenate(v).astype(np.int64) for k, v in cell_zones.items()
+    } or None
     hexes = np.concatenate(hexes)
     n_cells = len(hexes)
 
@@ -494,7 +507,7 @@ def generate(dict_path_or_text: str) -> PolyMesh:
             patch_of_quad[tuple(sorted(int(x) for x in q))] = pi
 
     side_key_batches = []  # (keys, patch_id) collected per block side
-    for bi, (vert_ids, n, _) in enumerate(blocks):
+    for bi, (vert_ids, n, _, _zone) in enumerate(blocks):
         for side in range(6):
             q_key = tuple(sorted(int(vert_ids[c]) for c in _HEX_SIDES[side]))
             pi = patch_of_quad.get(q_key)
@@ -574,4 +587,5 @@ def generate(dict_path_or_text: str) -> PolyMesh:
         owner=owner_out,
         neighbour=neighbour_out,
         patches=patches,
+        cell_zones=cell_zones,
     )

@@ -52,6 +52,7 @@ class PolyMesh:
     owner: np.ndarray         # [nfaces]
     neighbour: np.ndarray     # [n_internal]
     patches: list             # [(name, type, start_face, n_faces)]
+    cell_zones: dict | None = None   # {name: cell-id array} (cellZones file)
 
     @property
     def n_faces(self):
@@ -277,7 +278,29 @@ def read_polymesh(mesh_dir: str) -> PolyMesh:
     owner = read_label_list(os.path.join(mesh_dir, "owner"))
     neighbour = read_label_list(os.path.join(mesh_dir, "neighbour"))
     patches = read_boundary(os.path.join(mesh_dir, "boundary"))
-    return PolyMesh(points, face_verts, face_offsets, owner, neighbour, patches)
+    zones = read_cell_zones(mesh_dir)     # {} when the file is absent
+    return PolyMesh(points, face_verts, face_offsets, owner, neighbour,
+                    patches, cell_zones=zones or None)
+
+
+def write_cell_zones(zones: dict, mesh_dir: str) -> None:
+    from . import foamfile
+
+    with open(os.path.join(mesh_dir, "cellZones"), "w") as fh:
+        fh.write(foamfile._HEADER)
+        fh.write(
+            "FoamFile\n{\n    version 2.0;\n    format ascii;\n"
+            "    class regIOobject;\n"
+            '    location "constant/polyMesh";\n    object cellZones;\n}\n\n'
+        )
+        fh.write(f"{len(zones)}\n(\n")
+        for name, ids in zones.items():
+            ids = np.asarray(ids, np.int64)
+            fh.write(f"{name}\n{{\n    type cellZone;\n")
+            fh.write(f"cellLabels      List<label>\n{len(ids)}\n(\n")
+            fh.write("\n".join(map(str, ids.tolist())))
+            fh.write("\n);\n}\n\n")
+        fh.write(")\n")
 
 
 # ---------------------------------------------------------------------------
@@ -998,3 +1021,5 @@ def write_polymesh(pm: PolyMesh, mesh_dir: str, binary: bool = False) -> None:
             fh.write(f"        startFace       {start};\n")
             fh.write("    }\n")
         fh.write(")\n")
+    if pm.cell_zones:
+        write_cell_zones(pm.cell_zones, mesh_dir)

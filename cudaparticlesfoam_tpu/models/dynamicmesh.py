@@ -1,12 +1,16 @@
-"""Dynamic (moving) mesh: solid-body motion + ALE fluxes.
+"""Dynamic (moving) mesh: solid-body + per-cellZone motion, ALE fluxes.
 
 The moving-mesh branch of the coupled solver
 (``cudaParticlesPimpleFoam.C:144-170``: ``mesh.controlledUpdate()``,
-``correctPhi``, ``fvc::makeRelative``) for rigid solid-body motion of the
-whole domain — the OpenFOAM ``solidBodyMotionFvMesh`` /
-``dynamicMotionSolverFvMesh + solidBody`` configurations with the standard
+``correctPhi``, ``fvc::makeRelative``) for the OpenFOAM
+``solidBodyMotionFvMesh`` / ``dynamicMotionSolverFvMesh + solidBody``
+configurations (rigid whole-domain motion) and
+``multiSolidBodyMotionFvMesh`` / ``multiSolidBody`` (per-cellZone rigid
+motion with the connecting cells deforming), with the standard
 ``solidBodyMotionFunction``s (linearMotion, rotatingMotion,
-oscillatingLinearMotion, oscillatingRotatingMotion).
+oscillatingLinearMotion, oscillatingRotatingMotion).  Point-smoothing
+motion solvers (velocityLaplacian etc.) and topology changes are out of
+scope and raise.
 
 TPU-first split of the work:
 * point motion + FV metric rebuild: host numpy once per Eulerian step
@@ -91,29 +95,19 @@ def _vec(v, default=(0.0, 0.0, 0.0)):
     return default
 
 
-def read_dynamic_mesh(case_dir: str) -> "SolidBodyMotion | None":
-    """Parse constant/dynamicMeshDict; None for static/absent meshes."""
-    path = os.path.join(case_dir, "constant", "dynamicMeshDict")
-    if not os.path.exists(path):
-        return None
-    d = foamfile.read(path)
-    d.pop("FoamFile", None)
-    fvmesh = str(d.get("dynamicFvMesh", "staticFvMesh"))
-    if fvmesh == "staticFvMesh":
-        return None
-    fn = d.get("solidBodyMotionFunction")
-    coeffs = {}
-    if fn is None and ("motionSolverLibs" in d or "motionSolver" in d):
-        # dynamicMotionSolverFvMesh form: solver solidBody; + nested coeffs
-        fn = d.get("solidBody", {}).get("solidBodyMotionFunction")
-        coeffs = d.get("solidBody", {})
-    fn = str(fn) if fn is not None else None
-    if fn is None:
-        raise ValueError(
-            f"dynamicMeshDict: unsupported configuration {fvmesh!r} "
-            "(only solid-body motion functions are implemented)"
-        )
-    coeffs = d.get(f"{fn}Coeffs", coeffs.get(f"{fn}Coeffs", {}))
+@dataclasses.dataclass(frozen=True)
+class MultiSolidBodyMotion:
+    """Per-cellZone rigid motion (OpenFOAM ``multiSolidBodyMotionFvMesh``
+    / ``multiSolidBody`` motion solver): each named cellZone's points move
+    with its own solidBodyMotionFunction; cells between zones deform
+    (geometry is rebuilt every step, so the FV metrics and the particle
+    walk tables stay consistent)."""
+
+    zones: tuple     # ((zone_name, SolidBodyMotion), ...)
+    kind: str = "multiSolidBody"
+
+
+def _solid_body_from(fn: str, coeffs: dict) -> SolidBodyMotion:
     return SolidBodyMotion(
         kind=fn,
         origin=_vec(coeffs.get("origin")),
@@ -124,15 +118,104 @@ def read_dynamic_mesh(case_dir: str) -> "SolidBodyMotion | None":
     )
 
 
+def read_dynamic_mesh(case_dir: str):
+    """Parse constant/dynamicMeshDict; None for static/absent meshes.
+    Returns a SolidBodyMotion (whole domain) or MultiSolidBodyMotion
+    (per-cellZone)."""
+    path = os.path.join(case_dir, "constant", "dynamicMeshDict")
+    if not os.path.exists(path):
+        return None
+    d = foamfile.read(path)
+    d.pop("FoamFile", None)
+    fvmesh = str(d.get("dynamicFvMesh", "staticFvMesh"))
+    if fvmesh == "staticFvMesh":
+        return None
+
+    def zone_dicts(sub):
+        """{zone: {solidBodyMotionFunction ...; <fn>Coeffs {...}}} form."""
+        zones = []
+        for zname, zd in sub.items():
+            if not isinstance(zd, dict) or "solidBodyMotionFunction" not in zd:
+                continue
+            zfn = str(zd["solidBodyMotionFunction"])
+            zones.append(
+                (str(zname), _solid_body_from(zfn, zd.get(f"{zfn}Coeffs", {})))
+            )
+        return zones
+
+    # multiSolidBodyMotionFvMesh / motionSolver multiSolidBody forms
+    multi_sub = None
+    if fvmesh == "multiSolidBodyMotionFvMesh":
+        multi_sub = d.get("multiSolidBodyMotionFvMeshCoeffs", {})
+    elif str(d.get("motionSolver", d.get("solver", ""))) == "multiSolidBody":
+        multi_sub = d.get("multiSolidBodyCoeffs", d)
+    if multi_sub is not None:
+        zones = zone_dicts(multi_sub)
+        if not zones:
+            raise ValueError(
+                "multiSolidBody dynamicMeshDict with no zone motion entries"
+            )
+        return MultiSolidBodyMotion(zones=tuple(zones))
+
+    fn = d.get("solidBodyMotionFunction")
+    coeffs = {}
+    if fn is None and ("motionSolverLibs" in d or "motionSolver" in d):
+        # dynamicMotionSolverFvMesh form: solver solidBody; + nested coeffs
+        fn = d.get("solidBody", {}).get("solidBodyMotionFunction")
+        coeffs = d.get("solidBody", {})
+    fn = str(fn) if fn is not None else None
+    if fn is None:
+        raise ValueError(
+            f"dynamicMeshDict: unsupported configuration {fvmesh!r} "
+            "(solid-body and multiSolidBody motion are implemented)"
+        )
+    coeffs = d.get(f"{fn}Coeffs", coeffs.get(f"{fn}Coeffs", {}))
+    return _solid_body_from(fn, coeffs)
+
+
+def _zone_point_ids(pm, cells: np.ndarray) -> np.ndarray:
+    """Point ids belonging to the given cells (points of every face whose
+    owner or neighbour is in the set — the zone's pointZone)."""
+    inz = np.zeros(pm.n_cells, bool)
+    inz[np.asarray(cells, np.int64)] = True
+    sizes = np.diff(pm.face_offsets)
+    face_in = inz[pm.owner].copy()
+    face_in[: pm.n_internal_faces] |= inz[pm.neighbour]
+    mask = np.repeat(face_in, sizes)
+    return np.unique(np.asarray(pm.face_verts)[mask])
+
+
 class DynamicMesh:
     """Per-step mesh motion driver (``mesh.controlledUpdate()``)."""
 
-    def __init__(self, motion: SolidBodyMotion, pm, dtype=jnp.float32):
+    def __init__(self, motion, pm, dtype=jnp.float32):
         self.motion = motion
         self.pm = pm
         self.points0 = np.asarray(pm.points, dtype=np.float64).copy()
         self.dtype = dtype
         self._cf_old = None
+        self._zone_pts = None
+        if isinstance(motion, MultiSolidBodyMotion):
+            zones = pm.cell_zones or {}
+            missing = [z for z, _ in motion.zones if z not in zones]
+            if missing:
+                raise ValueError(
+                    f"dynamicMeshDict references cellZones {missing} not "
+                    "present in the mesh (constant/polyMesh/cellZones or "
+                    "named blockMeshDict blocks)"
+                )
+            self._zone_pts = {
+                z: _zone_point_ids(pm, zones[z]) for z, _ in motion.zones
+            }
+
+    def _points_at(self, t: float) -> np.ndarray:
+        if self._zone_pts is not None:
+            pts = self.points0.copy()
+            for name, sb in self.motion.zones:
+                ids = self._zone_pts[name]
+                pts[ids] = sb.transform(self.points0[ids], t)
+            return pts
+        return self.motion.transform(self.points0, t)
 
     def update(self, t_new: float, dt: float):
         """Move points to t_new; returns (FvMesh, meshPhi[nf], bd_vel[nbd,3]).
@@ -140,13 +223,13 @@ class DynamicMesh:
         meshPhi is the swept face flux (midpoint rule); bd_vel the rigid
         velocity of boundary face centres (movingWallVelocity values).
         """
-        pts = self.motion.transform(self.points0, t_new)
+        pts = self._points_at(t_new)
         self.pm.points = pts
         m_new = fv.fv_mesh(self.pm, dtype=self.dtype)
         cf_new = np.asarray(m_new.cf, dtype=np.float64)
         if self._cf_old is None:
             # first step: derive old face centres by transforming backwards
-            pts_old = self.motion.transform(self.points0, t_new - dt)
+            pts_old = self._points_at(t_new - dt)
             pm_pts = self.pm.points
             self.pm.points = pts_old
             m_old = fv.fv_mesh(self.pm, dtype=self.dtype)

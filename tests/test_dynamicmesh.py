@@ -197,3 +197,174 @@ def test_coupled_oscillating_box(tmp_path):
     assert lo == pytest.approx(expect_shift, abs=5e-3)
     # fluid got entrained: some nonzero velocity appeared
     assert float(jnp.abs(jnp.asarray(state.vel)).max()) > 1e-4
+
+
+TWO_ZONE_BMD = """
+FoamFile { version 2.0; format ascii; class dictionary; object blockMeshDict; }
+scale 1;
+vertices (
+ (0 0 0) (1 0 0) (1 1 0) (0 1 0)
+ (0 0 0.2) (1 0 0.2) (1 1 0.2) (0 1 0.2)
+ (2 0 0) (2 1 0) (2 0 0.2) (2 1 0.2)
+);
+blocks (
+ hex (0 1 2 3 4 5 6 7) rotor (6 6 2) simpleGrading (1 1 1)
+ hex (1 8 9 2 5 10 11 6) (6 6 2) simpleGrading (1 1 1)
+);
+edges ();
+boundary (
+ walls { type wall; faces ((0 4 7 3) (8 9 11 10) (0 1 5 4) (1 8 10 5)
+                           (3 7 6 2) (2 6 11 9)
+                           (0 3 2 1) (4 5 6 7) (1 2 9 8) (5 10 11 6)); }
+);
+"""
+
+
+def test_blockmesh_cell_zones():
+    pm = blockmesh.generate(TWO_ZONE_BMD)
+    assert pm.cell_zones is not None and "rotor" in pm.cell_zones
+    assert len(pm.cell_zones["rotor"]) == 6 * 6 * 2
+    # zone cells are the left block (x < 1)
+    from cudaparticlesfoam_tpu.io.polymesh import cell_centres_volumes
+
+    ctrs, _ = cell_centres_volumes(pm)
+    assert (ctrs[pm.cell_zones["rotor"], 0] < 1.0).all()
+
+
+def test_cell_zones_roundtrip(tmp_path):
+    pm = blockmesh.generate(TWO_ZONE_BMD)
+    d = str(tmp_path / "polyMesh")
+    polymesh.write_polymesh(pm, d)
+    back = polymesh.read_polymesh(d)
+    assert set(back.cell_zones) == {"rotor"}
+    np.testing.assert_array_equal(back.cell_zones["rotor"],
+                                  pm.cell_zones["rotor"])
+
+
+def test_read_multi_solid_body(tmp_path):
+    (tmp_path / "constant").mkdir()
+    (tmp_path / "constant" / "dynamicMeshDict").write_text(
+        "FoamFile { version 2.0; format ascii; class dictionary; "
+        "object dynamicMeshDict; }\n"
+        "dynamicFvMesh multiSolidBodyMotionFvMesh;\n"
+        "multiSolidBodyMotionFvMeshCoeffs\n{\n"
+        " rotor { solidBodyMotionFunction oscillatingLinearMotion;\n"
+        "   oscillatingLinearMotionCoeffs { amplitude (0.08 0 0); omega 6.28; } }\n"
+        "}\n"
+    )
+    m = dyn.read_dynamic_mesh(str(tmp_path))
+    assert isinstance(m, dyn.MultiSolidBodyMotion)
+    assert m.zones[0][0] == "rotor"
+    assert m.zones[0][1].kind == "oscillatingLinearMotion"
+
+
+def test_multi_zone_motion_deforms_interface():
+    """Left (rotor) zone oscillates in x, right zone static: zone cells
+    translate rigidly, interface cells deform, every volume stays
+    positive, and meshPhi satisfies the GCL (div(meshPhi) = dV/dt)."""
+    pm = blockmesh.generate(TWO_ZONE_BMD)
+    motion = dyn.MultiSolidBodyMotion(zones=(
+        ("rotor", dyn.SolidBodyMotion(
+            kind="oscillatingLinearMotion", amplitude=(0.08, 0.0, 0.0),
+            omega=2.0 * np.pi)),
+    ))
+    dm = dyn.DynamicMesh(motion, pm, dtype=jnp.float64)
+    from cudaparticlesfoam_tpu.io.polymesh import cell_centres_volumes
+
+    _, vols0 = cell_centres_volumes(
+        polymesh.PolyMesh(dm.points0, pm.face_verts, pm.face_offsets,
+                          pm.owner, pm.neighbour, pm.patches)
+    )
+    dt = 0.01
+    m_new, mesh_phi, _ = dm.update(t_new=0.15, dt=dt)
+    ctrs, vols1 = cell_centres_volumes(pm)
+    assert (vols1 > 0).all()
+    # rotor-zone points moved by the oscillation amplitude at t=0.15
+    dxp = 0.08 * np.sin(2.0 * np.pi * 0.15)
+    rotor_cells = pm.cell_zones["rotor"]
+    inner = ctrs[rotor_cells]
+    assert (np.abs(inner[:, 0]) < 2.0).all()
+    # cells well inside the rotor zone kept their volume (rigid motion);
+    # the interface column (last x-row of the zone) changed volume
+    changed = np.abs(vols1 - vols0) / vols0
+    assert changed.max() > 0.05           # interface cells deform
+    assert np.median(changed[rotor_cells]) < 1e-9   # bulk rigid
+    # GCL: sum of meshPhi over each cell's faces ~ (V1 - V0(t-dt))/dt
+    pm_prev = polymesh.PolyMesh(dm._points_at(0.15 - dt), pm.face_verts,
+                                pm.face_offsets, pm.owner, pm.neighbour,
+                                pm.patches)
+    _, vols_prev = cell_centres_volumes(pm_prev)
+    div = np.zeros(pm.n_cells)
+    np.add.at(div, pm.owner, np.asarray(mesh_phi))
+    np.add.at(div, pm.neighbour, -np.asarray(mesh_phi)[: pm.n_internal_faces])
+    dvdt = (vols1 - vols_prev) / dt
+    np.testing.assert_allclose(div, dvdt, atol=2e-4 * vols0.max() / dt * dt)
+
+
+def test_coupled_flow_on_multi_zone_mesh(tmp_path):
+    """The PIMPLE solver advances on the deforming two-zone mesh without
+    NaNs, without spurious ALE currents (u=0 is exact for interior-zone
+    deformation in a rigid closed box), and with bounded continuity."""
+    case = tmp_path
+    (case / "system").mkdir()
+    (case / "constant").mkdir()
+    (case / "0").mkdir()
+    (case / "system" / "blockMeshDict").write_text(TWO_ZONE_BMD)
+    (case / "system" / "controlDict").write_text(
+        "FoamFile { version 2.0; format ascii; class dictionary; object controlDict; }\n"
+        "application pimpleFoam; startFrom startTime; startTime 0; endTime 1;\n"
+        "deltaT 0.005; writeControl timeStep; writeInterval 1000;\n"
+    )
+    (case / "system" / "fvSolution").write_text(
+        "FoamFile { version 2.0; format ascii; class dictionary; object fvSolution; }\n"
+        "PIMPLE { nOuterCorrectors 1; nCorrectors 2; nNonOrthogonalCorrectors 0; }\n"
+    )
+    (case / "system" / "fvSchemes").write_text(
+        "FoamFile { version 2.0; format ascii; class dictionary; object fvSchemes; }\n"
+        "divSchemes { default none; \"div\\(phi,U\\)\" Gauss upwind; }\n"
+    )
+    (case / "constant" / "transportProperties").write_text(
+        "FoamFile { version 2.0; format ascii; class dictionary; object transportProperties; }\n"
+        "nu [0 2 -1 0 0 0 0] 0.01;\n"
+    )
+    (case / "constant" / "dynamicMeshDict").write_text(
+        "FoamFile { version 2.0; format ascii; class dictionary; object dynamicMeshDict; }\n"
+        "dynamicFvMesh multiSolidBodyMotionFvMesh;\n"
+        "multiSolidBodyMotionFvMeshCoeffs\n{\n"
+        " rotor { solidBodyMotionFunction oscillatingLinearMotion;\n"
+        "   oscillatingLinearMotionCoeffs { amplitude (0.05 0 0); omega 6.2832; } }\n"
+        "}\n"
+    )
+    (case / "0" / "U").write_text(
+        "FoamFile { version 2.0; format ascii; class volVectorField; object U; }\n"
+        "dimensions [0 1 -1 0 0 0 0];\ninternalField uniform (0 0 0);\n"
+        "boundaryField { walls { type noSlip; } }\n"
+    )
+    (case / "0" / "p").write_text(
+        "FoamFile { version 2.0; format ascii; class volScalarField; object p; }\n"
+        "dimensions [0 2 -2 0 0 0 0];\ninternalField uniform 0;\n"
+        "boundaryField { walls { type zeroGradient; } }\n"
+    )
+    pm = blockmesh.generate(str(case / "system" / "blockMeshDict"))
+    polymesh.write_polymesh(pm, str(case / "constant" / "polyMesh"))
+
+    from cudaparticlesfoam_tpu.models import case as caselib
+    from cudaparticlesfoam_tpu.models.pimple import FlowSolver
+
+    class _FakeCase:
+        case_dir = str(case)
+        poly = pm
+        time_value = 0.0
+
+    flow = FlowSolver.from_case(_FakeCase(), log=lambda *a: None)
+    assert flow.dyn is not None and flow.dyn._zone_pts is not None
+    for _ in range(3):
+        res = flow.advance(0.005)
+    u = np.asarray(flow.state.u)
+    assert np.isfinite(u).all()
+    # interior-zone deformation inside rigid walls leaves the PHYSICAL
+    # domain unchanged: u = 0 is the exact solution, and any velocity the
+    # scheme produces is a spurious ALE current -- require it negligible
+    # (the midpoint meshPhi satisfies the GCL to discretization accuracy)
+    assert np.abs(u).max() < 1e-4
+    assert res["continuity"] < 1e-3
