@@ -461,6 +461,36 @@ class AmgHierarchy:
     sizes: tuple       # coarse sizes per level (static)
 
 
+def _amg_pair_level(own, nei, w, nc):
+    """One greedy pairwise-aggregation level on a face graph.
+
+    Returns (matched[nc] fine->coarse, nc_c, own_c, nei_c, w_c, f2cf):
+    the coarse cell map, coarse size, coarse face graph with summed
+    weights, and the fine-face -> coarse-face map (-1 intra)."""
+    order = np.argsort(-w, kind="stable")
+    matched = np.full(nc, -1, np.int64)
+    nxt = 0
+    for f in order:
+        a, b = own[f], nei[f]
+        if matched[a] < 0 and matched[b] < 0:
+            matched[a] = matched[b] = nxt
+            nxt += 1
+    single = matched < 0
+    matched[single] = nxt + np.arange(int(single.sum()))
+    nc_c = nxt + int(single.sum())
+    co, cn = matched[own], matched[nei]
+    inter = co != cn
+    pmin = np.minimum(co[inter], cn[inter])
+    pmax = np.maximum(co[inter], cn[inter])
+    key = pmin.astype(np.int64) * nc_c + pmax
+    ukey, inv = np.unique(key, return_inverse=True)
+    f2cf = np.full(own.shape[0], -1, np.int64)
+    f2cf[inter] = inv
+    w_c = np.zeros(len(ukey))
+    np.add.at(w_c, inv, w[inter])
+    return matched, nc_c, ukey // nc_c, ukey % nc_c, w_c, f2cf
+
+
 def build_amg(m: FvMesh, min_coarse: int = 200, max_levels: int = 16) -> AmgHierarchy:
     """Greedy pairwise aggregation on the owner/neighbour graph."""
     own = np.asarray(m.owner[: m.n_internal])
@@ -469,34 +499,13 @@ def build_amg(m: FvMesh, min_coarse: int = 200, max_levels: int = 16) -> AmgHier
     nc = m.n_cells
     aggs, owners, neighs, f2cfs, sizes = [], [], [], [], []
     while nc > min_coarse and len(aggs) < max_levels:
-        order = np.argsort(-w, kind="stable")
-        matched = np.full(nc, -1, np.int64)
-        nxt = 0
-        for f in order:
-            a, b = own[f], nei[f]
-            if matched[a] < 0 and matched[b] < 0:
-                matched[a] = matched[b] = nxt
-                nxt += 1
-        single = matched < 0
-        matched[single] = nxt + np.arange(int(single.sum()))
-        nc_c = nxt + int(single.sum())
-        co, cn = matched[own], matched[nei]
-        inter = co != cn
-        pmin = np.minimum(co[inter], cn[inter])
-        pmax = np.maximum(co[inter], cn[inter])
-        key = pmin.astype(np.int64) * nc_c + pmax
-        ukey, inv = np.unique(key, return_inverse=True)
-        f2cf = np.full(own.shape[0], -1, np.int64)
-        f2cf[inter] = inv
+        matched, nc_c, own_c, nei_c, w_c, f2cf = _amg_pair_level(own, nei, w, nc)
         aggs.append(jnp.asarray(matched, jnp.int32))
-        owners.append(jnp.asarray(ukey // nc_c, jnp.int32))
-        neighs.append(jnp.asarray(ukey % nc_c, jnp.int32))
+        owners.append(jnp.asarray(own_c, jnp.int32))
+        neighs.append(jnp.asarray(nei_c, jnp.int32))
         f2cfs.append(jnp.asarray(f2cf, jnp.int32))
         sizes.append(nc_c)
-        # next level graph: summed weights per coarse face
-        w_c = np.zeros(len(ukey))
-        np.add.at(w_c, inv, w[inter])
-        own, nei, w, nc = ukey // nc_c, ukey % nc_c, w_c, nc_c
+        own, nei, w, nc = own_c, nei_c, w_c, nc_c
     return AmgHierarchy(
         aggs=tuple(aggs), owners=tuple(owners), neighs=tuple(neighs),
         f2cf=tuple(f2cfs), sizes=tuple(sizes),

@@ -401,7 +401,7 @@ def _mesh_specs(smesh: ShardedFlowMesh, axis: str):
 
 
 def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
-                        with_turb: bool = False):
+                        with_turb: bool = False, lamg: "LocalAmg | None" = None):
     """Build the shard_map'ed PIMPLE step over ``device_mesh``.
 
     Returns step(u_ext, p_ext, flux, u_bcs_s, p_bcs_s, dt[, nut, k,
@@ -430,7 +430,9 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
     def psum_dot(mask, a, b):
         return lax.psum(jnp.sum(jnp.where(mask, a * b, 0.0)), axis)
 
-    def local_step(m_s, u, p, flux, u_bcs, p_bcs, dt, *turb_args):
+    use_amg = lamg is not None
+
+    def local_step(m_s, u, p, flux, u_bcs, p_bcs, dt, *extra):
         # strip the leading device axis shard_map leaves on the pytrees
         lm = m_s.local_fv()
         mask = m_s.cell_mask[0]
@@ -438,6 +440,11 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
         u_bcs = jax.tree.map(lambda x: x[0], u_bcs)
         p_bcs = jax.tree.map(lambda x: x[0], p_bcs)
         u, p, flux = u[0], p[0], flux[0]
+        lamg_l = None
+        turb_args = extra
+        if use_amg:
+            lamg_l = jax.tree.map(lambda x: x[0], extra[0])
+            turb_args = extra[1:]
 
         def hx(x):
             return refresh(m_s, x)
@@ -468,13 +475,25 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
         def cg(A, b, x0, tol, max_iter):
             inv_d = 1.0 / safe_diag(A.diag)
             b = jnp.where(mask, b, 0.0)
+            if use_amg:
+                off_loc = A.upper * lamg_l.off_mask
+
+                def Minv(r):
+                    z = _local_vcycle(
+                        lamg_l, lm, safe_diag(A.diag), off_loc,
+                        jnp.where(mask, r, 0.0),
+                    )
+                    return jnp.where(mask, z, 0.0)
+            else:
+                def Minv(r):
+                    return inv_d * r
 
             def mv(x):
                 y = fv.matvec(lm, A, hx(x))
                 return jnp.where(mask, y, 0.0)
 
             r0 = b - mv(x0)
-            z0 = inv_d * r0
+            z0 = Minv(r0)
             rz0 = psum_dot(mask, r0, z0)
             nb = jnp.sqrt(psum_dot(mask, b, b)) + 1e-300
 
@@ -488,7 +507,7 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
                 alpha = rz / (psum_dot(mask, pp, ap) + 1e-300)
                 x = x + alpha * pp
                 r = r - alpha * ap
-                z = inv_d * r
+                z = Minv(r)
                 rzn = psum_dot(mask, r, z)
                 beta = rzn / (rz + 1e-300)
                 return x, r, z + beta * pp, rzn, it + 1
@@ -552,6 +571,7 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
 
             u_corr = u_star
             p_res = jnp.zeros((), u.dtype)
+            p_iters = jnp.zeros((), jnp.int32)
             for _c in range(cfg.n_correctors):
                 uch = hx(u_corr)
                 hbya = (b + grad_p * m_s.vol[0][:, None] - (
@@ -568,7 +588,8 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
                     rhs = jnp.where(
                         mask, rhs0 + fv.surface_sum_internal(lm, corr), 0.0
                     )
-                    p, p_res, _ = cg(Ap, rhs, p, cfg.p_tol, cfg.p_max_iter)
+                    p, p_res, it_ = cg(Ap, rhs, p, cfg.p_tol, cfg.p_max_iter)
+                    p_iters = p_iters + it_
                     if _no < getattr(cfg, "n_nonortho", 0):
                         ph = hx(p)
                         gp = hx(fv.gradient(lm, ph, p_bcs))
@@ -597,20 +618,22 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
         )
         return (u[None], p[None], flux[None],
                 {"u_res": u_res[None], "p_res": p_res[None],
-                 "continuity": cont[None]})
+                 "p_iters": p_iters[None], "continuity": cont[None]})
 
     specs = _mesh_specs(smesh, axis)
     bc_spec = fv.BoundaryCoeffs(a=P(axis), b=P(axis),
                                 io_mask=P(axis), io_value=P(axis))
 
     n_turb = 5 if with_turb else 0
+    amg_specs = (_local_amg_specs(lamg, axis),) if use_amg else ()
     step = shard_map(
         local_step,
         mesh=device_mesh,
         in_specs=(specs, P(axis), P(axis), P(axis), bc_spec, bc_spec, P())
-        + (P(axis),) * n_turb,
+        + amg_specs + (P(axis),) * n_turb,
         out_specs=(P(axis), P(axis), P(axis),
-                   {"u_res": P(axis), "p_res": P(axis), "continuity": P(axis)}),
+                   {"u_res": P(axis), "p_res": P(axis), "p_iters": P(axis),
+                    "continuity": P(axis)}),
         check_rep=False,
     )
     return jax.jit(step)
@@ -636,6 +659,177 @@ def _wall_nut_bd_local(lm, nut_h, k, wall_cell, y_wall, wall_bd, nu, n_int):
     )
     wb = jnp.where(valid, wall_bd, out.shape[0])   # invalid -> dropped
     return out.at[wb].set(jnp.maximum(nut_w, 0.0), mode="drop")
+
+
+@pytree_dataclass(meta_fields=("sizes", "n_levels"))
+class LocalAmg:
+    """Per-shard additive-Schwarz AMG hierarchy (stacked + padded).
+
+    Each shard preconditions its own slab with a local V-cycle built by
+    the same pairwise aggregation as the single-device GAMG stand-in
+    (``fv.build_amg``); cross-shard couplings are excluded from the
+    preconditioner (zero-overlap additive Schwarz), while the CG itself
+    stays globally exact through its psum'd dot products.  Padded to
+    common static per-level sizes so the V-cycle runs under shard_map.
+    """
+
+    aggs: tuple       # per level: [D, NCf_l] int32, pads -> NC_l (dropped)
+    owners: tuple     # per level: [D, NF_l] int32 coarse-face owner (pads 0)
+    neighs: tuple     # per level: [D, NF_l] int32
+    f2cf: tuple       # per level: [D, NFf_l] int32 fine-face -> coarse (-1 intra)
+    off_mask: jnp.ndarray   # [D, n_int] 1.0 on owned-owned faces else 0.0
+    sizes: tuple      # per level: (NC_l, NF_l) padded static sizes
+    n_levels: int
+
+
+def build_local_amg(smesh: ShardedFlowMesh, min_coarse: int = 100,
+                    max_levels: int = 16) -> LocalAmg:
+    """Host-side per-shard hierarchies over the owned-cell subgraph."""
+    D = smesh.n_dev
+    n_loc = smesh.n_loc
+    c_ext, _, n_int, _ = smesh.fv_meta
+    own_all = np.asarray(smesh.owner)[:, :n_int]
+    nei_all = np.asarray(smesh.neighbour)
+    delta_all = np.asarray(smesh.delta, np.float64)
+
+    shards = []
+    for d in range(D):
+        own, nei, w = own_all[d], nei_all[d], delta_all[d]
+        owned = (own < n_loc) & (nei < n_loc) & (w > 0)
+        sel0 = np.nonzero(owned)[0]
+        levels = []
+        cur_own, cur_nei, cur_w = own[owned], nei[owned], w[owned]
+        nc = n_loc
+        while nc > min_coarse and len(levels) < max_levels and len(cur_own):
+            matched, nc_c, own_c, nei_c, w_c, f2cf = fv._amg_pair_level(
+                cur_own, cur_nei, cur_w, nc
+            )
+            levels.append((matched, nc_c, own_c, nei_c, f2cf))
+            cur_own, cur_nei, cur_w, nc = own_c, nei_c, w_c, nc_c
+        shards.append((sel0, levels))
+
+    L = max((len(lv) for _, lv in shards), default=0)
+    # extend shorter hierarchies with further pair levels (identity-safe)
+    for d in range(D):
+        sel0, levels = shards[d]
+        own, nei, w = own_all[d], nei_all[d], delta_all[d]
+        owned = (own < n_loc) & (nei < n_loc) & (w > 0)
+        if levels:
+            _, nc, cur_own, cur_nei, _ = levels[-1]
+            cur_w = np.ones(len(cur_own))
+        else:
+            cur_own, cur_nei, cur_w, nc = own[owned], nei[owned], np.ones(
+                int(owned.sum())), n_loc
+        while len(levels) < L:
+            matched, nc_c, own_c, nei_c, w_c, f2cf = fv._amg_pair_level(
+                cur_own, cur_nei, cur_w, nc
+            )
+            levels.append((matched, nc_c, own_c, nei_c, f2cf))
+            cur_own, cur_nei, cur_w, nc = own_c, nei_c, w_c, nc_c
+
+    # padded stacking
+    aggs_s, owners_s, neighs_s, f2cf_s, sizes = [], [], [], [], []
+    for l in range(L):
+        nc_max = max(sh[1][l][1] for sh in shards)
+        nf_max = max(max(len(sh[1][l][2]), 1) for sh in shards)
+        nff_prev = n_int if l == 0 else sizes[l - 1][1]
+        ncf_prev = c_ext if l == 0 else sizes[l - 1][0]
+        A = np.full((D, ncf_prev), nc_max, np.int64)      # pad -> dropped
+        O = np.zeros((D, nf_max), np.int64)
+        N = np.zeros((D, nf_max), np.int64)
+        F = np.full((D, nff_prev), -1, np.int64)
+        for d, (sel0, levels) in enumerate(shards):
+            matched, nc_c, own_c, nei_c, f2cf = levels[l]
+            if l == 0:
+                A[d, : len(matched)] = matched
+                A[d, n_loc:c_ext] = nc_max                 # ghosts dropped
+                F[d, sel0] = f2cf
+            else:
+                A[d, : len(matched)] = matched
+                F[d, : len(f2cf)] = f2cf
+            O[d, : len(own_c)] = own_c
+            N[d, : len(nei_c)] = nei_c
+        aggs_s.append(jnp.asarray(A, jnp.int32))
+        owners_s.append(jnp.asarray(O, jnp.int32))
+        neighs_s.append(jnp.asarray(N, jnp.int32))
+        f2cf_s.append(jnp.asarray(F, jnp.int32))
+        sizes.append((nc_max, nf_max))
+
+    off_mask = ((own_all < n_loc) & (nei_all < n_loc)
+                & (delta_all > 0)).astype(np.float32)
+    return LocalAmg(
+        aggs=tuple(aggs_s), owners=tuple(owners_s), neighs=tuple(neighs_s),
+        f2cf=tuple(f2cf_s), off_mask=jnp.asarray(off_mask),
+        sizes=tuple(sizes), n_levels=L,
+    )
+
+
+def _local_amg_specs(lamg: LocalAmg, axis: str):
+    L = lamg.n_levels
+    return LocalAmg(
+        aggs=(P(axis),) * L, owners=(P(axis),) * L, neighs=(P(axis),) * L,
+        f2cf=(P(axis),) * L, off_mask=P(axis),
+        sizes=lamg.sizes, n_levels=L,
+    )
+
+
+def _local_vcycle(lamg: LocalAmg, lm, diag0, off0, r0, omega=0.65):
+    """One V(1,1) cycle of the per-shard hierarchy (device-local arrays;
+    lamg fields already [0]-indexed by the caller).  Mirrors
+    ``fv.amg_vcycle`` with drop-guarded padded scatters."""
+    L = lamg.n_levels
+    n_int = lm.n_internal
+
+    # per-level Galerkin coarse ops from the local (masked) operator
+    levels = []
+    diag, off = diag0, off0
+    own = lm.owner[:n_int]
+    for l in range(L):
+        aggs, f2cf = lamg.aggs[l], lamg.f2cf[l]
+        ncl, n_cf = lamg.sizes[l]
+        intra = f2cf < 0
+        diag_c = jnp.zeros(ncl, diag.dtype).at[aggs].add(diag, mode="drop")
+        diag_c = diag_c.at[
+            jnp.where(intra, aggs[own], ncl)
+        ].add(2.0 * jnp.where(intra, off, 0.0), mode="drop")
+        off_c = jnp.zeros(n_cf, off.dtype).at[
+            jnp.where(intra, n_cf, f2cf)
+        ].add(jnp.where(intra, 0.0, off), mode="drop")
+        diag_c = jnp.where(diag_c == 0.0, 1.0, diag_c)     # pad slots
+        levels.append((diag_c, off_c))
+        diag, off, own = diag_c, off_c, lamg.owners[l]
+
+    def matvec_l(li, x):
+        if li == 0:
+            d_, o_, ow, ne = diag0, off0, lm.owner[:n_int], lm.neighbour
+        else:
+            d_, o_ = levels[li - 1]
+            ow, ne = lamg.owners[li - 1], lamg.neighs[li - 1]
+        out = d_ * x
+        out = out.at[ow].add(o_ * x[jnp.clip(ne, 0, x.shape[0] - 1)],
+                             mode="drop")
+        out = out.at[ne].add(o_ * x[jnp.clip(ow, 0, x.shape[0] - 1)],
+                             mode="drop")
+        return out
+
+    def descend(li, r):
+        d_ = diag0 if li == 0 else levels[li - 1][0]
+        x = omega * r / d_
+        if li == L:
+            for _ in range(12):
+                x = x + omega * (r - matvec_l(li, x)) / d_
+            return x
+        r1 = r - matvec_l(li, x)
+        ncl = lamg.sizes[li][0]
+        rc = jnp.zeros(ncl, r.dtype).at[lamg.aggs[li]].add(r1, mode="drop")
+        xc = descend(li + 1, rc)
+        x = x + xc[jnp.clip(lamg.aggs[li], 0, ncl - 1)] * (
+            lamg.aggs[li] < ncl
+        ).astype(r.dtype)
+        x = x + omega * (r - matvec_l(li, x)) / d_
+        return x
+
+    return descend(0, r0)
 
 
 def make_sharded_keps(smesh: ShardedFlowMesh, device_mesh: Mesh,
@@ -800,6 +994,7 @@ class ShardedFlowSolver:
         cfg_kw.setdefault("n_correctors", num["n_correctors"])
         cfg_kw.setdefault("n_nonortho", num["n_nonortho"])
         cfg_kw.setdefault("n_outer", num["n_outer"])
+        cfg_kw.setdefault("p_solver", "amg")
         self.cfg = PimpleConfig(nu=nu, pin_pressure=pin, **cfg_kw)
         self.m = m
         self.u_bcs = u_bcs
@@ -826,8 +1021,15 @@ class ShardedFlowSolver:
                 f"turbulence model {self.turb_model!r} is not supported by "
                 "the sharded flow solver; run the flow single-device"
             )
+        # additive-Schwarz AMG preconditioner for the pressure CG (the
+        # sharded stand-in for the single-device GAMG, keeping iteration
+        # counts roughly mesh-size independent)
+        self.lamg = (
+            build_local_amg(self.smesh) if self.cfg.p_solver == "amg" else None
+        )
         self._step = make_sharded_pimple(
-            self.smesh, self.cfg, self.dmesh, with_turb=self._turb_on
+            self.smesh, self.cfg, self.dmesh, with_turb=self._turb_on,
+            lamg=self.lamg,
         )
         self._courant = make_courant(self.smesh, self.dmesh)
         self.log = log
@@ -897,6 +1099,8 @@ class ShardedFlowSolver:
             self.smesh, self.u_s, self.p_s, self.flux_s,
             self.u_bcs_s, self.p_bcs_s, dt_e,
         )
+        if self.lamg is not None:
+            args = args + (self.lamg,)
         if self._turb_on:
             args = args + (
                 self.nut_s, self.k_s, self.wall_cell_s, self.y_wall_s,
@@ -912,6 +1116,7 @@ class ShardedFlowSolver:
         res = {
             "u_res": float(np.asarray(diag["u_res"])[0]),
             "p_res": float(np.asarray(diag["p_res"])[0]),
+            "p_iters": int(np.asarray(diag["p_iters"])[0]),
             "continuity": float(np.asarray(diag["continuity"])[0]),
         }
         self.log(
