@@ -87,7 +87,8 @@ def run_config(name, n_side, n_particles, dt, n_cycles, diffusion=1e-3,
     # particles.cu:551-599); saves ~0.8 ms/cycle of threefry VPU work
     cfg = suggest_tuning(
         mesh, StepConfig(dt=dt, diffusion_coeff=diffusion,
-                         brownian_rng="rbg", locate_mode=locate_mode), dt
+                         brownian_rng="rbg", locate_mode=locate_mode), dt,
+        n_particles=n_particles,
     )
     log(f"[{name}] tuned: inline_hops={cfg.inline_hops} "
         f"walk_capacity_frac={cfg.walk_capacity_frac:.4f}")

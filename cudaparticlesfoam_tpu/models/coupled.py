@@ -96,7 +96,8 @@ def run_replay(
     case = caselib.load_case(case_dir, dtype=dtype, log=log)
     pcfg = case.particles
     out_dir = out_dir or case_dir
-    cfg = suggest_tuning(case.tet_mesh, pcfg.step_config())
+    cfg = suggest_tuning(case.tet_mesh, pcfg.step_config(),
+                     n_particles=pcfg.num_particles)
     if cfg.locate_mode == "convex":
         from ..mesh import with_convex_rows
 
@@ -168,7 +169,8 @@ def run_coupled(
     pcfg = case.particles
     ctrl = case.control
     out_dir = out_dir or case_dir
-    cfg = suggest_tuning(case.tet_mesh, pcfg.step_config())
+    cfg = suggest_tuning(case.tet_mesh, pcfg.step_config(),
+                     n_particles=pcfg.num_particles)
     if cfg.locate_mode == "convex":
         from ..mesh import with_convex_rows
 

@@ -64,7 +64,8 @@ def run(
     t = case.time_value
     with timer.phase("Seed"):
         state = caselib.init_particles(case, log=log)
-    cfg = suggest_tuning(case.tet_mesh, pcfg.step_config())
+    cfg = suggest_tuning(case.tet_mesh, pcfg.step_config(),
+                         n_particles=state.n_particles)
     if cfg.locate_mode == "convex":
         from ..mesh import with_convex_rows
 

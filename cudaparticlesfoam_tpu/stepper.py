@@ -272,7 +272,8 @@ def step_once(mesh: TetMesh, state: ParticleState, cfg: StepConfig, dt) -> Parti
     return cycle(mesh, state, cfg, jnp.asarray(dt, dtype=state.dtype))
 
 
-def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None) -> StepConfig:
+def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None,
+                   n_particles: int | None = None) -> StepConfig:
     """Profile-guided static tuning of the cached engine's knobs.
 
     Estimates the expected tet-face crossings per particle per sub-step
@@ -332,9 +333,14 @@ def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None) -> StepConfig:
     bd_frac = float(np.mean(np.any(np.asarray(mesh.tet_nbr) < 0, axis=1)))
     wall_rate = bd_frac * min(crossings, 1.0) * 0.5
     inline_bounce = cfg.reflect_wall and wall_rate > 0.01
+    # very large batches: sub-batch the cycle (measured on v5e: at 10M
+    # lanes the full-batch hop gather's per-index cost ~doubles under HBM
+    # load-queue pressure; ~5M-lane chunks restore the 1M-scale rate,
+    # 344 -> 205 ms/cycle at 10M — exactly linear vs 1M)
+    chunks = max(1, round((n_particles or 0) / 5_000_000))
     return dataclasses.replace(
         cfg, inline_hops=hops, walk_capacity_frac=frac,
-        inline_bounce=inline_bounce,
+        inline_bounce=inline_bounce, cycle_chunks=chunks,
     )
 
 
