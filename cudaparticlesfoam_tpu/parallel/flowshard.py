@@ -1012,6 +1012,24 @@ class ShardedFlowSolver:
             self.smesh, self.u_s, self.u_bcs_s
         )
 
+        # configurations the sharded step does not implement must fail
+        # loudly, not silently drop physics (MRF zones, moving meshes)
+        import os as _os
+
+        if _os.path.exists(_os.path.join(case.case_dir, "constant",
+                                         "MRFProperties")):
+            raise NotImplementedError(
+                "MRF zones are not supported by the sharded flow solver; "
+                "run the flow single-device (omit --flow-devices)"
+            )
+        from ..models.dynamicmesh import read_dynamic_mesh
+
+        if read_dynamic_mesh(case.case_dir) is not None:
+            raise NotImplementedError(
+                "dynamic meshes are not supported by the sharded flow "
+                "solver; run the flow single-device (omit --flow-devices)"
+            )
+
         self.turb_model = turbulence_model(case.case_dir)
         self._turb_on = False
         if self.turb_model == "kEpsilon":
