@@ -120,15 +120,16 @@ class ParticleEngine:
             from . import partition, sharding
 
             if getattr(cfg, "locate_mode", "bary") == "convex":
-                raise NotImplementedError(
-                    "ConvexPoly locate is not supported by the partitioned "
-                    "strategy yet; use --strategy dp (mesh replicated) or "
-                    "single-device"
-                )
-            layout = (
-                "pk" if getattr(cfg, "velocity_interp", "") == "VertexVelocity"
-                else "tet"
-            )
+                if tet_mesh.tet_row_cx is None:
+                    raise ValueError(
+                        "partitioned convex mode needs with_convex_rows(mesh)"
+                    )
+                layout = "cx"
+            elif getattr(cfg, "velocity_interp", "") == "VertexVelocity":
+                layout = "pk"
+            else:
+                layout = "tet"
+
             S = max(n_dev, 1)
             self._pm = partition.partition_mesh(tet_mesh, S, layout=layout)
             self.dmesh = sharding.make_device_mesh(S, axis="s")

@@ -64,6 +64,9 @@ class ShardedParticles:
 
     pos: jnp.ndarray        # [S, C, 3]
     vel: jnp.ndarray        # [S, C, 3]
+    disp: jnp.ndarray       # [S, C, 3] pending (unconsumed) displacement —
+    #                         nonzero only for convex-mode mid-segment
+    #                         handoffs awaiting settlement
     tet: jnp.ndarray        # [S, C] int32, GLOBAL new-numbering ids
     active: jnp.ndarray     # [S, C] bool (particle alive)
     resident: jnp.ndarray   # [S, C] bool (slot occupied)
@@ -80,7 +83,9 @@ def partition_mesh(mesh: TetMesh, n_shards: int,
 
     ``layout``: "tet" slices the 20-col TetVelocity walk rows, "pk" the
     28-col VertexVelocity rows (A/Tinv prefix identical; velocity payload
-    is the 4 cached vertex velocities, blended per step)."""
+    is the 4 cached vertex velocities, blended per step), "cx" the 24-col
+    ConvexPoly rows (inward planes 0:16, neighbor codes 16:20, per-tet
+    velocity 20:23 — the fused_convex.cx_table layout)."""
     pts = np.asarray(mesh.points, dtype=np.float64)
     tets = np.asarray(mesh.tets)
     cen = pts[tets].mean(axis=1)
@@ -99,6 +104,16 @@ def partition_mesh(mesh: TetMesh, n_shards: int,
         if mesh.tet_row_pk is None:
             raise ValueError("pk layout needs mesh.tet_row_pk (with_pk_rows)")
         src = np.asarray(mesh.tet_row_pk)               # [nt,28]
+    elif layout == "cx":
+        if mesh.tet_row_cx is None:
+            raise ValueError("cx layout needs mesh.tet_row_cx "
+                             "(with_convex_rows)")
+        cx = np.asarray(mesh.tet_row_cx)
+        src = np.concatenate([
+            cx[:, 0:20],
+            np.asarray(mesh.tet_vel, cx.dtype),
+            np.zeros((len(cx), 1), cx.dtype),
+        ], axis=1)                                       # [nt,24]
     else:
         src = np.asarray(mesh.tet_row)                  # [nt,20]
     w = src.shape[1]
@@ -109,7 +124,7 @@ def partition_mesh(mesh: TetMesh, n_shards: int,
     # the shard-local cycle, which reads the separate tet_nbr array, but
     # kept consistent)
     row = row.copy()
-    nbr_col = 24 if layout == "pk" else 15
+    nbr_col = {"pk": 24, "cx": 16, "tet": 15}[layout]
     row[:, nbr_col : nbr_col + 4] = nbr.astype(row.dtype)
 
     if pad:
@@ -143,7 +158,11 @@ def update_velocity(pm: PartitionedMesh, tet_vel) -> PartitionedMesh:
     vertex velocities.)"""
     import dataclasses
 
-    if pm.tet_row.shape[-1] != 20:
+    if pm.tet_row.shape[-1] == 20:
+        u0 = 12
+    elif pm.tet_row.shape[-1] == 24:
+        u0 = 20                                          # cx layout
+    else:
         raise NotImplementedError(
             "per-interval velocity refresh on partitioned pk rows"
         )
@@ -152,7 +171,7 @@ def update_velocity(pm: PartitionedMesh, tet_vel) -> PartitionedMesh:
     pad = total - pm.n_tets
     if pad:
         tv = jnp.concatenate([tv, jnp.zeros((pad, 3), tv.dtype)])
-    row = pm.tet_row.at[:, :, 12:15].set(
+    row = pm.tet_row.at[:, :, u0 : u0 + 3].set(
         tv.reshape(pm.n_shards, pm.tets_per_shard, 3)
     )
     return dataclasses.replace(pm, tet_row=row)
@@ -180,6 +199,7 @@ def distribute_particles(
     out = ShardedParticles(
         pos=jnp.zeros((S, cap, 3), jnp.asarray(pos).dtype),
         vel=jnp.zeros((S, cap, 3), jnp.asarray(pos).dtype),
+        disp=jnp.zeros((S, cap, 3), jnp.asarray(pos).dtype),
         tet=jnp.full((S, cap), -1, jnp.int32),
         active=jnp.zeros((S, cap), bool),
         resident=jnp.zeros((S, cap), bool),
@@ -253,13 +273,19 @@ def collect_particles(pm: PartitionedMesh, sp: ShardedParticles, n_particles: in
 # ---------------------------------------------------------------------------
 
 
-def _local_cycle(rows, nbrs, bd_esc, shard_id, per, pos, vel, tet, act, res,
-                 pid, key, step, cfg, dt):
+def _local_cycle(rows, nbrs, bd_esc, shard_id, per, pos, vel, disp, tet,
+                 act, res, pid, key, step, cfg, dt):
     """Reference cycle on one shard's residents; walks pause at remote
     neighbors (tet left as a remote GLOBAL id).  Lanes that arrived by
     migration with an unfinished relocation are settled (walk+reflect
     toward their current position) BEFORE the advect, so trajectories
-    match the single-device run."""
+    match the single-device run.  Dispatches to the ConvexPoly tracer
+    when the rows carry the 24-col cx layout."""
+    if rows.shape[-1] == 24 and getattr(cfg, "locate_mode", "bary") == "convex":
+        return _local_cycle_cx(
+            rows, nbrs, bd_esc, shard_id, per, pos, vel, disp, tet, act,
+            res, pid, key, step, cfg, dt
+        )
     lo = shard_id * per
     n_bd = bd_esc.shape[0]
 
@@ -423,10 +449,178 @@ def _local_cycle(rows, nbrs, bd_esc, shard_id, per, pos, vel, tet, act, res,
 
     target, tet2 = relocate(target, tet, live)
     pos = jnp.where(live[:, None], target, pos)
-    return pos, vel, tet2, act
+    return pos, vel, jnp.zeros_like(pos), tet2, act
 
 
-def _migrate(pos, vel, tet, act, res, pid, shard_id, per, n_shards, cap_out):
+
+def _local_cycle_cx(rows, nbrs, bd_esc, shard_id, per, pos, vel, disp, tet,
+                    act, res, pid, key, step, cfg, dt):
+    """ConvexPoly (segment-tracing) shard-local cycle.
+
+    Mirrors the single-device convex path (``ops.convex.trace_segment`` +
+    ``convex_reflect``): each tet's exit face comes from
+    ``_exit_face_tables`` on the cached inward planes, with the inlet face
+    suppressed by its came-from neighbor code.  A hop into a remote tet
+    PAUSES the trace: the lane keeps its march point in ``pos`` and the
+    unconsumed remainder in ``disp``, migrates, and the destination shard
+    settles it next cycle (the convex analog of the bary walk handoff).
+    Escape patches deactivate in the bounce loop; the single-device
+    ``convex_bary_fix`` pass is not applied here (it needs the bary
+    tables) — compare against ``convex_bary_fix=False`` runs.
+    """
+    from ..ops import convex as convex_ops
+
+    lo = shard_id * per
+    n_bd = bd_esc.shape[0]
+    in_shard = lambda g: (g >= lo) & (g < lo + per)
+    lane = jnp.arange(pos.shape[0])
+    NO_INLET = jnp.int32(-(2 ** 30))
+
+    def local_rows(g):
+        return rows[jnp.clip(g - lo, 0, per - 1)]
+
+    def local_nbr(g):
+        return nbrs[jnp.clip(g - lo, 0, per - 1)]
+
+    def trace(p0, p_end, tet0, act_mask):
+        """March p0 -> p_end; pauses at remote hops and walls.
+        Returns (p0', tet', wall_mask, wall_slot, remote_mask)."""
+
+        def cond(c):
+            p0, tet, inlet, done, wall, slot_w, i = c
+            return (i < cfg.max_hops) & ~jnp.all(done)
+
+        def body(c):
+            p0, tet, inlet, done, wall, slot_w, i = c
+            rl = local_rows(jnp.maximum(tet, 0))
+            nrm = rl[:, 0:12].reshape(-1, 4, 3)
+            dpl = rl[:, 12:16]
+            nbr4 = local_nbr(jnp.maximum(tet, 0))
+            dt_, slot = convex_ops._exit_face_tables(
+                nrm, dpl, nbr4, p0, p_end - p0, nbr4 == inlet[:, None]
+            )
+            stepping = (~done) & (slot >= 0)
+            code = nbr4[lane, jnp.maximum(slot, 0)]
+            p0 = jnp.where(
+                stepping[:, None], p0 + dt_[:, None] * (p_end - p0), p0
+            )
+            wall_new = stepping & (code < 0)
+            remote = stepping & (code >= 0) & ~in_shard(code)
+            moved = stepping & (code >= 0)
+            inlet = jnp.where(moved, tet, inlet)
+            tet = jnp.where(moved, code, tet)
+            slot_w = jnp.where(wall_new, slot, slot_w)
+            done = done | ((~done) & (slot < 0)) | wall_new | remote
+            wall = wall | wall_new
+            return p0, tet, inlet, done, wall, slot_w, i + 1
+
+        done0 = (~act_mask) | (tet0 < 0) | ~in_shard(tet0)
+        c = (p0, tet0, jnp.full_like(tet0, NO_INLET), done0,
+             jnp.zeros_like(done0), jnp.zeros_like(tet0), jnp.zeros((), jnp.int32))
+        p0, tet2, _, done, wall, slot_w, _ = lax.while_loop(cond, body, c)
+        remote = act_mask & (tet2 >= 0) & ~in_shard(tet2) & ~wall
+        return p0, tet2, wall & act_mask, slot_w, remote
+
+    def resolve(p_start, dvec, tet0, act_mask, vel):
+        """Trace + reflect (<= max_bounces mirrors, re-tracing after each,
+        ConvexQuery.cu:320-436 semantics).  Returns
+        (pos, disp_remaining, tet, vel, killed)."""
+        p_end = p_start + dvec
+        p0, tet2, wall, slot_w, remote = trace(p_start, p_end, tet0, act_mask)
+        killed = jnp.zeros_like(act_mask)
+
+        def rcond(c):
+            p0, p_end, tet2, wall, slot_w, remote, vel, killed, b = c
+            return (b < convex_ops.MAX_BOUNCES) & jnp.any(wall)
+
+        def rbody(c):
+            p0, p_end, tet2, wall, slot_w, remote, vel, killed, b = c
+            rl = local_rows(jnp.maximum(tet2, 0))
+            nbr4 = local_nbr(jnp.maximum(tet2, 0))
+            code_w = nbr4[lane, jnp.maximum(slot_w, 0)]
+            bd = jnp.clip(-code_w - 1, 0, n_bd - 1)
+            esc = wall & (code_w < 0) & bd_esc[bd]
+            tet2 = jnp.where(esc, -(tet2 + 1), tet2)
+            killed = killed | esc
+            refl = wall & ~esc
+            # mirror segment end + velocity across the hit face plane
+            # (convex_ops.convex_reflect's mirror expressions)
+            nsel = rl[:, 0:12].reshape(-1, 4, 3)[lane, jnp.maximum(slot_w, 0)]
+            dsel = rl[:, 12:16][lane, jnp.maximum(slot_w, 0)]
+            pe = p_end - 2.0 * (
+                jnp.sum(p_end * nsel, -1) - dsel
+            )[:, None] * nsel
+            un = vel - 2.0 * jnp.sum(vel * nsel, -1)[:, None] * nsel
+            p_end = jnp.where(refl[:, None], pe, p_end)
+            vel = jnp.where(refl[:, None], un, vel)
+            # re-trace the mirrored remainder from the hit point
+            p0n, tetn, walln, slotn, remoten = trace(
+                p0, p_end, jnp.maximum(tet2, 0), refl
+            )
+            p0 = jnp.where(refl[:, None], p0n, p0)
+            tet2 = jnp.where(refl, tetn, tet2)
+            slot_w = jnp.where(refl, slotn, slot_w)
+            remote = jnp.where(refl, remoten, remote)
+            wall = refl & walln
+            return p0, p_end, tet2, wall, slot_w, remote, vel, killed, b + 1
+
+        p0, p_end, tet2, wall, slot_w, remote, vel, killed, _ = lax.while_loop(
+            rcond, rbody,
+            (p0, p_end, tet2, wall, slot_w, remote, vel, killed,
+             jnp.zeros((), jnp.int32)),
+        )
+        settled = act_mask & ~remote & ~killed
+        pos_new = jnp.where(settled[:, None], p_end,
+                            jnp.where(remote[:, None], p0, p_start))
+        disp_new = jnp.where(remote[:, None], p_end - p0, 0.0)
+        return pos_new, disp_new, tet2, vel, killed
+
+    # --- settle migrated arrivals: consume their pending displacement ---
+    pend = (
+        res & act & (tet >= 0) & in_shard(tet)
+        & jnp.any(disp != 0.0, axis=1)
+    )
+    pos_s, disp_s, tet_s, vel_s, kill_s = resolve(pos, disp, tet, pend, vel)
+    pos = jnp.where(pend[:, None], pos_s, pos)
+    disp = jnp.where(pend[:, None], disp_s, disp)
+    tet = jnp.where(pend, tet_s, tet)
+    vel = jnp.where(pend[:, None], vel_s, vel)
+    act = act & ~kill_s
+
+    # --- advect + brownian (reference cycle; skip lanes still in limbo) ---
+    live = (
+        res & act & (tet >= 0) & in_shard(tet)
+        & ~jnp.any(disp != 0.0, axis=1)
+    )
+    row = local_rows(jnp.maximum(tet, 0))
+    u = row[:, 20:23]
+    if cfg.use_advection:
+        vel = jnp.where(live[:, None], u, vel)
+        dnew = jnp.where(live[:, None], u * dt, 0.0)
+    else:
+        dnew = jnp.zeros_like(pos)
+    if cfg.use_brownian:
+        kstep = jax.random.fold_in(key, step)
+        ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+            kstep, jnp.maximum(pid, 0)
+        )
+        xi = jax.vmap(lambda kk: jax.random.normal(kk, (3,), pos.dtype))(ks)
+        sigma = jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(pos.dtype)
+        dnew = dnew + jnp.where(live[:, None], sigma * xi, 0.0)
+    if cfg.use_advection:
+        act = act & ((tet >= 0) | ~res)
+
+    pos_n, disp_n, tet_n, vel_n, kill_n = resolve(pos, dnew, tet, live, vel)
+    pos = jnp.where(live[:, None], pos_n, pos)
+    disp = jnp.where(live[:, None], disp_n, disp)
+    tet = jnp.where(live, tet_n, tet)
+    vel = jnp.where(live[:, None], vel_n, vel)
+    act = act & ~kill_n
+    return pos, vel, disp, tet, act
+
+
+def _migrate(pos, vel, disp, tet, act, res, pid, shard_id, per, n_shards,
+             cap_out):
     """Fixed-capacity ``all_to_all`` exchange of lanes owned by other shards.
 
     Loss-free: senders respect a per-destination quota derived from an
@@ -451,9 +645,10 @@ def _migrate(pos, vel, tet, act, res, pid, shard_id, per, n_shards, cap_out):
 
     # pack per destination: slot = rank of lane among its dest group
     payload = jnp.concatenate(
-        [pos, vel, tet[:, None].astype(pos.dtype), act[:, None].astype(pos.dtype),
+        [pos, vel, disp, tet[:, None].astype(pos.dtype),
+         act[:, None].astype(pos.dtype),
          pid[:, None].astype(pos.dtype)], axis=1
-    )                                                     # [C, 9]
+    )                                                     # [C, 12]
     W = payload.shape[1]
     send = jnp.zeros((S, cap_out, W), pos.dtype)
     # rank within destination group via segment cumsum
@@ -498,13 +693,14 @@ def _migrate(pos, vel, tet, act, res, pid, shard_id, per, n_shards, cap_out):
 
     pos = put(pos, recv[:, 0:3])
     vel = put(vel, recv[:, 3:6])
-    tet = put(tet, recv[:, 6].astype(jnp.int32))
-    act = put(act, recv[:, 7] > 0.5)
-    pid = put(pid, recv[:, 8].astype(jnp.int32))
+    disp = put(disp, recv[:, 6:9])
+    tet = put(tet, recv[:, 9].astype(jnp.int32))
+    act = put(act, recv[:, 10] > 0.5)
+    pid = put(pid, recv[:, 11].astype(jnp.int32))
     res = put(res, can_place)
     deferred = jnp.sum((leaving & ~fits).astype(jnp.int32))
     migrated = jnp.sum(fits.astype(jnp.int32))
-    return pos, vel, tet, act, res, pid, migrated, deferred
+    return pos, vel, disp, tet, act, res, pid, migrated, deferred
 
 
 def make_partitioned_step(pm: PartitionedMesh, cfg: StepConfig, device_mesh: Mesh,
@@ -514,45 +710,45 @@ def make_partitioned_step(pm: PartitionedMesh, cfg: StepConfig, device_mesh: Mes
     S = pm.n_shards
     per = pm.tets_per_shard
 
-    def shard_body(rows, nbrs, bd_esc, pos, vel, tet, act, res, pid, key,
-                   step, dt):
+    def shard_body(rows, nbrs, bd_esc, pos, vel, disp, tet, act, res, pid,
+                   key, step, dt):
         rows, nbrs = rows[0], nbrs[0]
-        pos, vel, tet, act, res, pid = (
-            x[0] for x in (pos, vel, tet, act, res, pid)
+        pos, vel, disp, tet, act, res, pid = (
+            x[0] for x in (pos, vel, disp, tet, act, res, pid)
         )
         sid = lax.axis_index("s")
-        pos, vel, tet, act = _local_cycle(
-            rows, nbrs, bd_esc, sid, per, pos, vel, tet, act, res, pid,
+        pos, vel, disp, tet, act = _local_cycle(
+            rows, nbrs, bd_esc, sid, per, pos, vel, disp, tet, act, res, pid,
             key, step, cfg, dt
         )
         cap_out = max(int(pos.shape[0] * cap_out_frac), 16)
-        pos, vel, tet, act, res, pid, migrated, dropped = _migrate(
-            pos, vel, tet, act, res, pid, sid, per, S, cap_out
+        pos, vel, disp, tet, act, res, pid, migrated, dropped = _migrate(
+            pos, vel, disp, tet, act, res, pid, sid, per, S, cap_out
         )
         return (
-            pos[None], vel[None], tet[None], act[None], res[None], pid[None],
-            migrated[None], dropped[None],
+            pos[None], vel[None], disp[None], tet[None], act[None], res[None],
+            pid[None], migrated[None], dropped[None],
         )
 
     spec_s = P("s")
     smapped = shard_map(
         shard_body,
         mesh=device_mesh,
-        in_specs=(spec_s, spec_s, P()) + (spec_s,) * 6 + (P(), P(), P()),
-        out_specs=(spec_s,) * 8,
+        in_specs=(spec_s, spec_s, P()) + (spec_s,) * 7 + (P(), P(), P()),
+        out_specs=(spec_s,) * 9,
     )
 
     @jax.jit
     def step(pmesh: PartitionedMesh, sp: ShardedParticles, dt):
-        pos, vel, tet, act, res, pid, migrated, dropped = smapped(
+        pos, vel, disp, tet, act, res, pid, migrated, dropped = smapped(
             pmesh.tet_row, pmesh.tet_nbr, pmesh.bd_escape,
-            sp.pos, sp.vel, sp.tet, sp.active, sp.resident, sp.pid,
+            sp.pos, sp.vel, sp.disp, sp.tet, sp.active, sp.resident, sp.pid,
             sp.rng_key, sp.step, jnp.asarray(dt, sp.pos.dtype),
         )
         return (
             dataclasses.replace(
-                sp, pos=pos, vel=vel, tet=tet, active=act, resident=res,
-                pid=pid, step=sp.step + 1,
+                sp, pos=pos, vel=vel, disp=disp, tet=tet, active=act,
+                resident=res, pid=pid, step=sp.step + 1,
             ),
             {"migrated": jnp.sum(migrated), "deferred": jnp.sum(dropped)},
         )
@@ -587,6 +783,7 @@ def shard_arrays(pm: PartitionedMesh, sp: ShardedParticles, device_mesh: Mesh):
         sp,
         pos=jax.device_put(sp.pos, sh),
         vel=jax.device_put(sp.vel, sh),
+        disp=jax.device_put(sp.disp, sh),
         tet=jax.device_put(sp.tet, sh),
         active=jax.device_put(sp.active, sh),
         resident=jax.device_put(sp.resident, sh),
