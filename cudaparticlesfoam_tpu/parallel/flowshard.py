@@ -400,15 +400,39 @@ def _mesh_specs(smesh: ShardedFlowMesh, axis: str):
     )
 
 
+def shard_mrf(smesh: ShardedFlowMesh, mrf, m: fv.FvMesh):
+    """Per-device MRF zone data from global :class:`..models.mrf.MRFZones`:
+    stacked cell omega [D, C_ext, 3] (zero on ghosts/pads — Coriolis is an
+    owned-cell source) and the static per-device frame face flux [D, nf]
+    ``(Omega x (Cf - origin)) . Sf`` in LOCAL face orientation (flipped
+    cross faces carry the negated global value, matching the local sf)."""
+    from ..models import mrf as mrf_mod
+
+    om_s = scatter_cells(smesh, np.asarray(mrf.cell_omega))
+    ff_g = np.asarray(mrf_mod.frame_flux(mrf, m))
+    fg = np.asarray(smesh.fglob)
+    ff_s = np.zeros(fg.shape, ff_g.dtype)
+    valid = fg != 0
+    ff_s[valid] = np.sign(fg[valid]) * ff_g[np.abs(fg[valid]) - 1]
+    return om_s, jnp.asarray(ff_s, smesh.sf.dtype)
+
+
 def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
-                        with_turb: bool = False, lamg: "LocalAmg | None" = None):
+                        with_turb: bool = False, lamg: "LocalAmg | None" = None,
+                        with_mrf: bool = False):
     """Build the shard_map'ed PIMPLE step over ``device_mesh``.
 
-    Returns step(u_ext, p_ext, flux, u_bcs_s, p_bcs_s, dt[, nut, k,
-    wall_cell, y_wall, wall_bd]) operating on stacked arrays; ghost slots
-    refreshed internally via ppermute.  With ``with_turb`` the momentum
-    diffusivity is nu + nut (faces interpolated from the halo-refreshed
-    cell field, wall boundary faces corrected by the nutkWallFunction).
+    Returns step(u_ext, p_ext, flux, u_bcs_s, p_bcs_s, dt[, lamg][,
+    mrf_omega, mrf_flux][, nut, k, wall_cell, y_wall, wall_bd]) operating
+    on stacked arrays; ghost slots refreshed internally via ppermute.
+    With ``with_turb`` the momentum diffusivity is nu + nut (faces
+    interpolated from the halo-refreshed cell field, wall boundary faces
+    corrected by the nutkWallFunction).  With ``with_mrf`` the rotating
+    frame terms mirror the single-device step (``pimple.py:59-105``):
+    the explicit Coriolis source over zone cells and the relative
+    convective flux via the precomputed frame face flux from
+    :func:`shard_mrf`; rotating-wall boundary velocity is applied to the
+    GLOBAL u BCs before sharding (omega is time-constant).
     """
     n_dev = smesh.n_dev
     n_loc = smesh.n_loc
@@ -445,6 +469,10 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
         if use_amg:
             lamg_l = jax.tree.map(lambda x: x[0], extra[0])
             turb_args = extra[1:]
+        mrf_om = mrf_ff = None
+        if with_mrf:
+            mrf_om, mrf_ff = turb_args[0][0], turb_args[1][0]
+            turb_args = turb_args[2:]
 
         def hx(x):
             return refresh(m_s, x)
@@ -542,6 +570,10 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
                 b = b + fv.convection_correction(
                     lm, flux, uh, u_bcs_e, cfg.div_scheme, grad=gu
                 )
+            if with_mrf:
+                # MRF.DDt(U) moved to the RHS: -(Omega x U) V over zone
+                # cells (pimple.py:80-82; omega is zero outside zones)
+                b = b - jnp.cross(mrf_om, u) * m_s.vol[0][:, None]
             b = jnp.where(mask[:, None], b, 0.0)
             u_star = jacobi(A, b, u, cfg.n_jacobi)
             # final momentum residual |b - A u*| / |b| (psum-global; the
@@ -579,6 +611,9 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
                 )) / safe_diag(A.diag)[:, None]
                 hbyah = hx(hbya)
                 phi_hbya = fv.flux_of(lm, hbyah, u_bcs_e)
+                if with_mrf:
+                    # MRF.makeRelative(phiHbyA) (pEqn.H:20, pimple.py:103-105)
+                    phi_hbya = phi_hbya - mrf_ff
                 rhs0 = Ap.source[:, 0] - fv.surface_sum(lm, phi_hbya)
                 # explicit non-orthogonal correctors (pEqn.H:42-57):
                 # re-solve with the k . grad(p) correction flux rebuilt
@@ -625,12 +660,13 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
                                 io_mask=P(axis), io_value=P(axis))
 
     n_turb = 5 if with_turb else 0
+    n_mrf = 2 if with_mrf else 0
     amg_specs = (_local_amg_specs(lamg, axis),) if use_amg else ()
     step = shard_map(
         local_step,
         mesh=device_mesh,
         in_specs=(specs, P(axis), P(axis), P(axis), bc_spec, bc_spec, P())
-        + amg_specs + (P(axis),) * n_turb,
+        + amg_specs + (P(axis),) * (n_mrf + n_turb),
         out_specs=(P(axis), P(axis), P(axis),
                    {"u_res": P(axis), "p_res": P(axis), "p_iters": P(axis),
                     "continuity": P(axis)}),
@@ -978,8 +1014,9 @@ class ShardedFlowSolver:
     the device mesh — the product path behind ``coupled --flow-devices N``
     (the reference's ``Allrun-parallel`` analog).  Supports the laminar
     and kEpsilon closures (the reference's parallel tutorial runs
-    kEpsilon, ``TJunction/constant/turbulenceProperties:21-27``); kOmegaSST
-    and MRF/dynamic-mesh cases stay on the single-device flow path."""
+    kEpsilon, ``TJunction/constant/turbulenceProperties:21-27``) and MRF
+    zones; kOmegaSST and dynamic-mesh cases stay on the single-device
+    flow path (loud error)."""
 
     def __init__(self, case, n_dev: int, log=print, **cfg_kw):
         from ..models.pimple import PimpleConfig
@@ -997,13 +1034,26 @@ class ShardedFlowSolver:
         cfg_kw.setdefault("p_solver", "amg")
         self.cfg = PimpleConfig(nu=nu, pin_pressure=pin, **cfg_kw)
         self.m = m
-        self.u_bcs = u_bcs
         self.smesh, bglob = decompose(case.poly, n_dev, dtype=jnp.float32)
         self.dmesh = shardlib.make_device_mesh(n_dev, axis="f")
         self.bglob = bglob
         self.p_bcs = p_bcs
         self.p_tables = p_tables
         self.time = 0.0
+
+        # MRF zones (constant/MRFProperties): rotating-wall boundary
+        # velocity folded into the GLOBAL u BCs here (omega is constant);
+        # the Coriolis/relative-flux terms run inside the sharded step
+        from ..models import mrf as mrf_mod
+
+        self.mrf = mrf_mod.from_case(case.case_dir, m, case.poly)
+        if self.mrf is not None:
+            u_bcs = mrf_mod.correct_boundary_velocity(self.mrf, m, u_bcs)
+            self.mrf_omega_s, self.mrf_flux_s = shard_mrf(
+                self.smesh, self.mrf, m
+            )
+        self.u_bcs = u_bcs
+
         self.u_bcs_s = shard_bcs(u_bcs, bglob)
         self.p_bcs_s = shard_bcs(p_bcs, bglob)
         self.u_s = scatter_cells(self.smesh, np.asarray(st.u))
@@ -1011,17 +1061,14 @@ class ShardedFlowSolver:
         self.flux_s = make_flux_init(self.smesh, self.dmesh)(
             self.smesh, self.u_s, self.u_bcs_s
         )
+        if self.mrf is not None:
+            # convective flux stored RELATIVE to the frame (pimple.py:215-217)
+            self.flux_s = self.flux_s - self.mrf_flux_s
 
         # configurations the sharded step does not implement must fail
-        # loudly, not silently drop physics (MRF zones, moving meshes)
+        # loudly, not silently drop physics (moving meshes)
         import os as _os
 
-        if _os.path.exists(_os.path.join(case.case_dir, "constant",
-                                         "MRFProperties")):
-            raise NotImplementedError(
-                "MRF zones are not supported by the sharded flow solver; "
-                "run the flow single-device (omit --flow-devices)"
-            )
         from ..models.dynamicmesh import read_dynamic_mesh
 
         if read_dynamic_mesh(case.case_dir) is not None:
@@ -1047,7 +1094,7 @@ class ShardedFlowSolver:
         )
         self._step = make_sharded_pimple(
             self.smesh, self.cfg, self.dmesh, with_turb=self._turb_on,
-            lamg=self.lamg,
+            lamg=self.lamg, with_mrf=self.mrf is not None,
         )
         self._courant = make_courant(self.smesh, self.dmesh)
         self.log = log
@@ -1119,6 +1166,8 @@ class ShardedFlowSolver:
         )
         if self.lamg is not None:
             args = args + (self.lamg,)
+        if self.mrf is not None:
+            args = args + (self.mrf_omega_s, self.mrf_flux_s)
         if self._turb_on:
             args = args + (
                 self.nut_s, self.k_s, self.wall_cell_s, self.y_wall_s,

@@ -95,6 +95,93 @@ def test_sharded_pimple_matches_single(div_scheme):
     assert float(np.asarray(diag["continuity"])[0]) < 1e-8
 
 
+def _duct_mrf(m, omega_z=6.0):
+    """MRFZones with a rotor zone in the middle third of the duct,
+    rotating about z through the duct centre (mirrors mrf.from_case's
+    face classification on a directly constructed zone)."""
+    from cudaparticlesfoam_tpu.models.mrf import MRFZones
+
+    nc, nf, n_int = m.n_cells, m.n_faces, m.n_internal
+    cc = np.asarray(m.cc)
+    own = np.asarray(m.owner)
+    nei = np.asarray(m.neighbour)
+    in_zone = (cc[:, 0] > 2.0) & (cc[:, 0] < 4.0)
+    origin = np.array([3.0, 0.5, 0.5])
+    omega = np.array([0.0, 0.0, omega_z])
+    cell_om = np.where(in_zone[:, None], omega, 0.0)
+    cell_or = np.where(in_zone[:, None], origin, 0.0)
+    face_om = np.zeros((nf, 3))
+    face_or = np.zeros((nf, 3))
+    f_int = in_zone[own[:n_int]] & in_zone[nei]
+    face_om[:n_int][f_int] = omega
+    face_or[:n_int][f_int] = origin
+    f_bd = in_zone[own[n_int:]]
+    face_om[n_int:][f_bd] = omega
+    face_or[n_int:][f_bd] = origin
+    dt = np.asarray(m.sf).dtype
+    return MRFZones(
+        cell_omega=jnp.asarray(cell_om, dt), cell_origin=jnp.asarray(cell_or, dt),
+        face_omega=jnp.asarray(face_om, dt), face_origin=jnp.asarray(face_or, dt),
+    )
+
+
+def test_sharded_pimple_mrf_matches_single():
+    """MRF zones inside the shard_map PIMPLE (VERDICT r2 item 3's last
+    piece): Coriolis source + relative flux + rotating-wall BCs must
+    reproduce the single-device MRF step to f64 tolerance."""
+    n_dev = 8
+    try:
+        if len(jax.devices("cpu")) < n_dev:
+            pytest.skip("needs 8 virtual devices")
+    except RuntimeError:
+        pytest.skip("no CPU backend")
+    from cudaparticlesfoam_tpu.models import mrf as mrf_mod
+
+    pm = duct_pm()
+    m = fv.fv_mesh(pm, dtype=jnp.float64)
+    mrf = _duct_mrf(m)
+    u_bcs = fv.make_bcs(
+        m, {"inlet": ("fixedValue", [1.0, 0.0, 0.0]), "walls": ("noSlip", 0.0)}, 3
+    )
+    p_bcs = fv.make_bcs(m, {"outlet": ("fixedValue", 0.0)}, 1)
+    u0 = jnp.tile(jnp.asarray([1.0, 0.0, 0.0]), (m.n_cells, 1))
+    # initial flux from the rotating-wall-corrected BCs on BOTH legs
+    u_bcs_c0 = mrf_mod.correct_boundary_velocity(mrf, m, u_bcs)
+    flux0 = mrf_mod.make_relative(mrf, m, fv.flux_of(m, u0, u_bcs_c0))
+    st = FlowState(u=u0, p=jnp.zeros(m.n_cells, jnp.float64), flux=flux0)
+    cfg = PimpleConfig(nu=1e-3, n_outer=1, n_correctors=2, n_jacobi=8,
+                       p_tol=1e-12, p_max_iter=600, div_scheme="upwind")
+    dt = 0.02
+    for _ in range(3):
+        st, _ = pimple_step(m, st, u_bcs, p_bcs, cfg, dt, mrf=mrf)
+
+    smesh, bglob = flowshard.decompose(pm, n_dev, dtype=jnp.float64)
+    dmesh = sharding.make_device_mesh(n_dev, axis="f")
+    # rotating-wall BC correction folded into the global BCs pre-shard
+    # (exactly what ShardedFlowSolver does; pimple_step applies it inside)
+    u_bcs_c = mrf_mod.correct_boundary_velocity(mrf, m, u_bcs)
+    u_bcs_s = flowshard.shard_bcs(u_bcs_c, bglob)
+    p_bcs_s = flowshard.shard_bcs(p_bcs, bglob)
+    om_s, ff_s = flowshard.shard_mrf(smesh, mrf, m)
+    u_s = flowshard.scatter_cells(smesh, np.asarray(u0))
+    p_s = flowshard.scatter_cells(smesh, np.zeros(m.n_cells))
+    flux_s = flowshard.make_flux_init(smesh, dmesh)(smesh, u_s, u_bcs_s) - ff_s
+    step = flowshard.make_sharded_pimple(smesh, cfg, dmesh, with_mrf=True)
+    for _ in range(3):
+        u_s, p_s, flux_s, diag = step(
+            smesh, u_s, p_s, flux_s, u_bcs_s, p_bcs_s, dt, om_s, ff_s
+        )
+
+    u_g = flowshard.gather_cells(smesh, u_s)
+    p_g = flowshard.gather_cells(smesh, p_s)
+    u_ref = np.asarray(st.u)
+    p_ref = np.asarray(st.p)
+    assert np.abs(u_g - u_ref).max() < 1e-8 * max(np.abs(u_ref).max(), 1.0)
+    assert np.abs(p_g - p_ref).max() < 1e-6 * max(np.abs(p_ref).max(), 1.0)
+    # the zone actually does something: swirl appears in the zone cells
+    assert np.abs(u_ref[:, 1]).max() > 1e-3
+
+
 def test_decompose_structure():
     pm = duct_pm()
     smesh, bglob = flowshard.decompose(pm, 4, dtype=jnp.float64)
