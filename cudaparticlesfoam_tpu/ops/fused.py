@@ -311,7 +311,16 @@ def _walk_mega(tab, mc, px, py, pz, act, ly: Layout, max_hops=MAX_HOPS):
 
         def sub(c):
             tet, done, slot, mc, hops = c
-            idx2 = jnp.nonzero(undone, size=cap2, fill_value=0)[0].astype(jnp.int32)
+            # straggler-id compaction via sort (see the rare stage: the
+            # nonzero(size=) lowering scatters through scalar memory)
+            l_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+            key2 = jnp.where(undone, l_iota, n)
+            if cap2 > n:       # static shapes: pad to the slice length
+                key2 = jnp.concatenate(
+                    [key2, jnp.full((cap2 - n,), n, jnp.int32)]
+                )
+            sk2 = lax.sort(key2)[:cap2]
+            idx2 = jnp.where(sk2 < n, sk2, 0)
             lane2 = jax.lax.broadcasted_iota(jnp.int32, (cap2, 1), 0)[:, 0]
             valid2 = lane2 < jnp.minimum(cnt2, cap2)
             qx, qy, qz = px[idx2], py[idx2], pz[idx2]
@@ -672,7 +681,13 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt, noise=None):
         pend2 = pending.reshape(nb, BLOCK)
         bpend = jnp.any(pend2, axis=1)
         nbp = jnp.sum(bpend.astype(jnp.int32))
-        bidx = jnp.nonzero(bpend, size=capb, fill_value=nb)[0].astype(jnp.int32)
+        # block-id compaction via SORT, not nonzero: XLA lowers the
+        # nonzero(size=) index materialization to a scalar-memory
+        # scatter-add (~1.1 ms/cycle at nb=125k); lax.sort of
+        # iota-where-pending produces the same ascending fill-at-end list
+        # with vector ops (same fix as the lane level below)
+        blk_iota = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0]
+        bidx = lax.sort(jnp.where(bpend, blk_iota, nb))[:capb]
         safe_b = jnp.minimum(bidx, nb - 1)
         mb = m3[safe_b].reshape(nl, W)             # [capb,8,W] block gather
         lane_b = lax.broadcasted_iota(jnp.int32, (capb, BLOCK), 0)

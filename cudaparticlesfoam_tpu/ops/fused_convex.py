@@ -249,25 +249,27 @@ def _cycle_aligned(mesh: TetMesh, tab, m, rng_key, step, cfg, dt):
         pend2 = pending.reshape(nb, BLOCK)
         bpend = jnp.any(pend2, axis=1)
         nbp = jnp.sum(bpend.astype(jnp.int32))
-        bidx = jnp.nonzero(bpend, size=capb, fill_value=nb)[0].astype(jnp.int32)
+        # both compaction levels via SORT, not nonzero (whose size= index
+        # materialization lowers to a scalar-memory scatter-add; see
+        # fused.py's rare stage for the measured numbers)
+        blk_iota = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0]
+        bidx = lax.sort(jnp.where(bpend, blk_iota, nb))[:capb]
         safe_b = jnp.minimum(bidx, nb - 1)
         mb = m3[safe_b].reshape(nl, WIDTH)
         db = d3[safe_b].reshape(nl, 3)
         lane_b = lax.broadcasted_iota(jnp.int32, (capb, BLOCK), 0)
         inrange = lane_b < jnp.minimum(nbp, capb)
         lanes_act = (pend2[safe_b] & inrange).reshape(-1)
-        cnt_l = jnp.sum(lanes_act.astype(jnp.int32))
-        idxl = jnp.nonzero(lanes_act, size=cap_l, fill_value=nl)[0].astype(jnp.int32)
-        safe_l = jnp.minimum(idxl, nl - 1)
-        sub = mb[safe_l]
-        dsub = db[safe_l]
-        subact = lax.broadcasted_iota(jnp.int32, (cap_l, 1), 0)[:, 0] < jnp.minimum(
-            cnt_l, cap_l
-        )
-        sub = run_lanes(sub, dsub, subact)
+        lane_iota = lax.broadcasted_iota(jnp.int32, (nl, 1), 0)[:, 0]
+        skey = lax.sort(jnp.where(lanes_act, lane_iota, nl))
+        idxl = skey[:cap_l]
+        sub = mb[jnp.minimum(idxl, nl - 1)]
+        dsub = db[jnp.minimum(idxl, nl - 1)]
+        sub = run_lanes(sub, dsub, idxl < nl)
         mb = mb.at[idxl].set(sub, mode="drop")
-        rank = jnp.cumsum(lanes_act.astype(jnp.int32)) - 1
-        handled = lanes_act & (rank < cap_l)
+        # handled = pending lanes at or below the last taken sorted id
+        thresh = skey[cap_l - 1]
+        handled = lanes_act & (lane_iota <= jnp.minimum(thresh, nl - 1))
         m3 = m3.at[bidx].set(mb.reshape(capb, BLOCK, WIDTH), mode="drop")
         pend2 = pend2.at[bidx].set(
             pend2[safe_b] & ~handled.reshape(capb, BLOCK), mode="drop"
