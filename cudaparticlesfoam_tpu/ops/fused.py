@@ -26,8 +26,10 @@ The cycle (v2 — round-2 redesign, measured on device profiles):
    full-batch gather costs the same as one ``jnp.nonzero`` compaction
    (~8.5 ns/index), so compacting before hop 1 can never win.
 3. **Rare stage** (multi-hop walkers + wall hits, O(f²) of the batch):
-   two-stage *block* compaction — ``jnp.nonzero`` over n/8 block flags
-   (8x cheaper than lane-level), gather whole 8-lane blocks, run the
+   two-stage *block* compaction — a ``lax.sort`` of iota-where-pending
+   over n/8 block flags (8x cheaper than lane-level; nonzero's index
+   materialization lowers to a scalar-memory scatter-add and costs ~1 ms
+   per cycle at 1M lanes), gather whole 8-lane blocks, run the
    bounded tet-walk (``baryTetSearch`` semantics, ``RTQuery.cu:35-90``)
    and specular reflection (``RTreflection``, ``RTQuery.cu:109-186``)
    inside the small buffer, scatter the blocks back.  The stage loops

@@ -31,11 +31,13 @@ def main():
 
     mesh, st = build(n_side, n_particles)
     cfg = suggest_tuning(
-        mesh, StepConfig(dt=0.05, diffusion_coeff=1e-3, brownian_rng="rbg"), 0.05
+        mesh, StepConfig(dt=0.05, diffusion_coeff=1e-3, brownian_rng="rbg"),
+        0.05, n_particles=n_particles,
     )
     print(
         f"tuned: inline_hops={cfg.inline_hops} "
-        f"walk_capacity_frac={cfg.walk_capacity_frac}", file=sys.stderr,
+        f"walk_capacity_frac={cfg.walk_capacity_frac} "
+        f"cycle_chunks={cfg.cycle_chunks}", file=sys.stderr,
     )
     t0 = time.perf_counter()
     out = run_cycles(mesh, st, cfg, n_cycles)
