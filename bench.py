@@ -48,7 +48,9 @@ def build_workload(n_side, n_particles, diffusion=1e-3):
     # every particle beyond the inscribed radius into the flat walls,
     # growing a wall-grinding population that benchmarked the reflection
     # path instead of advection; Brownian wall contact remains)
-    cen = np.asarray(mesh.points, dtype=np.float64)[np.asarray(mesh.tets)].mean(axis=1)
+    from cudaparticlesfoam_tpu.mesh import host_np
+
+    cen = host_np(mesh, "points", np.float64)[host_np(mesh, "tets")].mean(axis=1)
     r = cen[:, :2] - n_side / 2.0
     r2 = (r * r).sum(axis=1) / (n_side / 2.0) ** 2
     omega = (5.2 / n_side) * np.maximum(1.0 - r2, 0.0)
@@ -62,8 +64,10 @@ def build_workload(n_side, n_particles, diffusion=1e-3):
     st = seed_in_box(n_particles, (lo,) * 3, (hi,) * 3, method="threefry")
     tet = locate_seeds(mesh, loc, st.pos)
     st = replace_state(st, tet_id=tet)
+    import jax.numpy as jnp
+
     log(f"seeded {n_particles} particles, "
-        f"{int(np.sum(np.asarray(tet) < 0))} out of domain")
+        f"{int(jnp.sum(tet < 0))} out of domain")
     return mesh, st
 
 

@@ -131,3 +131,82 @@ def write_particles_obj(path: str, pos) -> bool:
         return False
     pos = np.ascontiguousarray(pos, np.float64)
     return lib.write_particles_obj(path.encode(), pos, len(pos)) == 0
+
+
+# ---------------------------------------------------------------------------
+# native mesh builders (csrc/meshbuild.cpp, OpenMP)
+# ---------------------------------------------------------------------------
+
+_mb_lib = None
+_mb_tried = False
+
+
+def _build_and_load_meshbuild():
+    global _mb_lib, _mb_tried
+    with _lock:
+        if _mb_lib is not None or _mb_tried:
+            return _mb_lib
+        _mb_tried = True
+        src = os.path.abspath(os.path.join(_CSRC, "meshbuild.cpp"))
+        so = os.path.abspath(os.path.join(_CSRC, "libmeshbuild.so"))
+        try:
+            if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+                subprocess.run(
+                    ["g++", "-O3", "-ffp-contract=off", "-fopenmp", "-shared", "-fPIC", src, "-o", so],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(so)
+        except Exception:
+            return None
+
+        f64 = np.ctypeslib.ndpointer(np.float64, flags="C")
+        i64 = np.ctypeslib.ndpointer(np.int64, flags="C")
+        lib.face_base_points.restype = None
+        lib.face_base_points.argtypes = [
+            f64, i64, i64, i64, i64, f64,
+            ctypes.c_int64, ctypes.c_int64, i64,
+        ]
+        lib.face_centres_areas.restype = None
+        lib.face_centres_areas.argtypes = [
+            f64, i64, i64, ctypes.c_int64, f64, f64,
+        ]
+        _mb_lib = lib
+        return _mb_lib
+
+
+def face_base_points(points, face_verts, face_offsets, owner, neighbour,
+                     n_int, cell_ctrs) -> "np.ndarray | None":
+    """OpenMP quality-driven base-point search; None if no toolchain
+    (caller falls back to the numpy implementation)."""
+    lib = _build_and_load_meshbuild()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points, np.float64)
+    face_verts = np.ascontiguousarray(face_verts, np.int64)
+    face_offsets = np.ascontiguousarray(face_offsets, np.int64)
+    owner = np.ascontiguousarray(owner, np.int64)
+    neighbour = np.ascontiguousarray(neighbour, np.int64)
+    cell_ctrs = np.ascontiguousarray(cell_ctrs, np.float64)
+    nf = len(face_offsets) - 1
+    out = np.empty(nf, np.int64)
+    lib.face_base_points(
+        points, face_verts, face_offsets, owner, neighbour, cell_ctrs,
+        nf, int(n_int), out,
+    )
+    return out
+
+
+def face_centres_areas(points, face_verts, face_offsets):
+    """OpenMP face centroids + area vectors; None if no toolchain."""
+    lib = _build_and_load_meshbuild()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points, np.float64)
+    face_verts = np.ascontiguousarray(face_verts, np.int64)
+    face_offsets = np.ascontiguousarray(face_offsets, np.int64)
+    nf = len(face_offsets) - 1
+    ctrs = np.empty((nf, 3), np.float64)
+    areas = np.empty((nf, 3), np.float64)
+    lib.face_centres_areas(points, face_verts, face_offsets, nf, ctrs, areas)
+    return ctrs, areas

@@ -311,7 +311,16 @@ def write_cell_zones(zones: dict, mesh_dir: str) -> None:
 def face_centres_areas(pm: PolyMesh):
     """Face centroids and area vectors, OpenFOAM algorithm
     (primitiveMeshFaceCentresAndAreas): triangle-fan around the estimated
-    centre with area weighting; exact centroid for triangles."""
+    centre with area weighting; exact centroid for triangles.
+
+    Hot on big meshes — dispatches to the OpenMP C++ kernel
+    (csrc/meshbuild.cpp) when the toolchain is available; the numpy path
+    below is the reference implementation and the fallback."""
+    from . import native
+
+    nat = native.face_centres_areas(pm.points, pm.face_verts, pm.face_offsets)
+    if nat is not None:
+        return nat
     nf = pm.n_faces
     ctrs = np.zeros((nf, 3))
     areas = np.zeros((nf, 3))
@@ -429,7 +438,20 @@ def face_base_points(pm: PolyMesh, cell_ctrs) -> np.ndarray:
     so this only changes tet shapes on skewed polyhedral cells.
 
     Returns base LOCAL index per face [nf].
+
+    Dispatches to the OpenMP C++ kernel (csrc/meshbuild.cpp) when the
+    toolchain is available — this is the hottest host step of a cold case
+    load (91 s of numpy at TJunction coupled scale vs ~1 s native); the
+    numpy path below is the reference implementation and the fallback.
     """
+    from . import native
+
+    nat = native.face_base_points(
+        pm.points, pm.face_verts, pm.face_offsets, pm.owner, pm.neighbour,
+        pm.n_internal_faces, cell_ctrs,
+    )
+    if nat is not None:
+        return nat
     sizes = np.diff(pm.face_offsets)
     n_int = pm.n_internal_faces
     base = np.zeros(pm.n_faces, dtype=np.int64)
@@ -552,16 +574,13 @@ def tet_decompose(pm: PolyMesh, cell_ctrs=None, quality_base: bool = True):
     return tets[order], tet_cell[order], tet_patch[order]
 
 
-def mesh_from_polymesh(pm: PolyMesh, u_cells: np.ndarray | None = None, dtype=None):
-    """Build a :class:`~cudaparticlesfoam_tpu.mesh.TetMesh` from a polyMesh.
-
-    Vertex array = mesh points ++ cell centres (``initCuda.H:112-124``);
-    per-tet velocity = owning cell's U (``initCuda.H:106-108``).  Boundary
-    patch tags are transferred onto tet-mesh boundary faces.
-
-    Returns (tet_mesh, tet_cell) — keep ``tet_cell`` to refresh velocities
-    from new U snapshots (replaces the x12 replication at ``advect.H:44-55``).
-    """
+def mesh_host_from_polymesh(
+    pm: PolyMesh, u_cells: np.ndarray | None = None, dtype=None
+):
+    """All-numpy tet-mesh payload from a polyMesh (see
+    :func:`cudaparticlesfoam_tpu.mesh.from_arrays_host` for why the build
+    stays off-device).  Returns ``(host_payload, tet_cell)``; upload with
+    :func:`cudaparticlesfoam_tpu.mesh.host_to_device`."""
     from .. import mesh as meshlib
 
     cell_ctrs, _ = cell_centres_volumes(pm)
@@ -571,12 +590,12 @@ def mesh_from_polymesh(pm: PolyMesh, u_cells: np.ndarray | None = None, dtype=No
     if u_cells is not None:
         tet_vel = np.asarray(u_cells)[tet_cell]
 
-    m = meshlib.from_arrays(points, tets, tet_vel=tet_vel, dtype=dtype)
+    host = meshlib.from_arrays_host(points, tets, tet_vel=tet_vel, dtype=dtype)
 
     # patch tags: boundary tets' outer triangle lies on the source face.
     # Match mesh.bd_tris (sorted triple key) against boundary-origin tets'
     # outer triangles.
-    bd_tris = np.sort(np.asarray(m.bd_tris), axis=1)
+    bd_tris = np.sort(host["bd_tris"], axis=1)
     src = np.nonzero(tet_patch >= 0)[0]
     src_tris = np.sort(tets[src][:, 1:4], axis=1)
     all_tris = np.concatenate([src_tris, bd_tris])
@@ -594,11 +613,24 @@ def mesh_from_polymesh(pm: PolyMesh, u_cells: np.ndarray | None = None, dtype=No
     inv_src, inv_bd = inv[: len(src)], inv[len(src) :]
     lut = np.zeros(int(inv.max()) + 1 if len(inv) else 1, dtype=np.int32)
     lut[inv_src] = tet_patch[src].astype(np.int32)
-    bd_patch = lut[inv_bd]
-    import jax.numpy as jnp
+    host["bd_patch"] = lut[inv_bd].astype(np.int32)
+    return host, tet_cell
 
-    m = dataclasses.replace(m, bd_patch=jnp.asarray(bd_patch))
-    return m, tet_cell
+
+def mesh_from_polymesh(pm: PolyMesh, u_cells: np.ndarray | None = None, dtype=None):
+    """Build a :class:`~cudaparticlesfoam_tpu.mesh.TetMesh` from a polyMesh.
+
+    Vertex array = mesh points ++ cell centres (``initCuda.H:112-124``);
+    per-tet velocity = owning cell's U (``initCuda.H:106-108``).  Boundary
+    patch tags are transferred onto tet-mesh boundary faces.
+
+    Returns (tet_mesh, tet_cell) — keep ``tet_cell`` to refresh velocities
+    from new U snapshots (replaces the x12 replication at ``advect.H:44-55``).
+    """
+    from .. import mesh as meshlib
+
+    host, tet_cell = mesh_host_from_polymesh(pm, u_cells=u_cells, dtype=dtype)
+    return meshlib.host_to_device(host), tet_cell
 
 
 # ---------------------------------------------------------------------------

@@ -274,8 +274,10 @@ class Trajectories:
 def write_tet_mesh_vtk(path: str, mesh) -> None:
     """Legacy-VTK dump of the volume tet mesh (cf. ``mesh.vtk`` at
     ``OptixTetQuery.cpp:374-417``)."""
-    pts = np.asarray(mesh.points, dtype=np.float64)
-    tets = np.asarray(mesh.tets, dtype=np.int64)
+    from .. import mesh as meshlib
+
+    pts = meshlib.host_np(mesh, "points", np.float64)
+    tets = meshlib.host_np(mesh, "tets", np.int64)
     with open(path, "w") as fh:
         fh.write("# vtk DataFile Version 4.1\nvtk output\nASCII\nDATASET UNSTRUCTURED_GRID\n")
         fh.write(f"POINTS {len(pts)} double\n")
@@ -293,11 +295,13 @@ def write_tet_mesh_vtk(path: str, mesh) -> None:
 def write_face_mesh_vtk(path: str, mesh, boundary_only: bool = True) -> None:
     """Legacy-VTK dump of faces (cf. ``mesh_faces.vtk``,
     ``OptixTetQuery.cpp:331-372``); boundary_only gives the surface mesh."""
-    pts = np.asarray(mesh.points, dtype=np.float64)
+    from .. import mesh as meshlib
+
+    pts = meshlib.host_np(mesh, "points", np.float64)
     if boundary_only:
-        tris = np.asarray(mesh.bd_tris, dtype=np.int64)
+        tris = meshlib.host_np(mesh, "bd_tris", np.int64)
     else:
-        tris = np.asarray(mesh.faces, dtype=np.int64)
+        tris = meshlib.host_np(mesh, "faces", np.int64)
     with open(path, "w") as fh:
         fh.write("# vtk DataFile Version 4.1\nvtk output\nASCII\nDATASET POLYDATA\n")
         fh.write(f"POINTS {len(pts)} double\n")

@@ -28,6 +28,7 @@ with identical resulting adjacency for well-formed meshes).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .dtypes import canonical_float
@@ -254,21 +255,25 @@ def _build_walk_table(points, tets, tet_faces, face_front, face_back, bd_face_id
     return a, tinv, nbr, n, dpl
 
 
-def from_arrays(
+def from_arrays_host(
     points: np.ndarray,
     tets: np.ndarray,
     tet_vel: np.ndarray | None = None,
     vert_vel: np.ndarray | None = None,
     bd_patch: np.ndarray | None = None,
     dtype=None,
-) -> TetMesh:
-    """Build a :class:`TetMesh` from raw numpy arrays.
+) -> dict:
+    """All-numpy :class:`TetMesh` payload: field name -> numpy array (final
+    dtypes) or python-int meta.
 
-    ``bd_patch``: optional per-boundary-face patch tags keyed by the
-    boundary-face ordering produced here (use :func:`boundary_face_centroids`
-    to map external patch data onto it).
+    The build never touches the accelerator; the payload pickles cleanly
+    (on-disk tet cache) and uploads with :func:`host_to_device` in one
+    host->device pass.  Keeping the build host-only matters beyond cold-start
+    hygiene: on tunneled TPU attachments (axon) device->host readback runs
+    ~1000x slower than upload, so any build step that round-trips through
+    the device costs minutes (measured 0.7 MB/s d2h vs 790 MB/s h2d).
     """
-    fdtype = canonical_float(dtype)
+    fdtype = np.dtype(canonical_float(dtype))
     points = np.asarray(points, dtype=np.float64)
     tets = np.asarray(tets, dtype=np.int64)
     tets = _canonicalize_winding(points, tets)
@@ -300,9 +305,9 @@ def from_arrays(
     row[:, 12:15] = tet_vel
     row[:, 15:19] = nbr.astype(np.float64)
 
-    as_f = lambda x: jnp.asarray(x, dtype=fdtype)
-    as_i = lambda x: jnp.asarray(x, dtype=jnp.int32)
-    return TetMesh(
+    as_f = lambda x: np.asarray(x, dtype=fdtype)
+    as_i = lambda x: np.asarray(x, dtype=np.int32)
+    return dict(
         points=as_f(points),
         tets=as_i(tets),
         tet_vel=as_f(tet_vel),
@@ -320,13 +325,110 @@ def from_arrays(
         bd_tris=as_i(bd_tris),
         bd_tet=as_i(bd_tet),
         bd_patch=as_i(bd_patch),
-        bd_escape=jnp.zeros(nbd, dtype=bool),
+        bd_escape=np.zeros(nbd, dtype=bool),
         bounds_lo=as_f(lo),
         bounds_hi=as_f(hi),
         n_points=nv,
         n_tets=nt,
         n_faces=nf,
         n_bd_faces=nbd,
+    )
+
+
+# --------------------------------------------------------------------------
+# host mirror registry
+#
+# Host-side consumers (grid locator build, engine auto-tuning, spatial
+# partitioning, VTK export) need numpy views of mesh arrays.  Reading them
+# back from the device is pathological on tunneled TPU attachments (axon:
+# ~0.7 MB/s d2h vs ~790 MB/s h2d — a 39 s grid build on a 12k-cell case),
+# so every mesh built from a host payload keeps its numpy arrays alive in
+# this id-keyed side table and :func:`host_np` serves reads from it.
+# Derived meshes (velocity refresh, escape tags, lazy row tables) propagate
+# the mirror with the affected fields updated host-side when the update
+# came from numpy, or dropped when it was device-computed.
+# --------------------------------------------------------------------------
+
+import weakref
+
+_HOST_MIRRORS: dict = {}
+
+
+def _attach_mirror(mesh: "TetMesh", host: dict) -> None:
+    key = id(mesh)
+    _HOST_MIRRORS[key] = host
+    weakref.finalize(mesh, _HOST_MIRRORS.pop, key, None)
+
+
+def _mirror_of(mesh: "TetMesh") -> dict | None:
+    return _HOST_MIRRORS.get(id(mesh))
+
+
+def host_np(mesh: "TetMesh", name: str, dtype=None) -> np.ndarray:
+    """Numpy view of a mesh field: mirror hit (free) or device readback
+    (slow fallback — correct everywhere, avoid on tunneled attachments)."""
+    mirror = _HOST_MIRRORS.get(id(mesh))
+    if mirror is not None and mirror.get(name) is not None:
+        arr = mirror[name]
+    else:
+        arr = np.asarray(getattr(mesh, name))
+    if dtype is not None and arr.dtype != np.dtype(dtype):
+        arr = arr.astype(dtype)
+    return arr
+
+
+def _propagate_mirror(old_mesh, new_mesh, updates: dict | None = None,
+                      drop: tuple = ()) -> None:
+    """Carry the host mirror onto a derived mesh.  ``updates`` values that
+    are numpy land in the mirror; device-computed values (jax arrays /
+    tracers) invalidate their field instead."""
+    mirror = _HOST_MIRRORS.get(id(old_mesh))
+    if mirror is None:
+        return
+    new = dict(mirror)
+    for name in drop:
+        new.pop(name, None)
+    for name, val in (updates or {}).items():
+        if isinstance(val, np.ndarray):
+            new[name] = val
+        else:
+            new.pop(name, None)
+    _attach_mirror(new_mesh, new)
+
+
+def host_to_device(host: dict) -> TetMesh:
+    """Upload a :func:`from_arrays_host` payload: one h2d transfer per field,
+    dtypes already final.  The numpy payload stays attached as the mesh's
+    host mirror (see :func:`host_np`)."""
+    m = TetMesh(
+        **{
+            k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+            for k, v in host.items()
+        }
+    )
+    _attach_mirror(m, host)
+    return m
+
+
+def from_arrays(
+    points: np.ndarray,
+    tets: np.ndarray,
+    tet_vel: np.ndarray | None = None,
+    vert_vel: np.ndarray | None = None,
+    bd_patch: np.ndarray | None = None,
+    dtype=None,
+) -> TetMesh:
+    """Build a :class:`TetMesh` from raw numpy arrays.
+
+    ``bd_patch``: optional per-boundary-face patch tags keyed by the
+    boundary-face ordering produced here (use :func:`boundary_face_centroids`
+    to map external patch data onto it).
+    """
+    return host_to_device(
+        from_arrays_host(
+            points, tets, tet_vel=tet_vel, vert_vel=vert_vel,
+            bd_patch=bd_patch, dtype=dtype,
+        )
     )
 
 
@@ -427,18 +529,36 @@ def replace_velocity(mesh: TetMesh, tet_vel=None, vert_vel=None) -> TetMesh:
     import dataclasses
 
     kw = {}
+    mirror_updates = {}
     if tet_vel is not None:
         tv = jnp.asarray(tet_vel, dtype=mesh.dtype)
         kw["tet_vel"] = tv
         kw["tet_row"] = mesh.tet_row.at[:, 12:15].set(tv)
+        if isinstance(tet_vel, np.ndarray):
+            tv_np = tet_vel.astype(np.dtype(mesh.dtype), copy=False)
+            mirror_updates["tet_vel"] = tv_np
+            old_row = _mirror_of(mesh) and _mirror_of(mesh).get("tet_row")
+            if old_row is not None:
+                row = old_row.copy()
+                row[:, 12:15] = tv_np
+                mirror_updates["tet_row"] = row
+        else:
+            mirror_updates["tet_vel"] = tet_vel      # invalidates
+            mirror_updates["tet_row"] = tet_vel
     if vert_vel is not None:
         vv = jnp.asarray(vert_vel, dtype=mesh.dtype)
         kw["vert_vel"] = vv
+        mirror_updates["vert_vel"] = (
+            vert_vel if isinstance(vert_vel, np.ndarray) else vv
+        )
         if mesh.tet_row_pk is not None:
             kw["tet_row_pk"] = mesh.tet_row_pk.at[:, 12:24].set(
                 vv[mesh.tets].reshape(mesh.n_tets, 12)
             )
-    return dataclasses.replace(mesh, **kw)
+            mirror_updates["tet_row_pk"] = kw["tet_row_pk"]  # invalidates
+    new = dataclasses.replace(mesh, **kw)
+    _propagate_mirror(mesh, new, mirror_updates)
+    return new
 
 
 def refresh_geometry(mesh: TetMesh, new_points) -> TetMesh:
@@ -478,7 +598,7 @@ def refresh_geometry(mesh: TetMesh, new_points) -> TetMesh:
             mesh.tet_row_cx.at[:, 0:12].set(n.reshape(nt, 12))
             .at[:, 12:16].set(dpl)
         )
-    return dataclasses.replace(
+    new = dataclasses.replace(
         mesh,
         points=pts,
         tet_a=a,
@@ -490,6 +610,16 @@ def refresh_geometry(mesh: TetMesh, new_points) -> TetMesh:
         bounds_hi=jnp.max(pts, axis=0),
         **kw,
     )
+    # geometry fields are device-recomputed: drop them from the mirror
+    # (topology/meta fields stay valid).  No-op under jit tracing.
+    if not isinstance(pts, jax.core.Tracer):
+        _propagate_mirror(
+            mesh, new,
+            drop=("points", "tet_a", "tet_tinv", "tet_face_n", "tet_face_d",
+                  "tet_row", "tet_row_pk", "tet_row_cx", "bounds_lo",
+                  "bounds_hi"),
+        )
+    return new
 
 
 def with_convex_rows(mesh: TetMesh) -> TetMesh:
@@ -512,7 +642,27 @@ def with_convex_rows(mesh: TetMesh) -> TetMesh:
         ],
         axis=1,
     )
-    return dataclasses.replace(mesh, tet_row_cx=row)
+    new = dataclasses.replace(mesh, tet_row_cx=row)
+    mirror = _mirror_of(mesh)
+    updates = {}
+    if mirror is not None and all(
+        mirror.get(k) is not None
+        for k in ("tet_face_n", "tet_face_d", "tet_nbr", "tet_faces")
+    ):
+        fdt = np.dtype(mesh.dtype)
+        updates["tet_row_cx"] = np.concatenate(
+            [
+                mirror["tet_face_n"].reshape(nt, 12),
+                mirror["tet_face_d"],
+                mirror["tet_nbr"].astype(fdt),
+                mirror["tet_faces"].astype(fdt),
+            ],
+            axis=1,
+        )
+    else:
+        updates["tet_row_cx"] = row                      # invalidates
+    _propagate_mirror(mesh, new, updates)
+    return new
 
 
 def with_pk_rows(mesh: TetMesh) -> TetMesh:
@@ -535,7 +685,24 @@ def with_pk_rows(mesh: TetMesh) -> TetMesh:
         ],
         axis=1,
     )
-    return dataclasses.replace(mesh, tet_row_pk=row)
+    new = dataclasses.replace(mesh, tet_row_pk=row)
+    mirror = _mirror_of(mesh)
+    updates = {}
+    if mirror is not None and all(
+        mirror.get(k) is not None for k in ("tet_row", "vert_vel", "tets")
+    ):
+        updates["tet_row_pk"] = np.concatenate(
+            [
+                mirror["tet_row"][:, 0:12],
+                mirror["vert_vel"][mirror["tets"]].reshape(nt, 12),
+                mirror["tet_row"][:, 15:19],
+            ],
+            axis=1,
+        )
+    else:
+        updates["tet_row_pk"] = row                      # invalidates
+    _propagate_mirror(mesh, new, updates)
+    return new
 
 
 def set_boundary_escape(mesh: TetMesh, escape_patch_ids) -> TetMesh:
@@ -550,4 +717,16 @@ def set_boundary_escape(mesh: TetMesh, escape_patch_ids) -> TetMesh:
     esc = jnp.isin(mesh.bd_patch, ids) if len(escape_patch_ids) else jnp.zeros(
         mesh.n_bd_faces, dtype=bool
     )
-    return dataclasses.replace(mesh, bd_escape=esc)
+    new = dataclasses.replace(mesh, bd_escape=esc)
+    mirror = _mirror_of(mesh)
+    updates = {}
+    if mirror is not None and mirror.get("bd_patch") is not None:
+        updates["bd_escape"] = (
+            np.isin(mirror["bd_patch"], np.asarray(list(escape_patch_ids)))
+            if len(escape_patch_ids)
+            else np.zeros(mesh.n_bd_faces, dtype=bool)
+        )
+    else:
+        updates["bd_escape"] = esc                       # invalidates
+    _propagate_mirror(mesh, new, updates)
+    return new

@@ -80,7 +80,17 @@ def load_polymesh(case_dir: str, regenerate: bool = True, log=print) -> polymesh
 
 # version of the host-side tet decomposition + table-build algorithm;
 # part of the cache fingerprint (see _cached_tet_mesh)
-_TET_CACHE_VERSION = 2
+_TET_CACHE_VERSION = 3
+
+
+def _builder_flavor() -> str:
+    """Which base-point builder is active: the OpenMP C++ kernel or the
+    numpy fallback.  They agree except on exact quality TIES (regular
+    cells), where last-ulp rounding picks different-but-equivalent bases
+    — so the flavor must be part of the cache fingerprint."""
+    from ..io import native
+
+    return "native" if native._build_and_load_meshbuild() is not None else "numpy"
 
 
 def _cached_tet_mesh(case_dir: str, poly, dtype, log, min_build_s: float = 10.0):
@@ -99,7 +109,7 @@ def _cached_tet_mesh(case_dir: str, poly, dtype, log, min_build_s: float = 10.0)
     # bump _TET_CACHE_VERSION on ANY change to the decomposition/table
     # build (tet_decompose, quality base points, walk/pk/convex rows) —
     # the fingerprint must invalidate caches built by older algorithms
-    fp.update(f"v{_TET_CACHE_VERSION}".encode())
+    fp.update(f"v{_TET_CACHE_VERSION}-{_builder_flavor()}".encode())
     fp.update(np.ascontiguousarray(poly.points).tobytes())
     fp.update(np.ascontiguousarray(poly.owner).tobytes())
     fp.update(np.ascontiguousarray(poly.neighbour).tobytes())
@@ -112,23 +122,24 @@ def _cached_tet_mesh(case_dir: str, poly, dtype, log, min_build_s: float = 10.0)
         try:
             with open(cache, "rb") as fh:
                 payload = pickle.load(fh)
-            if payload.get("fingerprint") == digest:
-                import jax
-
-                mesh = jax.tree_util.tree_map(
-                    jnp.asarray, payload["mesh_host"]
-                )
+            if (
+                payload.get("fingerprint") == digest
+                and isinstance(payload.get("mesh_host"), dict)
+            ):
+                mesh = meshlib.host_to_device(payload["mesh_host"])
                 log("#adv: tet mesh restored from cache")
                 return mesh, payload["tet_cell"]
         except Exception as e:          # corrupt/stale cache: rebuild
             log(f"#adv: [warning] tet mesh cache unusable ({e}); rebuilding")
     t0 = time.perf_counter()
-    mesh, tet_cell = polymesh.mesh_from_polymesh(poly, u_cells=None, dtype=dtype)
+    # host-only build + pickle BEFORE the single h2d upload: on tunneled
+    # TPU attachments d2h readback is ~1000x slower than upload, so the
+    # old save path (device mesh -> np.asarray -> pickle) cost minutes
+    host, tet_cell = polymesh.mesh_host_from_polymesh(
+        poly, u_cells=None, dtype=dtype
+    )
     build_s = time.perf_counter() - t0
     if build_s > min_build_s and os.path.isdir(os.path.dirname(cache)):
-        import jax
-
-        host = jax.tree_util.tree_map(lambda x: np.asarray(x), mesh)
         try:
             with open(cache, "wb") as fh:
                 pickle.dump(
@@ -139,7 +150,7 @@ def _cached_tet_mesh(case_dir: str, poly, dtype, log, min_build_s: float = 10.0)
             log(f"#adv: tet mesh cached ({build_s:.0f}s build)")
         except OSError as e:
             log(f"#adv: [warning] could not cache tet mesh: {e}")
-    return mesh, tet_cell
+    return meshlib.host_to_device(host), tet_cell
 
 
 def load_case(case_dir: str, dtype=None, log=print, write_mesh: bool = False) -> Case:
@@ -236,22 +247,26 @@ def init_particles(case: Case, log=print) -> statelib.ParticleState:
             dtype=case.tet_mesh.dtype,
         )
     nbytes = sum(
-        np.asarray(x).nbytes
-        for x in (st.pos, st.vel, st.disp, st.tet_id, st.active)
+        x.nbytes for x in (st.pos, st.vel, st.disp, st.tet_id, st.active)
     )
     log(f"#adv: particle mem: {nbytes/2**20:.1f}MB")
-    tet0 = np.asarray(st.tet_id)
-    if (tet0 >= 0).all() and len(tet0):
+    # decide the path from at most ONE scalar readback, never the full id
+    # array (tunneled-TPU d2h is ~1000x slower than upload).  Box seeding
+    # never carries tet ids, so the common path needs zero readbacks here.
+    n = st.pos.shape[0]
+    if not p.seeding_file or not n:
+        n_pre = 0
+    else:
+        n_pre = int(jnp.sum(st.tet_id >= 0))
+    if n and n_pre == n:
         # seed file carried tetIDs: assign directly like cudaInitParticles
         # (particles.cu:150-156) — restart stays bit-identical, no re-locate
-        tet = tet0
+        tet = st.tet_id
     else:
-        tet = np.asarray(
-            locate_ops.locate_seeds(case.tet_mesh, case.locator, st.pos)
-        )
-        if (tet0 >= 0).any():
-            tet = np.where(tet0 >= 0, tet0, tet)
-    st = dataclasses.replace(st, tet_id=jnp.asarray(tet))
-    n_bad = int((np.asarray(tet) < 0).sum())
+        tet = locate_ops.locate_seeds(case.tet_mesh, case.locator, st.pos)
+        if n_pre:
+            tet = jnp.where(st.tet_id >= 0, st.tet_id, tet)
+    st = dataclasses.replace(st, tet_id=jnp.asarray(tet, dtype=jnp.int32))
+    n_bad = int(jnp.sum(st.tet_id < 0))
     log(f"#adv: Out-of-domain particles(-tetID) = {n_bad}")   # particles.cu:770
     return st

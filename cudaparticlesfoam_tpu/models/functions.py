@@ -159,7 +159,9 @@ def trace_streamlines(
     # normalize tet velocities -> arc-length stepping
     from .. import replace_velocity
 
-    tv = np.asarray(tet_mesh.tet_vel, dtype=np.float64)
+    from .. import mesh as _meshlib
+
+    tv = _meshlib.host_np(tet_mesh, "tet_vel", np.float64)
     speed = np.linalg.norm(tv, axis=1, keepdims=True)
     unit = np.where(speed > 1e-12, tv / np.maximum(speed, 1e-300), 0.0)
     m_unit = replace_velocity(tet_mesh, tet_vel=unit)

@@ -540,7 +540,10 @@ def run_streamline_functions(case_dir: str, time_name: str, u_cells,
         frac = np.linspace(0.0, 1.0, n_lines)[:, None]
         seeds = start[None, :] * (1.0 - frac) + end[None, :] * frac
         # spatial step ~ a fraction of the mean cell size
-        ext = np.asarray(tet_mesh.bounds_hi) - np.asarray(tet_mesh.bounds_lo)
+        from .. import mesh as _meshlib
+
+        ext = (_meshlib.host_np(tet_mesh, "bounds_hi", np.float64)
+               - _meshlib.host_np(tet_mesh, "bounds_lo", np.float64))
         h = float(np.max(ext)) / max(pm.n_cells ** (1 / 3), 1.0)
         lines = fo.trace_streamlines(
             tet_mesh, locator, seeds, step_length=h,

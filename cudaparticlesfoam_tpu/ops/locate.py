@@ -165,11 +165,13 @@ class GridLocator:
 
 def build_grid_locator(mesh: TetMesh, target_cells_per_tet: float = 1.0) -> GridLocator:
     """Host-side build: bin tet centroids; dilate to fill empty cells."""
-    pts = np.asarray(mesh.points, dtype=np.float64)
-    tets = np.asarray(mesh.tets)
+    from .. import mesh as meshlib
+
+    pts = meshlib.host_np(mesh, "points", np.float64)
+    tets = meshlib.host_np(mesh, "tets")
     cen = pts[tets].mean(axis=1)
-    lo = np.asarray(mesh.bounds_lo, dtype=np.float64)
-    hi = np.asarray(mesh.bounds_hi, dtype=np.float64)
+    lo = meshlib.host_np(mesh, "bounds_lo", np.float64)
+    hi = meshlib.host_np(mesh, "bounds_hi", np.float64)
     extent = np.maximum(hi - lo, 1e-300)
     n_tets = tets.shape[0]
     # ~1 cell per tet, distributed by domain aspect ratio
@@ -233,12 +235,18 @@ def brute_force_resolve(mesh: TetMesh, p, tet) -> np.ndarray:
     bad = np.nonzero(tet < 0)[0]
     if len(bad) == 0:
         return tet
-    p = np.asarray(p, dtype=np.float64)
-    a = np.asarray(mesh.tet_a, dtype=np.float64)
-    tinv = np.asarray(mesh.tet_tinv, dtype=np.float64)
+    from .. import mesh as meshlib
+
+    # read back only the unresolved rows (tunneled-TPU d2h is slow)
+    if isinstance(p, np.ndarray):
+        p_bad = p[bad].astype(np.float64)
+    else:
+        p_bad = np.asarray(p[jnp.asarray(bad)], dtype=np.float64)
+    a = meshlib.host_np(mesh, "tet_a", np.float64)
+    tinv = meshlib.host_np(mesh, "tet_tinv", np.float64)
     for i0 in range(0, len(bad), 256):
         sel = bad[i0 : i0 + 256]
-        rel = p[sel][:, None, :] - a[None, :, :]           # [b, nt, 3]
+        rel = p_bad[i0 : i0 + 256][:, None, :] - a[None, :, :]  # [b, nt, 3]
         wbcd = np.einsum("tij,btj->bti", tinv, rel)
         inside = (wbcd.min(axis=-1) >= 0.0) & (wbcd.sum(axis=-1) <= 1.0)
         hit = inside.any(axis=1)
@@ -259,9 +267,14 @@ def first_locate(mesh: TetMesh, loc: GridLocator, p):
 
 
 def locate_seeds(mesh: TetMesh, loc: GridLocator, p) -> jnp.ndarray:
-    """first_locate + host brute-force fallback; returns final tet ids."""
+    """first_locate + host brute-force fallback; returns final tet ids.
+
+    The unresolved count is read back as ONE device scalar; the full id
+    array only crosses to the host when there is something to resolve
+    (d2h readback is ~1000x slower than upload on tunneled TPUs)."""
     tet = first_locate(mesh, loc, p)
-    tet = np.asarray(tet)
-    if (tet < 0).any():
-        tet = brute_force_resolve(mesh, p, tet)
+    if int(jnp.sum(tet < 0)):
+        tet = jnp.asarray(
+            brute_force_resolve(mesh, p, np.asarray(tet)), dtype=jnp.int32
+        )
     return jnp.asarray(tet, dtype=jnp.int32)

@@ -86,10 +86,13 @@ def partition_mesh(mesh: TetMesh, n_shards: int,
     is the 4 cached vertex velocities, blended per step), "cx" the 24-col
     ConvexPoly rows (inward planes 0:16, neighbor codes 16:20, per-tet
     velocity 20:23 — the fused_convex.cx_table layout)."""
-    pts = np.asarray(mesh.points, dtype=np.float64)
-    tets = np.asarray(mesh.tets)
+    from .. import mesh as meshlib
+
+    pts = meshlib.host_np(mesh, "points", np.float64)
+    tets = meshlib.host_np(mesh, "tets")
     cen = pts[tets].mean(axis=1)
-    extent = np.asarray(mesh.bounds_hi) - np.asarray(mesh.bounds_lo)
+    extent = (meshlib.host_np(mesh, "bounds_hi", np.float64)
+              - meshlib.host_np(mesh, "bounds_lo", np.float64))
     axis = int(np.argmax(extent))
     order = np.argsort(cen[:, axis], kind="stable")     # old ids in new order
     nt = len(order)
@@ -103,22 +106,22 @@ def partition_mesh(mesh: TetMesh, n_shards: int,
     if layout == "pk":
         if mesh.tet_row_pk is None:
             raise ValueError("pk layout needs mesh.tet_row_pk (with_pk_rows)")
-        src = np.asarray(mesh.tet_row_pk)               # [nt,28]
+        src = meshlib.host_np(mesh, "tet_row_pk")       # [nt,28]
     elif layout == "cx":
         if mesh.tet_row_cx is None:
             raise ValueError("cx layout needs mesh.tet_row_cx "
                              "(with_convex_rows)")
-        cx = np.asarray(mesh.tet_row_cx)
+        cx = meshlib.host_np(mesh, "tet_row_cx")
         src = np.concatenate([
             cx[:, 0:20],
-            np.asarray(mesh.tet_vel, cx.dtype),
+            meshlib.host_np(mesh, "tet_vel", cx.dtype),
             np.zeros((len(cx), 1), cx.dtype),
         ], axis=1)                                       # [nt,24]
     else:
-        src = np.asarray(mesh.tet_row)                  # [nt,20]
+        src = meshlib.host_np(mesh, "tet_row")          # [nt,20]
     w = src.shape[1]
     row = src[inv_perm]
-    nbr_old = np.asarray(mesh.tet_nbr)[inv_perm]        # [nt,4] old codes
+    nbr_old = meshlib.host_np(mesh, "tet_nbr")[inv_perm]  # [nt,4] old codes
     nbr = np.where(nbr_old >= 0, perm[np.clip(nbr_old, 0, nt - 1)], nbr_old)
     # renumber the neighbor codes embedded in the packed rows (unused by
     # the shard-local cycle, which reads the separate tet_nbr array, but
@@ -135,7 +138,7 @@ def partition_mesh(mesh: TetMesh, n_shards: int,
         row = np.concatenate([row, prow])
         nbr = np.concatenate([nbr, np.full((pad, 4), -1, np.int32)])
 
-    bd_esc = np.asarray(mesh.bd_escape)
+    bd_esc = meshlib.host_np(mesh, "bd_escape")
     if bd_esc.size == 0:
         bd_esc = np.zeros(1, bool)
     return PartitionedMesh(

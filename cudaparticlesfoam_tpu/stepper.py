@@ -285,14 +285,16 @@ def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None,
     """
     import numpy as np
 
+    from . import mesh as meshlib
+
     dt = float(cfg.dt if dt is None else dt)
-    pts = np.asarray(mesh.points, dtype=np.float64)
-    tets = np.asarray(mesh.tets)
-    u = np.asarray(mesh.tet_vel, dtype=np.float64)
+    pts = meshlib.host_np(mesh, "points", np.float64)
+    tets = meshlib.host_np(mesh, "tets")
+    u = meshlib.host_np(mesh, "tet_vel", np.float64)
     if cfg.velocity_interp == advect_ops.VERTEX_VELOCITY or not np.any(u):
         # Pk workloads carry per-vertex velocities; estimate per-tet speed
         # from the vertex average when tet_vel is absent/zero
-        vv = np.asarray(mesh.vert_vel, dtype=np.float64)
+        vv = meshlib.host_np(mesh, "vert_vel", np.float64)
         if np.any(vv):
             u = vv[tets].mean(axis=1)
     a = pts[tets[:, 0]]
@@ -330,7 +332,7 @@ def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None,
     # grinds the z-walls).  Estimate the per-cycle wall-hit rate as
     # (boundary-adjacent tet fraction) x (crossing rate) and route rare
     # wall hits through the compacted rare stage instead.
-    bd_frac = float(np.mean(np.any(np.asarray(mesh.tet_nbr) < 0, axis=1)))
+    bd_frac = float(np.mean(np.any(meshlib.host_np(mesh, "tet_nbr") < 0, axis=1)))
     wall_rate = bd_frac * min(crossings, 1.0) * 0.5
     inline_bounce = cfg.reflect_wall and wall_rate > 0.01
     # very large batches: sub-batch the cycle (measured on v5e: at 10M

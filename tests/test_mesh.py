@@ -215,3 +215,75 @@ def test_dataset_pk_pipeline(tmp_path):
     )
     np.testing.assert_allclose(np.asarray(out.pos)[:, 1:], pos0[:, 1:],
                                atol=1e-7)
+
+
+def test_native_base_points_match_numpy_up_to_ties():
+    """The OpenMP C++ base-point builder (csrc/meshbuild.cpp) must agree
+    with the numpy reference implementation everywhere the quality argmax
+    is decisive; disagreements are allowed ONLY on exact ties (regular
+    cells, where both picks are equivalent decompositions).  Face centres
+    and areas must be bit-identical."""
+    import pytest
+
+    from cudaparticlesfoam_tpu.io import blockmesh, polymesh
+    import cudaparticlesfoam_tpu.io.native as native
+
+    if native._build_and_load_meshbuild() is None:
+        pytest.skip("no native toolchain")
+    import os as _os
+
+    bmd = _os.path.join(
+        _os.path.dirname(__file__), "..", "tutorials", "incompressible",
+        "cudaParticlesUncoupledFoam", "pitzDaily", "system", "blockMeshDict",
+    )
+    pm = blockmesh.generate(bmd)
+    fc_nat = polymesh.face_centres_areas(pm)
+
+    orig_fba = native.face_base_points
+    orig_fca = native.face_centres_areas
+    native.face_base_points = lambda *a, **k: None
+    native.face_centres_areas = lambda *a, **k: None
+    try:
+        fc_py = polymesh.face_centres_areas(pm)
+        cc, _ = polymesh.cell_centres_volumes(pm, *fc_py)
+        base_py = polymesh.face_base_points(pm, cc)
+    finally:
+        native.face_base_points = orig_fba
+        native.face_centres_areas = orig_fca
+    np.testing.assert_array_equal(fc_nat[0], fc_py[0])
+    np.testing.assert_array_equal(fc_nat[1], fc_py[1])
+
+    base_nat = polymesh.face_base_points(pm, cc)
+
+    mism = np.nonzero(base_nat != base_py)[0]
+    if len(mism) == 0:
+        return
+    # every disagreement must be an exact tie: min fan quality of the two
+    # picks within FP noise of each other
+    pts = pm.points
+
+    def min_quality(f, c):
+        o, k = pm.face_offsets[f], pm.face_offsets[f + 1] - pm.face_offsets[f]
+        fv = pm.face_verts[o : o + k]
+        apexes = [cc[pm.owner[f]]]
+        if f < pm.n_internal_faces:
+            apexes.append(cc[pm.neighbour[f]])
+        q = np.inf
+        b = pts[fv[c]]
+        for i in range(1, k - 1):
+            pa, pb = pts[fv[(c + i) % k]], pts[fv[(c + i + 1) % k]]
+            for j, apex in enumerate(apexes):
+                t = (pa, pb) if j == 0 else (pb, pa)
+                q = min(q, float(
+                    polymesh._tet_quality(
+                        apex[None], b[None], t[0][None], t[1][None]
+                    )[0]
+                ))
+        return q
+
+    for f in mism[:: max(len(mism) // 50, 1)]:   # sample up to ~50 faces
+        qn = min_quality(int(f), int(base_nat[f]))
+        qp = min_quality(int(f), int(base_py[f]))
+        assert abs(qn - qp) <= 1e-9 * max(abs(qn), abs(qp)), (
+            f, qn, qp, "non-tie disagreement between builders"
+        )

@@ -121,9 +121,17 @@ def main():
     data = box_workloads()
     with tempfile.TemporaryDirectory() as td:
         data.update(pitz_workload(td))
+    # record which base-point builder produced the pitz mesh: native C++
+    # and numpy pick different-but-equivalent bases on exact quality ties
+    # (graded cells), so the anchor is flavor-specific (box fixtures are
+    # tie-free regular hexes — flavor-independent)
+    from cudaparticlesfoam_tpu.models.case import _builder_flavor
+
+    data["builder_flavor"] = np.array(_builder_flavor())
     path = os.path.join(GOLDEN_DIR, "particles_f64.npz")
     np.savez_compressed(path, **data)
-    print(f"wrote {path} ({os.path.getsize(path)} bytes)")
+    print(f"wrote {path} ({os.path.getsize(path)} bytes, "
+          f"builder={data['builder_flavor']})")
 
 
 if __name__ == "__main__":
