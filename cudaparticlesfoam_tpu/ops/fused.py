@@ -473,6 +473,19 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt, noise=None):
     W = ly.width
     RV = ROW + ly.vel
 
+    n_hops_cfg = max(int(getattr(cfg, "inline_hops", 1)), 0)
+    from . import fused_pallas
+
+    if ly is LAYOUT_TET and fused_pallas.supported(mesh, cfg, n_hops_cfg):
+        # TPU fast path: the stream passes around the hop gather run as two
+        # hand-fused pallas kernels (one read/write of the mega each)
+        # instead of XLA's ~15 fragmented column fusions; the rare stage
+        # below is shared.  See ops/fused_pallas.py.
+        m, pending = fused_pallas.pre_rare_cycle(
+            mesh, tab, m, rng_key, step, cfg, dt, noise=noise
+        )
+        return _rare_stage(mesh, tab, m, pending, cfg, ly, n, nb, W)
+
     tet = m[:, TET].astype(jnp.int32)
     act = m[:, ACT] > 0.5
     alive = (act & (tet >= 0)) if cfg.use_advection else act
@@ -624,6 +637,14 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt, noise=None):
     for k, col in enumerate(head_cols):
         head = head + jnp.where(ci == k, col[:, None], 0.0)
     m = jnp.where(ci < ROW, head, rows_pad)
+
+    return _rare_stage(mesh, tab, m, pending, cfg, ly, n, nb, W)
+
+
+def _rare_stage(mesh: TetMesh, tab, m, pending, cfg, ly: Layout, n, nb, W):
+    """Two-stage block-compacted resolution of the pending lanes (multi-hop
+    walkers + multi-bounce wall hits); shared by the jnp and pallas stream
+    paths.  See the module docstring, stage 3."""
 
     def run_lanes(mc, lanes_act):
         """walk + reflect lanes toward their pos columns; returns updated

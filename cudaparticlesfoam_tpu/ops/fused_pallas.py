@@ -1,0 +1,350 @@
+"""Pallas-fused stream passes for the mega-row cycle (TPU fast path).
+
+The jnp engine (``ops/fused.py``) expresses the per-cycle stream work
+(advect + Brownian move + hop-0 barycentric classify, then post-hop
+merge + re-test + inline bounce + state assembly) as column arithmetic
+over the ``[n, W]`` mega array.  XLA fragments that into ~15 separate
+fusions, each re-reading mega columns from HBM — measured ~4.9 ms of a
+18.5 ms cycle at 1M lanes on v5e, where the same work is ~2 full-array
+passes (~0.8 ms) if fused by hand.
+
+This module packs each side of the inline-hop row gather into ONE
+pallas kernel over the transposed view ``mT = m.T`` (``[W, n]`` — the
+mega's native ``{0,1}`` layout, so the transpose is a relabel, not a
+copy; lanes ride the 128-wide lane dimension of the VPU):
+
+* kernel A: advect velocity + Brownian kick + tentative move + hop-0
+  bary classify + neighbor-code select → head columns, gather index,
+  crosser/wall flags.  One read of mT, one write of a [16, n] head.
+* (XLA) the full-batch masked row gather ``tab[idx]`` — the measured
+  per-index wall; pallas cannot express it (no gather in Mosaic).
+* kernel B: merge gathered rows for crossers + bary re-test + the
+  inline single bounce + mega re-assembly → mT' and the rare-stage
+  pending flags.  One read of mT/rows/head, one write of mT'.
+
+The rare stage (block-compacted tet walk + multi-bounce reflection)
+stays in ``fused.py`` — it is gather/scatter-bound, which XLA already
+handles at the measured optimum.
+
+Scope: TetVelocity layout, ``inline_hops == 1``, no escape faces (the
+escape test needs a ``bd_escape`` gather).  Everything else falls back
+to the jnp engine; ``stepper.suggest_tuning`` only enables this path on
+TPU backends inside that envelope.  Arithmetic mirrors ``fused.py``
+expression-for-expression; Mosaic may contract mul+add to FMA where XLA
+would not, so cross-engine agreement on TPU is to ~1 ulp per op (the
+parity-critical path — CPU f64 vs the reference semantics — always uses
+the jnp engine; see ``tests/test_golden.py``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused import (
+    ACT,
+    LAYOUT_TET,
+    P0,
+    RA,
+    ROW,
+    TET,
+    V0,
+    _brownian_noise,
+)
+
+# lanes per grid step, per kernel — sized against the ~16 MB VMEM budget
+# with double buffering (in+out blocks x2 + Mosaic stack)
+BN_A = 16384        # kernel A: (32+3+16) cols x 16k x 4 B x 2 ≈ 6.7 MB
+BN_B = 8192         # kernel B: (32+20+16+32+8) cols x 8k x 4 B x 2 ≈ 7.1 MB
+
+# head-array rows produced by kernel A
+HPX, HPY, HPZ, HVX, HVY, HVZ, HACT, HIDX, HMV, HWALL, HSLOT = range(11)
+HEAD_W = 16         # padded to a sublane multiple
+
+
+def _bary_rows(a0, a1, a2, t, px, py, pz):
+    """Barycentric components vs a row-sliced tet cache.
+
+    ``a0..a2``: A rows; ``t``: tuple of 9 Tinv rows; association order
+    matches ``fused._bary4`` exactly."""
+    rx = px - a0
+    ry = py - a1
+    rz = pz - a2
+    wb = t[0] * rx + t[1] * ry + t[2] * rz
+    wc = t[3] * rx + t[4] * ry + t[5] * rz
+    wd = t[6] * rx + t[7] * ry + t[8] * rz
+    wa = 1.0 - wb - wc - wd
+    return wa, wb, wc, wd
+
+
+def _argmin4(wa, wb, wc, wd):
+    """First-minimum argmin (strict '<', owl arg_min semantics)."""
+    best = wa
+    slot = jnp.zeros(wa.shape, jnp.int32)
+    for i, w in ((1, wb), (2, wc), (3, wd)):
+        upd = w < best
+        best = jnp.where(upd, w, best)
+        slot = jnp.where(upd, i, slot)
+    return slot, best
+
+
+def _pick4(c0, c1, c2, c3, slot):
+    return jnp.where(
+        slot == 0, c0,
+        jnp.where(slot == 1, c1, jnp.where(slot == 2, c2, c3)),
+    )
+
+
+def _kernel_a(scal_ref, m_ref, xi_ref, out_ref):
+    """advect + noise + move + hop-0 classify + neighbor select."""
+    dt = scal_ref[0]
+    sigma = scal_ref[1]
+    use_adv = scal_ref[2] > 0.5
+    use_brown = scal_ref[3] > 0.5
+
+    tetf = m_ref[TET, :]
+    act = m_ref[ACT, :] > 0.5
+    alive = act & (tetf >= 0.0)
+    alf = jnp.where(use_adv, alive.astype(jnp.float32), 0.0)
+
+    ux = m_ref[ROW + 12, :]
+    uy = m_ref[ROW + 13, :]
+    uz = m_ref[ROW + 14, :]
+    dx = alf * ux * dt
+    dy = alf * uy * dt
+    dz = alf * uz * dt
+    v0x = m_ref[V0, :]
+    v0y = m_ref[V0 + 1, :]
+    v0z = m_ref[V0 + 2, :]
+    adv_live = use_adv & alive
+    vx = jnp.where(adv_live, ux, v0x)
+    vy = jnp.where(adv_live, uy, v0y)
+    vz = jnp.where(adv_live, uz, v0z)
+
+    balf = jnp.where(use_adv, alf, act.astype(jnp.float32))
+    bmask = jnp.where(use_brown, balf, 0.0)
+    dx = dx + bmask * sigma * xi_ref[0, :]
+    dy = dy + bmask * sigma * xi_ref[1, :]
+    dz = dz + bmask * sigma * xi_ref[2, :]
+
+    actf = jnp.where(use_adv, alf, m_ref[ACT, :])
+
+    px = m_ref[P0, :] + dx
+    py = m_ref[P0 + 1, :] + dy
+    pz = m_ref[P0 + 2, :] + dz
+
+    a0, a1, a2 = m_ref[RA, :], m_ref[RA + 1, :], m_ref[RA + 2, :]
+    t = tuple(m_ref[RA + 3 + k, :] for k in range(9))
+    wa, wb, wc, wd = _bary_rows(a0, a1, a2, t, px, py, pz)
+    s0, wmin = _argmin4(wa, wb, wc, wd)
+    need = (wmin < 0.0) & (tetf >= 0.0)
+
+    rn = ROW + LAYOUT_TET.nbr
+    code = _pick4(
+        m_ref[rn, :], m_ref[rn + 1, :], m_ref[rn + 2, :], m_ref[rn + 3, :],
+        s0,
+    )
+    mv = need & (code >= 0.0)
+    wall = need & (code < 0.0)
+    idx = jnp.where(mv, code, jnp.maximum(tetf, 0.0))
+
+    out_ref[HPX, :] = px
+    out_ref[HPY, :] = py
+    out_ref[HPZ, :] = pz
+    out_ref[HVX, :] = vx
+    out_ref[HVY, :] = vy
+    out_ref[HVZ, :] = vz
+    out_ref[HACT, :] = actf
+    out_ref[HIDX, :] = idx
+    out_ref[HMV, :] = mv.astype(jnp.float32)
+    out_ref[HWALL, :] = wall.astype(jnp.float32)
+    out_ref[HSLOT, :] = s0.astype(jnp.float32)
+    for r in range(HSLOT + 1, HEAD_W):
+        out_ref[r, :] = jnp.zeros_like(px)
+
+
+def _kernel_b(scal_ref, m_ref, rows_ref, head_ref, out_ref, pend_ref):
+    """merge gathered rows + re-test + inline single bounce + assembly."""
+    do_bounce = scal_ref[0] > 0.5
+
+    mv = head_ref[HMV, :] > 0.5
+    wall0 = head_ref[HWALL, :] > 0.5
+    px = head_ref[HPX, :]
+    py = head_ref[HPY, :]
+    pz = head_ref[HPZ, :]
+    vx = head_ref[HVX, :]
+    vy = head_ref[HVY, :]
+    vz = head_ref[HVZ, :]
+    actf = head_ref[HACT, :]
+    s0 = head_ref[HSLOT, :].astype(jnp.int32)
+    tet0 = m_ref[TET, :]
+
+    # merged row cache: gathered row for crossers, cached row otherwise
+    rows = [
+        jnp.where(mv, rows_ref[k, :], m_ref[ROW + k, :])
+        for k in range(LAYOUT_TET.row_w)
+    ]
+    cur_tet = jnp.where(mv, head_ref[HIDX, :], tet0)
+
+    # re-test the (possibly new) row at the moved point
+    t = tuple(rows[3 + k] for k in range(9))
+    wa, wb, wc, wd = _bary_rows(rows[0], rows[1], rows[2], t, px, py, pz)
+    s_cur, wmin_h = _argmin4(wa, wb, wc, wd)
+    unresolved = mv & (wmin_h < 0.0)
+
+    wall = wall0
+    wall_slot = jnp.where(wall0, s0, jnp.zeros_like(s0))
+
+    # inline single bounce (fused.py:566-599, escape faces handled in the
+    # jnp engine only)
+    refl = wall & do_bounce
+    rf = refl.astype(jnp.float32)
+    # bary gradient of the exit slot: row (slot-1) of Tinv, -(sum) for 0
+    def grad(o):
+        g0 = -(rows[3 + o] + rows[6 + o] + rows[9 + o])
+        return jnp.where(
+            wall_slot == 0, g0,
+            jnp.where(
+                wall_slot == 1, rows[3 + o],
+                jnp.where(wall_slot == 2, rows[6 + o], rows[9 + o]),
+            ),
+        )
+
+    gx, gy, gz = grad(0), grad(1), grad(2)
+    wv = _pick4(wa, wb, wc, wd, wall_slot)
+    gg = gx * gx + gy * gy + gz * gz
+    inv_g2 = rf / (gg + (1.0 - rf))
+    f = 2.0 * wv * inv_g2
+    px = px - f * gx
+    py = py - f * gy
+    pz = pz - f * gz
+    fu = 2.0 * (vx * gx + vy * gy + vz * gz) * inv_g2
+    vx = vx - fu * gx
+    vy = vy - fu * gy
+    vz = vz - fu * gz
+    wa2, wb2, wc2, wd2 = _bary_rows(rows[0], rows[1], rows[2], t, px, py, pz)
+    wmin2 = jnp.minimum(jnp.minimum(wa2, wb2), jnp.minimum(wc2, wd2))
+    landed = refl & (wmin2 >= 0.0)
+    # NOT jnp.where: Mosaic cannot legalize select on i1 vectors
+    wall_out = (do_bounce & refl & ~landed) | (~do_bounce & wall)
+
+    out_ref[P0, :] = px
+    out_ref[P0 + 1, :] = py
+    out_ref[P0 + 2, :] = pz
+    out_ref[V0, :] = vx
+    out_ref[V0 + 1, :] = vy
+    out_ref[V0 + 2, :] = vz
+    out_ref[TET, :] = cur_tet
+    out_ref[ACT, :] = actf
+    for k in range(LAYOUT_TET.row_w):
+        out_ref[ROW + k, :] = rows[k]
+    for k in range(ROW + LAYOUT_TET.row_w, LAYOUT_TET.width):
+        out_ref[k, :] = jnp.zeros_like(px)
+    pend = unresolved | wall_out
+    pend_ref[0, :] = pend.astype(jnp.float32)
+    for r in range(1, 8):
+        pend_ref[r, :] = jnp.zeros_like(px)
+
+
+def supported(mesh, cfg, n_hops: int) -> bool:
+    """Envelope check for the pallas fast path."""
+    from .advect import TET_VELOCITY
+
+    if getattr(cfg, "engine_impl", "auto") == "jnp":
+        return False
+    if cfg.velocity_interp != TET_VELOCITY or n_hops != 1:
+        return False
+    if getattr(cfg, "escape_faces", False):
+        return False
+    if mesh.points.dtype != jnp.float32:     # f64 = CPU parity mode
+        return False
+    try:
+        # the tests pin CPU via jax_default_device while the TPU plugin
+        # still enumerates its device, so check where work actually lands
+        dd = jax.config.jax_default_device
+        plat = dd.platform if dd is not None else jax.default_backend()
+        return plat not in ("cpu",)
+    except Exception:
+        return False
+
+
+def stream_pre_hop(m, xi, cfg, dt):
+    """Kernel A over the transposed mega; returns the [16, n] head."""
+    n, W = m.shape
+    mT = m.T
+    xiT = xi.T if xi is not None else jnp.zeros((3, n), m.dtype)
+    scal = jnp.asarray(
+        [
+            dt,
+            jnp.sqrt(2.0 * cfg.diffusion_coeff * jnp.asarray(dt, m.dtype)),
+            1.0 if cfg.use_advection else 0.0,
+            1.0 if (cfg.use_brownian and xi is not None) else 0.0,
+        ],
+        m.dtype,
+    )
+    head = pl.pallas_call(
+        _kernel_a,
+        out_shape=jax.ShapeDtypeStruct((HEAD_W, n), m.dtype),
+        grid=(pl.cdiv(n, BN_A),),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((W, BN_A), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BN_A), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (HEAD_W, BN_A), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+    )(scal, mT, xiT)
+    return head
+
+
+def stream_post_hop(m, rows_g, head, cfg):
+    """Kernel B; returns (m', pending)."""
+    n, W = m.shape
+    mT = m.T
+    rowsT = rows_g.T
+    scal = jnp.asarray(
+        [1.0 if (cfg.reflect_wall and getattr(cfg, "inline_bounce", True))
+         else 0.0],
+        m.dtype,
+    )
+    mT_new, pendT = pl.pallas_call(
+        _kernel_b,
+        out_shape=(
+            jax.ShapeDtypeStruct((W, n), m.dtype),
+            jax.ShapeDtypeStruct((8, n), m.dtype),
+        ),
+        grid=(pl.cdiv(n, BN_B),),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((W, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (LAYOUT_TET.row_w, BN_B), lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((W, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+    )(scal, mT, rowsT, head)
+    return mT_new.T, pendT[0, :] > 0.5
+
+
+def pre_rare_cycle(mesh, tab, m, rng_key, step, cfg, dt, noise=None):
+    """The pallas replacement for fused.py's stream + inline-hop section:
+    returns (m', pending) ready for the (unchanged) XLA rare stage."""
+    n = m.shape[0]
+    xi = None
+    if cfg.use_brownian:
+        xi = noise if noise is not None else _brownian_noise(
+            rng_key, step, n, m.dtype, cfg
+        )
+    head = stream_pre_hop(m, xi, cfg, dt)
+    idx = head[HIDX, :].astype(jnp.int32)
+    rows_g = tab[idx]                      # the per-index wall, unchanged
+    return stream_post_hop(m, rows_g, head, cfg)

@@ -76,6 +76,12 @@ class StepConfig:
     # set by the case drivers when absorbing (escape) patches exist so the
     # inline bounce checks bd_escape; the rare-stage reflector always does
     escape_faces: bool = False
+    # stream implementation for the cached engine's pre-rare-stage work:
+    # "auto" uses the hand-fused pallas kernels on TPU backends when the
+    # configuration allows (TetVelocity, inline_hops=1, no escape faces),
+    # "jnp" forces the XLA column-math path (the parity reference),
+    # "pallas" asserts the fast path is used (tests)
+    engine_impl: str = "auto"
     # safety net for convex mode: the reference's tracer cannot re-detect a
     # face once a particle sits a hair outside it (tol asymmetry,
     # ConvexQuery.cu:95), so corner-reflection dust can leak out of the

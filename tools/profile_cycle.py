@@ -32,13 +32,15 @@ def _cached_box_mesh(n_side):
 
     import jax.numpy as jnp
 
-    path = f"/tmp/boxmesh_{n_side}.pkl"
+    from cudaparticlesfoam_tpu import mesh as meshlib
+
+    path = f"/tmp/boxmesh_{n_side}_v2.pkl"
     if os.path.exists(path):
         with open(path, "rb") as fh:
             host = pickle.load(fh)
-        return jax.tree_util.tree_map(jnp.asarray, host)
+        return meshlib.host_to_device(host)
     mesh = box_mesh(n_side, n_side, n_side)
-    host = jax.tree_util.tree_map(lambda x: np.asarray(x), mesh)
+    host = meshlib._mirror_of(mesh)      # box_mesh builds host-side
     with open(path, "wb") as fh:
         pickle.dump(host, fh)
     return mesh
@@ -55,7 +57,9 @@ def build(n_side, n_particles):
 
     mesh = _cached_box_mesh(n_side)
     # confined vortex (same field as bench.py)
-    cen = np.asarray(mesh.points, dtype=np.float64)[np.asarray(mesh.tets)].mean(axis=1)
+    from cudaparticlesfoam_tpu.mesh import host_np
+
+    cen = host_np(mesh, "points", np.float64)[host_np(mesh, "tets")].mean(axis=1)
     r = cen[:, :2] - n_side / 2.0
     r2 = (r * r).sum(axis=1) / (n_side / 2.0) ** 2
     omega = (5.2 / n_side) * np.maximum(1.0 - r2, 0.0)
