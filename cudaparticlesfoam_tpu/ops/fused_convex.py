@@ -104,6 +104,17 @@ def _cycle_aligned(mesh: TetMesh, tab, m, rng_key, step, cfg, dt):
     n = m.shape[0]
     nb = n // BLOCK
 
+    n_hops_cfg = max(int(getattr(cfg, "inline_hops", 1)), 0)
+    from . import fused_pallas
+
+    if fused_pallas.convex_supported(mesh, cfg, n_hops_cfg):
+        # TPU fast path: the stream + inline-hop passes as two hand-fused
+        # pallas kernels (see ops/fused_pallas.py); rare stage shared below
+        m, disp, pending = fused_pallas.convex_pre_rare_cycle(
+            mesh, tab, m, rng_key, step, cfg, dt
+        )
+        return _rare_stage(mesh, tab, m, disp, pending, cfg, n, nb)
+
     tet = m[:, TET].astype(jnp.int32)
     act = m[:, ACT] > 0.5
     alive = (act & (tet >= 0)) if cfg.use_advection else act
@@ -188,6 +199,12 @@ def _cycle_aligned(mesh: TetMesh, tab, m, rng_key, step, cfg, dt):
         axis=1,
     )
     disp = jnp.stack([dx, dy, dz], axis=1)
+    return _rare_stage(mesh, tab, m, disp, pending, cfg, n, nb)
+
+
+def _rare_stage(mesh: TetMesh, tab, m, disp, pending, cfg, n, nb):
+    """Block-compacted resolution of pending convex lanes via the tested
+    simple-path tracer; shared by the jnp and pallas stream paths."""
 
     def run_lanes(mc, dsub, lanes_act):
         """Resolve compacted lanes with the tested simple-path sequence

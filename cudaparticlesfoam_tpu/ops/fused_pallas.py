@@ -335,6 +335,252 @@ def stream_post_hop(m, rows_g, head, cfg):
     return mT_new.T, pendT[0, :] > 0.5
 
 
+# ---------------------------------------------------------------------------
+# ConvexPoly engine streams (ops/fused_convex.py, the reference's default
+# build mode).  Same two-kernel structure around the inline hop-1 gather;
+# row layout is the 24-col cx table (inward plane normals 8:20 of the mega,
+# offsets 20:24, neighbor codes 24:28, per-tet velocity 28:31).
+# ---------------------------------------------------------------------------
+
+CX_ROW_W = 24
+CX_RN = ROW          # mega rows 8:20 — 4 inward normals x 3
+CX_RD = ROW + 12     # 20:24 plane offsets
+CX_RB = ROW + 16     # 24:28 neighbor codes
+CX_RU = ROW + 20     # 28:31 per-tet velocity
+
+# convex head rows (kernel CA output)
+CEX, CEY, CEZ, CVX, CVY, CVZ, CACT, CIDX, CINT, CCRS, CDT0, CSLT, CDX, CDY, CDZ = range(15)
+
+
+def _exit_test(m_or_rows, base, p0x, p0y, p0z, sx, sy, sz, suppress, tol):
+    """``traceIntet`` exit classification on row-sliced plane tables
+    (convex._exit_face_tables semantics: admitted face of minimal dT,
+    scan order, strict '<'; slot -1 = segment ends inside).
+
+    ``m_or_rows``: a ref sliceable as [row, :]; ``base``: row offset of
+    the 4x3 inward normals (offsets at base+12, neighbor codes at
+    base+16); ``suppress``: tuple of 4 bool vectors."""
+    best_dt = jnp.full(p0x.shape, 1.1, p0x.dtype)
+    best_slot = jnp.full(p0x.shape, -1, jnp.int32)
+    for i in range(4):
+        n0 = m_or_rows[base + 3 * i, :]
+        n1 = m_or_rows[base + 3 * i + 1, :]
+        n2 = m_or_rows[base + 3 * i + 2, :]
+        d = m_or_rows[base + 12 + i, :]
+        face_dist = n0 * p0x + n1 * p0y + n2 * p0z - d
+        denom = -(n0 * sx + n1 * sy + n2 * sz)
+        dt_ = face_dist / denom
+        dt_ = jnp.where(jnp.isinf(dt_), -1.0, dt_)
+        ok = (
+            (face_dist < tol) & (dt_ > tol) & (dt_ <= 1.0) & ~suppress[i]
+        )
+        dtm = jnp.where(ok, dt_, 1.1)
+        upd = dtm < best_dt
+        best_dt = jnp.where(upd, dtm, best_dt)
+        best_slot = jnp.where(upd, jnp.int32(i), best_slot)
+    return best_dt, best_slot
+
+
+def _kernel_ca(scal_ref, m_ref, xi_ref, out_ref):
+    """convex: advect + noise + segment + hop-0 exit test + neighbor."""
+    dt = scal_ref[0]
+    sigma = scal_ref[1]
+    use_adv = scal_ref[2] > 0.5
+    use_brown = scal_ref[3] > 0.5
+    tol = scal_ref[4]
+
+    tetf = m_ref[TET, :]
+    act = m_ref[ACT, :] > 0.5
+    alive = act & (tetf >= 0.0)
+    alf = jnp.where(use_adv, alive.astype(jnp.float32), 0.0)
+
+    ux = m_ref[CX_RU, :]
+    uy = m_ref[CX_RU + 1, :]
+    uz = m_ref[CX_RU + 2, :]
+    dx = alf * ux * dt
+    dy = alf * uy * dt
+    dz = alf * uz * dt
+    adv_live = use_adv & alive
+    vx = jnp.where(adv_live, ux, m_ref[V0, :])
+    vy = jnp.where(adv_live, uy, m_ref[V0 + 1, :])
+    vz = jnp.where(adv_live, uz, m_ref[V0 + 2, :])
+    balf = jnp.where(use_adv, alf, act.astype(jnp.float32))
+    bmask = jnp.where(use_brown, balf, 0.0)
+    dx = dx + bmask * sigma * xi_ref[0, :]
+    dy = dy + bmask * sigma * xi_ref[1, :]
+    dz = dz + bmask * sigma * xi_ref[2, :]
+    actf = jnp.where(use_adv, alf, m_ref[ACT, :])
+
+    p0x, p0y, p0z = m_ref[P0, :], m_ref[P0 + 1, :], m_ref[P0 + 2, :]
+    ex = p0x + dx
+    ey = p0y + dy
+    ez = p0z + dz
+
+    no_sup = jnp.zeros(p0x.shape, bool)
+    dt0, slot0 = _exit_test(
+        m_ref, CX_RN, p0x, p0y, p0z, dx, dy, dz,
+        (no_sup, no_sup, no_sup, no_sup), tol,
+    )
+    crossing = alive & (slot0 >= 0)
+    nxt0 = _pick4(
+        m_ref[CX_RB, :], m_ref[CX_RB + 1, :], m_ref[CX_RB + 2, :],
+        m_ref[CX_RB + 3, :], slot0,
+    )
+    interior = crossing & (nxt0 >= 0.0)
+    idx = jnp.where(interior, nxt0, jnp.maximum(tetf, 0.0))
+
+    out_ref[CEX, :] = ex
+    out_ref[CEY, :] = ey
+    out_ref[CEZ, :] = ez
+    out_ref[CVX, :] = vx
+    out_ref[CVY, :] = vy
+    out_ref[CVZ, :] = vz
+    out_ref[CACT, :] = actf
+    out_ref[CIDX, :] = idx
+    out_ref[CINT, :] = interior.astype(jnp.float32)
+    out_ref[CCRS, :] = crossing.astype(jnp.float32)
+    out_ref[CDT0, :] = dt0
+    out_ref[CSLT, :] = slot0.astype(jnp.float32)
+    out_ref[CDX, :] = dx
+    out_ref[CDY, :] = dy
+    out_ref[CDZ, :] = dz
+    out_ref[15, :] = jnp.zeros_like(ex)
+
+
+def _kernel_cb(scal_ref, m_ref, rows_ref, head_ref, out_ref, pend_ref):
+    """convex: hop-1 exit test in the neighbor + assembly."""
+    tol = scal_ref[0]
+
+    interior = head_ref[CINT, :] > 0.5
+    crossing = head_ref[CCRS, :] > 0.5
+    dt0 = head_ref[CDT0, :]
+    dx = head_ref[CDX, :]
+    dy = head_ref[CDY, :]
+    dz = head_ref[CDZ, :]
+    tetf = m_ref[TET, :]
+    p0x, p0y, p0z = m_ref[P0, :], m_ref[P0 + 1, :], m_ref[P0 + 2, :]
+
+    # march point p1 = p0 + dT*seg; remaining segment = (1 - dT)*seg,
+    # expressed exactly as p_end - p1 like the jnp engine
+    p1x = p0x + dt0 * dx
+    p1y = p0y + dt0 * dy
+    p1z = p0z + dt0 * dz
+    ex = head_ref[CEX, :]
+    ey = head_ref[CEY, :]
+    ez = head_ref[CEZ, :]
+    rx = ex - p1x
+    ry = ey - p1y
+    rz = ez - p1z
+
+    sup = tuple(rows_ref[16 + i, :] == tetf for i in range(4))
+    dt1, slot1 = _exit_test(rows_ref, 0, p1x, p1y, p1z, rx, ry, rz, sup, tol)
+    res2 = interior & (slot1 < 0)
+
+    pending = crossing & ~res2
+    fin = ~pending
+
+    out_ref[P0, :] = jnp.where(fin, ex, p0x)
+    out_ref[P0 + 1, :] = jnp.where(fin, ey, p0y)
+    out_ref[P0 + 2, :] = jnp.where(fin, ez, p0z)
+    out_ref[V0, :] = head_ref[CVX, :]
+    out_ref[V0 + 1, :] = head_ref[CVY, :]
+    out_ref[V0 + 2, :] = head_ref[CVZ, :]
+    out_ref[TET, :] = jnp.where(res2, head_ref[CIDX, :], tetf)
+    out_ref[ACT, :] = head_ref[CACT, :]
+    for k in range(CX_ROW_W):
+        out_ref[ROW + k, :] = jnp.where(
+            res2, rows_ref[k, :], m_ref[ROW + k, :]
+        )
+    pend_ref[0, :] = pending.astype(jnp.float32)
+    for r in range(1, 8):
+        pend_ref[r, :] = jnp.zeros_like(ex)
+
+
+def convex_supported(mesh, cfg, n_hops: int) -> bool:
+    """Envelope for the convex pallas streams: f32, >=1 inline hop, TPU.
+    (escape faces are fine — wall exits are pending lanes either way).
+
+    OPT-IN for now (engine_impl="pallas"): measured 29.4 vs 25.5 ms/cycle
+    at the 1M stress config — the disp side-array transpose and a layout
+    interaction in the convex rare stage eat the stream savings; see
+    PERF_NOTES.  The bary path (supported()) is auto-on."""
+    if getattr(cfg, "engine_impl", "auto") != "pallas":
+        return False
+    if n_hops < 1:
+        return False
+    if mesh.points.dtype != jnp.float32:
+        return False
+    try:
+        dd = jax.config.jax_default_device
+        plat = dd.platform if dd is not None else jax.default_backend()
+        return plat not in ("cpu",)
+    except Exception:
+        return False
+
+
+def convex_pre_rare_cycle(mesh, tab, m, rng_key, step, cfg, dt):
+    """Pallas replacement for fused_convex._cycle_aligned's stream +
+    inline-hop section: returns (m', disp, pending) for the rare stage."""
+    from .convex import TOL
+
+    n = m.shape[0]
+    xi = None
+    if cfg.use_brownian:
+        xi = _brownian_noise(rng_key, step, n, m.dtype, cfg)
+    mT = m.T
+    xiT = xi.T if xi is not None else jnp.zeros((3, n), m.dtype)
+    scal = jnp.asarray(
+        [
+            dt,
+            jnp.sqrt(2.0 * cfg.diffusion_coeff * jnp.asarray(dt, m.dtype)),
+            1.0 if cfg.use_advection else 0.0,
+            1.0 if (cfg.use_brownian and xi is not None) else 0.0,
+            TOL,
+        ],
+        m.dtype,
+    )
+    W = m.shape[1]
+    head = pl.pallas_call(
+        _kernel_ca,
+        out_shape=jax.ShapeDtypeStruct((HEAD_W, n), m.dtype),
+        grid=(pl.cdiv(n, BN_A),),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((W, BN_A), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BN_A), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (HEAD_W, BN_A), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+    )(scal, mT, xiT)
+    idx = head[CIDX, :].astype(jnp.int32)
+    rows_g = tab[idx]
+    rowsT = rows_g.T
+    scal_b = jnp.asarray([TOL], m.dtype)
+    mT_new, pendT = pl.pallas_call(
+        _kernel_cb,
+        out_shape=(
+            jax.ShapeDtypeStruct((W, n), m.dtype),
+            jax.ShapeDtypeStruct((8, n), m.dtype),
+        ),
+        grid=(pl.cdiv(n, BN_B),),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((W, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (CX_ROW_W, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((W, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+    )(scal_b, mT, rowsT, head)
+    disp = jnp.stack([head[CDX, :], head[CDY, :], head[CDZ, :]], axis=1)
+    return mT_new.T, disp, pendT[0, :] > 0.5
+
+
 def pre_rare_cycle(mesh, tab, m, rng_key, step, cfg, dt, noise=None):
     """The pallas replacement for fused.py's stream + inline-hop section:
     returns (m', pending) ready for the (unchanged) XLA rare stage."""
