@@ -165,9 +165,17 @@ def read_dynamic_mesh(case_dir: str):
         coeffs = d.get("solidBody", {})
     fn = str(fn) if fn is not None else None
     if fn is None:
+        # Laplacian-smoothed motion solvers (deforming mesh)
+        from . import motionsolver as ms
+
+        motion = ms.parse_motion_solver(d, case_dir)
+        if motion is not None:
+            return motion
         raise ValueError(
             f"dynamicMeshDict: unsupported configuration {fvmesh!r} "
-            "(solid-body and multiSolidBody motion are implemented)"
+            "(solid-body, multiSolidBody, and the Laplacian motion solvers "
+            "velocityLaplacian/displacementLaplacian/"
+            "velocityComponentLaplacian are implemented)"
         )
     coeffs = d.get(f"{fn}Coeffs", coeffs.get(f"{fn}Coeffs", {}))
     return _solid_body_from(fn, coeffs)
@@ -195,7 +203,12 @@ class DynamicMesh:
         self.dtype = dtype
         self._cf_old = None
         self._zone_pts = None
-        if isinstance(motion, MultiSolidBodyMotion):
+        self._lap = None
+        from . import motionsolver as ms
+
+        if isinstance(motion, ms.MotionSolverMotion):
+            self._lap = ms.LaplacianMotion(motion, pm, dtype=dtype)
+        elif isinstance(motion, MultiSolidBodyMotion):
             zones = pm.cell_zones or {}
             missing = [z for z, _ in motion.zones if z not in zones]
             if missing:
@@ -223,7 +236,17 @@ class DynamicMesh:
         meshPhi is the swept face flux (midpoint rule); bd_vel the rigid
         velocity of boundary face centres (movingWallVelocity values).
         """
-        pts = self._points_at(t_new)
+        if self._lap is not None:
+            if self._cf_old is None:
+                # first step: old metrics = the pre-motion geometry
+                m_old = fv.fv_mesh(self.pm, dtype=self.dtype)
+                self._cf_old = (
+                    np.asarray(m_old.cf, dtype=np.float64),
+                    np.asarray(m_old.sf, dtype=np.float64),
+                )
+            pts = self._lap.points_at(t_new, dt)
+        else:
+            pts = self._points_at(t_new)
         self.pm.points = pts
         m_new = fv.fv_mesh(self.pm, dtype=self.dtype)
         cf_new = np.asarray(m_new.cf, dtype=np.float64)

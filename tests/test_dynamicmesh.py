@@ -368,3 +368,206 @@ def test_coupled_flow_on_multi_zone_mesh(tmp_path):
     # (the midpoint meshPhi satisfies the GCL to discretization accuracy)
     assert np.abs(u).max() < 1e-4
     assert res["continuity"] < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Laplacian motion solvers (deforming mesh)
+# ---------------------------------------------------------------------------
+
+CHANNEL_BMD = """
+FoamFile { version 2.0; format ascii; class dictionary; object blockMeshDict; }
+scale 1;
+vertices (
+ (0 0 0) (2 0 0) (2 1 0) (0 1 0)
+ (0 0 0.2) (2 0 0.2) (2 1 0.2) (0 1 0.2)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) (12 6 2) simpleGrading (1 1 1) );
+edges ();
+boundary (
+ movingWall { type wall; faces ((0 4 7 3)); }
+ farWall    { type wall; faces ((1 2 6 5)); }
+ sides      { type wall; faces ((0 1 5 4) (3 7 6 2) (0 3 2 1) (4 5 6 7)); }
+);
+"""
+
+
+def make_motion_solver_case(tmp_path, solver="velocityLaplacian",
+                            diffusivity="uniform;"):
+    case = tmp_path / "lapcase"
+    for d in ("system", "constant", "0"):
+        (case / d).mkdir(parents=True)
+    (case / "system" / "blockMeshDict").write_text(CHANNEL_BMD)
+    (case / "constant" / "dynamicMeshDict").write_text(
+        "FoamFile { object dynamicMeshDict; }\n"
+        "dynamicFvMesh dynamicMotionSolverFvMesh;\n"
+        "motionSolverLibs (\"libfvMotionSolvers.so\");\n"
+        f"motionSolver {solver};\n"
+        f"diffusivity {diffusivity}\n"
+    )
+    field = ("pointDisplacement" if solver == "displacementLaplacian"
+             else "pointMotionU")
+    if solver == "displacementLaplacian":
+        mv_bc = ("movingWall { type oscillatingDisplacement; "
+                 "amplitude (0.2 0 0); omega 6.2832; "
+                 "value uniform (0 0 0); }")
+    else:
+        mv_bc = "movingWall { type fixedValue; value uniform (0.5 0 0); }"
+    (case / "0" / field).write_text(
+        f"FoamFile {{ class pointVectorField; object {field}; }}\n"
+        "dimensions [0 1 -1 0 0 0 0];\ninternalField uniform (0 0 0);\n"
+        "boundaryField {\n"
+        f" {mv_bc}\n"
+        " farWall { type fixedValue; value uniform (0 0 0); }\n"
+        " sides { type slip; }\n"
+        "}\n"
+    )
+    pm = blockmesh.generate(str(case / "system" / "blockMeshDict"))
+    polymesh.write_polymesh(pm, str(case / "constant" / "polyMesh"))
+    return str(case), pm
+
+
+def test_parse_motion_solver(tmp_path):
+    case_dir, _ = make_motion_solver_case(
+        tmp_path, diffusivity="inverseDistance (movingWall);"
+    )
+    from cudaparticlesfoam_tpu.models import motionsolver as ms
+
+    m = dyn.read_dynamic_mesh(case_dir)
+    assert isinstance(m, ms.MotionSolverMotion)
+    assert m.kind == "velocityLaplacian"
+    assert m.diffusivity == ("inverseDistance", ("movingWall",))
+    bcs = dict(m.bcs)
+    assert bcs["movingWall"].btype == "fixedValue"
+    assert bcs["movingWall"].value == (0.5, 0.0, 0.0)
+    assert bcs["farWall"].btype == "fixedValue"
+    assert bcs["sides"].btype == "zeroGradient"
+
+
+def test_velocity_laplacian_motion(tmp_path):
+    """velocityLaplacian: moving wall advances at the prescribed velocity,
+    far wall stays, interior deforms smoothly and monotonically, volumes
+    stay positive, and meshPhi satisfies the GCL."""
+    case_dir, pm = make_motion_solver_case(tmp_path)
+    motion = dyn.read_dynamic_mesh(case_dir)
+    dm = dyn.DynamicMesh(motion, pm, dtype=jnp.float64)
+    from cudaparticlesfoam_tpu.io.polymesh import cell_centres_volumes
+
+    _, vols_prev = cell_centres_volumes(
+        polymesh.PolyMesh(dm.points0, pm.face_verts, pm.face_offsets,
+                          pm.owner, pm.neighbour, pm.patches)
+    )
+    dt = 0.05
+    for istep, t in enumerate((dt, 2 * dt, 3 * dt)):
+        m_new, mesh_phi, _ = dm.update(t_new=t, dt=dt)
+        _, vols = cell_centres_volumes(pm)
+        assert (vols > 0).all()
+        # GCL: per-cell swept flux sum == dV/dt (midpoint rule is exact
+        # for the per-step linear point motion here)
+        div = np.zeros(pm.n_cells)
+        np.add.at(div, pm.owner, np.asarray(mesh_phi))
+        np.add.at(div, pm.neighbour,
+                  -np.asarray(mesh_phi)[: pm.n_internal_faces])
+        np.testing.assert_allclose(div, (vols - vols_prev) / dt,
+                                   atol=1e-10)
+        vols_prev = vols
+    pts = pm.points
+    # the moving-wall plane (x=0 initially) moved by ~ v*t (0.5 * 0.15)
+    mv = pts[np.isclose(dm.points0[:, 0], 0.0)]
+    np.testing.assert_allclose(mv[:, 0], 0.075, atol=1e-6)
+    # far wall pinned
+    fw = pts[np.isclose(dm.points0[:, 0], 2.0)]
+    np.testing.assert_allclose(fw[:, 0], 2.0, atol=1e-12)
+    # interior deformation is monotone in x (no crossings): x columns of
+    # the structured mesh keep their order
+    xs0 = np.unique(np.round(dm.points0[:, 0], 9))
+    xs_now = [float(np.mean(pts[np.isclose(dm.points0[:, 0], x0), 0]))
+              for x0 in xs0]
+    assert all(a < b for a, b in zip(xs_now, xs_now[1:]))
+    # and y/z were untouched by the x-only motion
+    np.testing.assert_allclose(pts[:, 1:], dm.points0[:, 1:], atol=1e-8)
+
+
+def test_displacement_laplacian_motion(tmp_path):
+    """displacementLaplacian with an oscillatingDisplacement wall: points
+    track amplitude*sin(omega*t) ABSOLUTELY (total displacement from the
+    t=0 configuration, not accumulated velocity)."""
+    case_dir, pm = make_motion_solver_case(
+        tmp_path, solver="displacementLaplacian"
+    )
+    motion = dyn.read_dynamic_mesh(case_dir)
+    assert motion.kind == "displacementLaplacian"
+    dm = dyn.DynamicMesh(motion, pm, dtype=jnp.float64)
+    import math as _m
+
+    dt = 0.025
+    for t in (dt, 2 * dt, 3 * dt, 4 * dt):
+        dm.update(t_new=t, dt=dt)
+        mv = pm.points[np.isclose(dm.points0[:, 0], 0.0)]
+        np.testing.assert_allclose(
+            mv[:, 0], 0.2 * _m.sin(6.2832 * t), atol=1e-6
+        )
+    from cudaparticlesfoam_tpu.io.polymesh import cell_centres_volumes
+
+    _, vols = cell_centres_volumes(pm)
+    assert (vols > 0).all()
+
+
+def test_coupled_flow_on_laplacian_mesh(tmp_path):
+    """PIMPLE advances on the velocityLaplacian-deforming channel: the
+    moving wall drives the fluid (movingWallVelocity) and the solve stays
+    finite with bounded continuity."""
+    case_dir, pm = make_motion_solver_case(tmp_path)
+    case = tmp_path / "lapcase"
+    (case / "system" / "controlDict").write_text(
+        "FoamFile { object controlDict; }\n"
+        "application pimpleFoam; startFrom startTime; startTime 0; endTime 1;\n"
+        "deltaT 0.01; writeControl timeStep; writeInterval 1000;\n"
+    )
+    (case / "system" / "fvSolution").write_text(
+        "FoamFile { object fvSolution; }\n"
+        "PIMPLE { nOuterCorrectors 1; nCorrectors 2; "
+        "nNonOrthogonalCorrectors 0; }\n"
+    )
+    (case / "system" / "fvSchemes").write_text(
+        "FoamFile { object fvSchemes; }\n"
+        "divSchemes { default none; \"div.*\" Gauss upwind; }\n"
+    )
+    (case / "constant" / "transportProperties").write_text(
+        "FoamFile { object transportProperties; }\n"
+        "nu [0 2 -1 0 0 0 0] 0.01;\n"
+    )
+    # the far end is OPEN (outlet): a piston advancing into a closed
+    # incompressible box has no solution — displaced volume must leave
+    (case / "0" / "U").write_text(
+        "FoamFile { class volVectorField; object U; }\n"
+        "dimensions [0 1 -1 0 0 0 0];\ninternalField uniform (0 0 0);\n"
+        "boundaryField { movingWall { type movingWallVelocity; "
+        "value uniform (0 0 0); }\n"
+        " farWall { type zeroGradient; } sides { type noSlip; } }\n"
+    )
+    (case / "0" / "p").write_text(
+        "FoamFile { class volScalarField; object p; }\n"
+        "dimensions [0 2 -2 0 0 0 0];\ninternalField uniform 0;\n"
+        "boundaryField { movingWall { type zeroGradient; } "
+        "farWall { type fixedValue; value uniform 0; } "
+        "sides { type zeroGradient; } }\n"
+    )
+    from cudaparticlesfoam_tpu.models.pimple import FlowSolver
+
+    class _FakeCase:
+        case_dir = str(case)
+        poly = pm
+        time_value = 0.0
+
+    logs = []
+    flow = FlowSolver.from_case(_FakeCase(), log=lambda *a: logs.append(
+        " ".join(map(str, a))))
+    assert flow.dyn is not None and flow.dyn._lap is not None
+    assert any("velocityLaplacian" in ln for ln in logs)
+    for _ in range(3):
+        res = flow.advance(0.01)
+    u = np.asarray(flow.state.u)
+    assert np.isfinite(u).all()
+    # the compressed fluid must move away from the advancing wall
+    assert float(np.abs(u[:, 0]).max()) > 1e-3
+    assert res["continuity"] < 1e-2
