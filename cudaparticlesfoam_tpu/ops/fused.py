@@ -477,13 +477,18 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt, noise=None):
     from . import fused_pallas
 
     if ly is LAYOUT_TET and fused_pallas.supported(mesh, cfg, n_hops_cfg):
-        # TPU fast path: the stream passes around the hop gather run as two
+        # TPU fast path: the stream passes around the hop gather(s) run as
         # hand-fused pallas kernels (one read/write of the mega each)
         # instead of XLA's ~15 fragmented column fusions; the rare stage
         # below is shared.  See ops/fused_pallas.py.
-        m, pending = fused_pallas.pre_rare_cycle(
-            mesh, tab, m, rng_key, step, cfg, dt, noise=noise
-        )
+        if n_hops_cfg == 1:
+            m, pending = fused_pallas.pre_rare_cycle(
+                mesh, tab, m, rng_key, step, cfg, dt, noise=noise
+            )
+        else:
+            m, pending = fused_pallas.pre_rare_cycle_multihop(
+                mesh, tab, m, rng_key, step, cfg, dt, n_hops_cfg, noise=noise
+            )
         return _rare_stage(mesh, tab, m, pending, cfg, ly, n, nb, W)
 
     tet = m[:, TET].astype(jnp.int32)

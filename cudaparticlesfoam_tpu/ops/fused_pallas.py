@@ -255,7 +255,7 @@ def supported(mesh, cfg, n_hops: int) -> bool:
 
     if getattr(cfg, "engine_impl", "auto") == "jnp":
         return False
-    if cfg.velocity_interp != TET_VELOCITY or n_hops != 1:
+    if cfg.velocity_interp != TET_VELOCITY or not (1 <= n_hops <= 8):
         return False
     if getattr(cfg, "escape_faces", False):
         return False
@@ -279,7 +279,9 @@ def stream_pre_hop(m, xi, cfg, dt):
     scal = jnp.asarray(
         [
             dt,
-            jnp.sqrt(2.0 * cfg.diffusion_coeff * jnp.asarray(dt, m.dtype)),
+            # EXACTLY fused.py's sigma expression (python-f64 product,
+            # one rounding): a pre-rounded dt differs in the last ulp
+            jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(m.dtype),
             1.0 if cfg.use_advection else 0.0,
             1.0 if (cfg.use_brownian and xi is not None) else 0.0,
         ],
@@ -332,6 +334,239 @@ def stream_post_hop(m, rows_g, head, cfg):
             pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
     )(scal, mT, rowsT, head)
+    return mT_new.T, pendT[0, :] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# multi-hop extension (inline_hops >= 2, e.g. the tutorial-scale regime of
+# ~1 cell crossed per sub-step): kernel A additionally emits a hop-state
+# buffer S [32, n]; each further hop is one XLA row gather + one kernel H
+# (merge + re-test + next-hop classification); kernel B2 finishes with the
+# inline bounce + assembly.  Chain: A -> (gather -> H) x k -> B2.
+# ---------------------------------------------------------------------------
+
+# hop-state rows (S buffer)
+S_TET, S_UNRES, S_WALL, S_WSLOT, S_MV, S_IDX = 20, 21, 22, 23, 24, 25
+S_W = 32
+
+
+def _kernel_a_mh(scal_ref, m_ref, xi_ref, out_ref, s_ref):
+    """kernel A + the hop-1 state buffer for the multi-hop chain."""
+    _kernel_a(scal_ref, m_ref, xi_ref, out_ref)
+    # S0: cached rows + hop-1 classification (mirrors the head flags)
+    for k in range(LAYOUT_TET.row_w):
+        s_ref[k, :] = m_ref[ROW + k, :]
+    s_ref[S_TET, :] = m_ref[TET, :]
+    s_ref[S_UNRES, :] = out_ref[HMV, :]      # placeholder; H overwrites
+    s_ref[S_WALL, :] = out_ref[HWALL, :]
+    s_ref[S_WSLOT, :] = out_ref[HSLOT, :]
+    s_ref[S_MV, :] = out_ref[HMV, :]
+    s_ref[S_IDX, :] = out_ref[HIDX, :]
+    for k in range(S_IDX + 1, S_W):
+        s_ref[k, :] = jnp.zeros_like(s_ref[0, :])
+
+
+def _kernel_h(scal_ref, s_in_ref, rows_ref, head_ref, s_out_ref):
+    """One inline hop: merge the gathered rows for movers, re-test at the
+    moved point, classify the next crossing (fused.py's hop-loop body).
+    ``scal_ref[0]`` = last-hop flag: the final hop does NOT classify — its
+    still-unresolved lanes go to the rare stage untouched, exactly like
+    the jnp loop's final ``unresolved``."""
+    last = scal_ref[0] > 0.5
+    mv = s_in_ref[S_MV, :] > 0.5
+    px = head_ref[HPX, :]
+    py = head_ref[HPY, :]
+    pz = head_ref[HPZ, :]
+
+    rows = [
+        jnp.where(mv, rows_ref[k, :], s_in_ref[k, :])
+        for k in range(LAYOUT_TET.row_w)
+    ]
+    cur_tet = jnp.where(mv, s_in_ref[S_IDX, :], s_in_ref[S_TET, :])
+    t = tuple(rows[3 + k] for k in range(9))
+    wa, wb, wc, wd = _bary_rows(rows[0], rows[1], rows[2], t, px, py, pz)
+    s_cur, wmin = _argmin4(wa, wb, wc, wd)
+    unresolved = mv & (wmin < 0.0)
+
+    wall = s_in_ref[S_WALL, :] > 0.5
+    wall_slot = s_in_ref[S_WSLOT, :].astype(jnp.int32)
+    code = _pick4(
+        rows[LAYOUT_TET.nbr], rows[LAYOUT_TET.nbr + 1],
+        rows[LAYOUT_TET.nbr + 2], rows[LAYOUT_TET.nbr + 3], s_cur,
+    )
+    mv_next = unresolved & (code >= 0.0) & ~last
+    new_wall = unresolved & (code < 0.0) & ~last
+    wall_slot = jnp.where(new_wall, s_cur, wall_slot)
+    wall = wall | new_wall
+    idx = jnp.where(mv_next, code, jnp.maximum(cur_tet, 0.0))
+    # not-last: walkers that keep crossing; last: the jnp loop's final
+    # unresolved (no further classification)
+    unresolved = (unresolved & last) | mv_next
+
+    for k in range(LAYOUT_TET.row_w):
+        s_out_ref[k, :] = rows[k]
+    s_out_ref[S_TET, :] = cur_tet
+    s_out_ref[S_UNRES, :] = unresolved.astype(jnp.float32)
+    s_out_ref[S_WALL, :] = wall.astype(jnp.float32)
+    s_out_ref[S_WSLOT, :] = wall_slot.astype(jnp.float32)
+    s_out_ref[S_MV, :] = mv_next.astype(jnp.float32)
+    s_out_ref[S_IDX, :] = idx
+    for k in range(S_IDX + 1, S_W):
+        s_out_ref[k, :] = jnp.zeros_like(px)
+
+
+def _kernel_b2(scal_ref, s_ref, head_ref, out_ref, pend_ref):
+    """Multi-hop finisher: inline single bounce + mega assembly from the
+    final hop state (the S_MV lanes still pending their last gather ride
+    the rare stage, exactly like the jnp loop's final `unresolved`)."""
+    do_bounce = scal_ref[0] > 0.5
+
+    px = head_ref[HPX, :]
+    py = head_ref[HPY, :]
+    pz = head_ref[HPZ, :]
+    vx = head_ref[HVX, :]
+    vy = head_ref[HVY, :]
+    vz = head_ref[HVZ, :]
+    actf = head_ref[HACT, :]
+    rows = [s_ref[k, :] for k in range(LAYOUT_TET.row_w)]
+    cur_tet = s_ref[S_TET, :]
+    unresolved = s_ref[S_UNRES, :] > 0.5
+    wall = s_ref[S_WALL, :] > 0.5
+    wall_slot = s_ref[S_WSLOT, :].astype(jnp.int32)
+
+    t = tuple(rows[3 + k] for k in range(9))
+    wa, wb, wc, wd = _bary_rows(rows[0], rows[1], rows[2], t, px, py, pz)
+
+    refl = wall & do_bounce
+    rf = refl.astype(jnp.float32)
+
+    def grad(o):
+        g0 = -(rows[3 + o] + rows[6 + o] + rows[9 + o])
+        return jnp.where(
+            wall_slot == 0, g0,
+            jnp.where(
+                wall_slot == 1, rows[3 + o],
+                jnp.where(wall_slot == 2, rows[6 + o], rows[9 + o]),
+            ),
+        )
+
+    gx, gy, gz = grad(0), grad(1), grad(2)
+    wv = _pick4(wa, wb, wc, wd, wall_slot)
+    gg = gx * gx + gy * gy + gz * gz
+    inv_g2 = rf / (gg + (1.0 - rf))
+    f = 2.0 * wv * inv_g2
+    px = px - f * gx
+    py = py - f * gy
+    pz = pz - f * gz
+    fu = 2.0 * (vx * gx + vy * gy + vz * gz) * inv_g2
+    vx = vx - fu * gx
+    vy = vy - fu * gy
+    vz = vz - fu * gz
+    wa2, wb2, wc2, wd2 = _bary_rows(rows[0], rows[1], rows[2], t, px, py, pz)
+    wmin2 = jnp.minimum(jnp.minimum(wa2, wb2), jnp.minimum(wc2, wd2))
+    landed = refl & (wmin2 >= 0.0)
+    wall_out = (do_bounce & refl & ~landed) | (~do_bounce & wall)
+
+    out_ref[P0, :] = px
+    out_ref[P0 + 1, :] = py
+    out_ref[P0 + 2, :] = pz
+    out_ref[V0, :] = vx
+    out_ref[V0 + 1, :] = vy
+    out_ref[V0 + 2, :] = vz
+    out_ref[TET, :] = cur_tet
+    out_ref[ACT, :] = actf
+    for k in range(LAYOUT_TET.row_w):
+        out_ref[ROW + k, :] = rows[k]
+    for k in range(ROW + LAYOUT_TET.row_w, LAYOUT_TET.width):
+        out_ref[k, :] = jnp.zeros_like(px)
+    pend = unresolved | wall_out
+    pend_ref[0, :] = pend.astype(jnp.float32)
+    for r in range(1, 8):
+        pend_ref[r, :] = jnp.zeros_like(px)
+
+
+def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
+                            noise=None):
+    """A -> (gather -> H) x n_hops -> B2; returns (m', pending)."""
+    n, W = m.shape
+    xi = None
+    if cfg.use_brownian:
+        xi = noise if noise is not None else _brownian_noise(
+            rng_key, step, n, m.dtype, cfg
+        )
+    mT = m.T
+    xiT = xi.T if xi is not None else jnp.zeros((3, n), m.dtype)
+    scal = jnp.asarray(
+        [
+            dt,
+            # EXACTLY fused.py's sigma expression (python-f64 product,
+            # one rounding): a pre-rounded dt differs in the last ulp
+            jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(m.dtype),
+            1.0 if cfg.use_advection else 0.0,
+            1.0 if (cfg.use_brownian and xi is not None) else 0.0,
+        ],
+        m.dtype,
+    )
+    vm = pltpu.VMEM
+    head, s = pl.pallas_call(
+        _kernel_a_mh,
+        out_shape=(
+            jax.ShapeDtypeStruct((HEAD_W, n), m.dtype),
+            jax.ShapeDtypeStruct((S_W, n), m.dtype),
+        ),
+        grid=(pl.cdiv(n, BN_B),),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((W, BN_B), lambda i: (0, i), memory_space=vm),
+            pl.BlockSpec((3, BN_B), lambda i: (0, i), memory_space=vm),
+        ],
+        out_specs=(
+            pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
+            pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
+        ),
+    )(scal, mT, xiT)
+    for h in range(n_hops):
+        rows_g = tab[s[S_IDX, :].astype(jnp.int32)]
+        last = jnp.asarray([1.0 if h == n_hops - 1 else 0.0], m.dtype)
+        s = pl.pallas_call(
+            _kernel_h,
+            out_shape=jax.ShapeDtypeStruct((S_W, n), m.dtype),
+            grid=(pl.cdiv(n, BN_B),),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
+                pl.BlockSpec(
+                    (LAYOUT_TET.row_w, BN_B), lambda i: (0, i),
+                    memory_space=vm,
+                ),
+                pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
+            ],
+            out_specs=pl.BlockSpec(
+                (S_W, BN_B), lambda i: (0, i), memory_space=vm
+            ),
+        )(last, s, rows_g.T, head)
+    scal_b = jnp.asarray(
+        [1.0 if (cfg.reflect_wall and getattr(cfg, "inline_bounce", True))
+         else 0.0],
+        m.dtype,
+    )
+    mT_new, pendT = pl.pallas_call(
+        _kernel_b2,
+        out_shape=(
+            jax.ShapeDtypeStruct((W, n), m.dtype),
+            jax.ShapeDtypeStruct((8, n), m.dtype),
+        ),
+        grid=(pl.cdiv(n, BN_B),),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
+            pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
+        ],
+        out_specs=(
+            pl.BlockSpec((W, BN_B), lambda i: (0, i), memory_space=vm),
+            pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=vm),
+        ),
+    )(scal_b, s, head)
     return mT_new.T, pendT[0, :] > 0.5
 
 
@@ -532,7 +767,9 @@ def convex_pre_rare_cycle(mesh, tab, m, rng_key, step, cfg, dt):
     scal = jnp.asarray(
         [
             dt,
-            jnp.sqrt(2.0 * cfg.diffusion_coeff * jnp.asarray(dt, m.dtype)),
+            # EXACTLY fused.py's sigma expression (python-f64 product,
+            # one rounding): a pre-rounded dt differs in the last ulp
+            jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(m.dtype),
             1.0 if cfg.use_advection else 0.0,
             1.0 if (cfg.use_brownian and xi is not None) else 0.0,
             TOL,

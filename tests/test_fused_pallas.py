@@ -61,6 +61,87 @@ def test_jnp_fallback_runs_everywhere():
     assert int(jnp.sum(out.tet_id < 0)) == 0
 
 
+def test_multihop_logic_matches_jnp_interpret():
+    """Interpret-mode check of the multi-hop pallas chain (A -> gather/H
+    x k -> B2) against the jitted jnp engine: the discrete state (tet ids,
+    active, rare-stage pending routing) must match EXACTLY; float columns
+    agree to fusion-dependent ulps on CPU (the on-TPU bit-parity test
+    below is the strong check)."""
+    import dataclasses as dc
+    from functools import partial
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaparticlesfoam_tpu.ops import fused, fused_pallas
+    from cudaparticlesfoam_tpu.ops import locate as locate_ops
+
+    # production pallas semantics are f32-only; the test harness enables
+    # x64 globally, which would promote the kernels' python-float literals
+    if jax.config.read("jax_enable_x64"):
+        jax.config.update("jax_enable_x64", False)
+        try:
+            return test_multihop_logic_matches_jnp_interpret()
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    mesh = box_mesh(8, 8, 8)
+    tab = mesh.tet_row
+    n = 30_008
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.uniform(0.5, 7.5, (n, 3)), jnp.float32)
+    loc = locate_ops.build_grid_locator(mesh)
+    tet = locate_ops.locate_seeds(mesh, loc, pos)
+    m0 = fused.pack_state(mesh, pos, jnp.zeros((n, 3), jnp.float32), tet,
+                          jnp.ones(n, bool))
+    key = jax.random.PRNGKey(1)
+
+    @partial(jax.jit, static_argnames=("cfg",))
+    def cyc(m, cfg):
+        return fused.mega_cycle(mesh, m, key, 3, cfg, 0.9)
+
+    for hops in (2, 4):
+        cfg = StepConfig(dt=0.9, diffusion_coeff=5e-3, inline_hops=hops,
+                         walk_capacity_frac=0.25, brownian_rng="rbg")
+        mj = np.asarray(cyc(m0, dc.replace(cfg, engine_impl="jnp")))
+        with pltpu.force_tpu_interpret_mode():
+            mp, pend = fused_pallas.pre_rare_cycle_multihop(
+                mesh, tab, m0, key, 3, cfg, 0.9, hops
+            )
+            mp = fused._rare_stage(mesh, tab, mp, pend, cfg,
+                                   fused.LAYOUT_TET, n, n // 8, 32)
+        mp = np.asarray(mp)
+        np.testing.assert_array_equal(mj[:, 6], mp[:, 6])   # tet ids
+        np.testing.assert_array_equal(mj[:, 7], mp[:, 7])   # active
+        np.testing.assert_allclose(mj[:, :6], mp[:, :6], atol=2e-6)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="pallas kernels need a TPU backend")
+def test_pallas_multihop_bit_parity_with_jnp():
+    """On-TPU: the multi-hop chain must reproduce the jnp engine
+    bit-for-bit over 10 cycles (tutorial-scale regime, hops=4)."""
+    import dataclasses as dc
+
+    from cudaparticlesfoam_tpu.ops import locate as locate_ops
+
+    mesh = box_mesh(10, 10, 10)
+    n = 60_000
+    rng = np.random.default_rng(9)
+    pos = jnp.asarray(rng.uniform(0.6, 9.4, (n, 3)), mesh.dtype)
+    st = statelib.make_state(pos)
+    loc = locate_ops.build_grid_locator(mesh)
+    st = dataclasses.replace(
+        st, tet_id=locate_ops.locate_seeds(mesh, loc, st.pos)
+    )
+    cfg = StepConfig(dt=0.6, diffusion_coeff=2e-3, inline_hops=4,
+                     walk_capacity_frac=0.25, brownian_rng="rbg")
+    out_j = run_cycles(mesh, st, dc.replace(cfg, engine_impl="jnp"), 10)
+    out_p = run_cycles(mesh, st, dc.replace(cfg, engine_impl="pallas"), 10)
+    np.testing.assert_array_equal(np.asarray(out_j.pos), np.asarray(out_p.pos))
+    np.testing.assert_array_equal(
+        np.asarray(out_j.tet_id), np.asarray(out_p.tet_id)
+    )
+
+
 @pytest.mark.skipif(not _on_tpu(), reason="pallas kernels need a TPU backend")
 def test_pallas_bit_parity_with_jnp():
     """10 cycles, same seed state: the pallas stream path must reproduce
