@@ -254,11 +254,12 @@ class FlowSolver:
             solver.moving_patches = tuple(
                 k for k, e in bcs0.items() if e[0] == "movingWallVelocity"
             )
-            if cfg.p_solver == "amg":
-                # the AMG hierarchy is geometric; rebuild-per-step is not
-                # worth it at tutorial scale — fall back to plain CG
-                solver.cfg = dataclasses.replace(cfg, p_solver="cg")
-                solver.amg = None
+            # the AMG aggregation is TOPOLOGICAL (face-graph pairing seeded
+            # by the initial-geometry weights); the Galerkin coarse
+            # operators are rebuilt from the current pressure matrix at
+            # every solve (fv.amg_coarse_ops), so the hierarchy stays valid
+            # under mesh motion — preconditioning quality degrades only as
+            # far as the deformation skews the initial pairing.
             log(f"#flow: dynamic mesh: {motion.kind} "
                 f"(moving walls: {solver.moving_patches})")
         solver.kes = solver.k_bcs = solver.e_bcs = solver.wi = None

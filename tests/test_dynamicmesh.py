@@ -571,3 +571,58 @@ def test_coupled_flow_on_laplacian_mesh(tmp_path):
     # the compressed fluid must move away from the advancing wall
     assert float(np.abs(u[:, 0]).max()) > 1e-3
     assert res["continuity"] < 1e-2
+
+
+def test_amg_active_under_motion(tmp_path):
+    """The AMG preconditioner is no longer dropped on moving meshes: the
+    hierarchy is topological and the Galerkin coarse ops rebuild per
+    solve, so p_solver='amg' must stay active and converge."""
+    case_dir, pm = make_motion_solver_case(tmp_path)
+    case = tmp_path / "lapcase"
+    (case / "system" / "controlDict").write_text(
+        "FoamFile { object controlDict; }\n"
+        "application pimpleFoam; startFrom startTime; startTime 0; endTime 1;\n"
+        "deltaT 0.01; writeControl timeStep; writeInterval 1000;\n"
+    )
+    (case / "system" / "fvSolution").write_text(
+        "FoamFile { object fvSolution; }\n"
+        "solvers { p { solver GAMG; tolerance 1e-7; } }\n"
+        "PIMPLE { nOuterCorrectors 1; nCorrectors 2; "
+        "nNonOrthogonalCorrectors 0; }\n"
+    )
+    (case / "system" / "fvSchemes").write_text(
+        "FoamFile { object fvSchemes; }\n"
+        "divSchemes { default none; \"div.*\" Gauss upwind; }\n"
+    )
+    (case / "constant" / "transportProperties").write_text(
+        "FoamFile { object transportProperties; }\n"
+        "nu [0 2 -1 0 0 0 0] 0.01;\n"
+    )
+    (case / "0" / "U").write_text(
+        "FoamFile { class volVectorField; object U; }\n"
+        "dimensions [0 1 -1 0 0 0 0];\ninternalField uniform (0 0 0);\n"
+        "boundaryField { movingWall { type movingWallVelocity; "
+        "value uniform (0 0 0); }\n"
+        " farWall { type zeroGradient; } sides { type noSlip; } }\n"
+    )
+    (case / "0" / "p").write_text(
+        "FoamFile { class volScalarField; object p; }\n"
+        "dimensions [0 2 -2 0 0 0 0];\ninternalField uniform 0;\n"
+        "boundaryField { movingWall { type zeroGradient; } "
+        "farWall { type fixedValue; value uniform 0; } "
+        "sides { type zeroGradient; } }\n"
+    )
+    from cudaparticlesfoam_tpu.models.pimple import FlowSolver
+
+    class _FakeCase:
+        case_dir = str(case)
+        poly = pm
+        time_value = 0.0
+
+    flow = FlowSolver.from_case(_FakeCase(), log=lambda *a: None)
+    assert flow.dyn is not None
+    assert flow.amg is not None and flow.cfg.p_solver == "amg"
+    for _ in range(3):
+        res = flow.advance(0.01)
+    assert np.isfinite(np.asarray(flow.state.u)).all()
+    assert res["continuity"] < 1e-2
