@@ -61,7 +61,7 @@ BN_A = 16384        # kernel A: (32+3+16) cols x 16k x 4 B x 2 ≈ 6.7 MB
 BN_B = 8192         # kernel B: (32+20+16+32+8) cols x 8k x 4 B x 2 ≈ 7.1 MB
 
 # head-array rows produced by kernel A
-HPX, HPY, HPZ, HVX, HVY, HVZ, HACT, HIDX, HMV, HWALL, HSLOT = range(11)
+HPX, HPY, HPZ, HVX, HVY, HVZ, HACT, HIDX, HMV, HWALL, HSLOT, HTET = range(12)
 HEAD_W = 16         # padded to a sublane multiple
 
 
@@ -162,12 +162,20 @@ def _kernel_a(scal_ref, m_ref, xi_ref, out_ref):
     out_ref[HMV, :] = mv.astype(jnp.float32)
     out_ref[HWALL, :] = wall.astype(jnp.float32)
     out_ref[HSLOT, :] = s0.astype(jnp.float32)
-    for r in range(HSLOT + 1, HEAD_W):
+    out_ref[HTET, :] = tetf
+    for r in range(HTET + 1, HEAD_W):
         out_ref[r, :] = jnp.zeros_like(px)
 
 
-def _kernel_b(scal_ref, m_ref, rows_ref, head_ref, out_ref, pend_ref):
-    """merge gathered rows + re-test + inline single bounce + assembly."""
+def _kernel_b(scal_ref, rows_ref, head_ref, out_ref, pend_ref):
+    """merge gathered rows + re-test + inline single bounce + assembly.
+
+    No mega input: the masked gather used each lane's OWN tet as the fill
+    index, so ``rows_ref`` already holds the correct row cache for every
+    lane with tet >= 0 (crossers get the neighbor row, everyone else
+    refetches their own — bit-identical bytes).  Only dead lanes (tet<0,
+    fill index 0) get tet-0's row, and a dead lane's row cache is
+    semantically unused (revival re-packs the mega from the table)."""
     do_bounce = scal_ref[0] > 0.5
 
     mv = head_ref[HMV, :] > 0.5
@@ -180,13 +188,9 @@ def _kernel_b(scal_ref, m_ref, rows_ref, head_ref, out_ref, pend_ref):
     vz = head_ref[HVZ, :]
     actf = head_ref[HACT, :]
     s0 = head_ref[HSLOT, :].astype(jnp.int32)
-    tet0 = m_ref[TET, :]
+    tet0 = head_ref[HTET, :]
 
-    # merged row cache: gathered row for crossers, cached row otherwise
-    rows = [
-        jnp.where(mv, rows_ref[k, :], m_ref[ROW + k, :])
-        for k in range(LAYOUT_TET.row_w)
-    ]
+    rows = [rows_ref[k, :] for k in range(LAYOUT_TET.row_w)]
     cur_tet = jnp.where(mv, head_ref[HIDX, :], tet0)
 
     # re-test the (possibly new) row at the moved point
@@ -304,9 +308,9 @@ def stream_pre_hop(m, xi, cfg, dt):
 
 
 def stream_post_hop(m, rows_g, head, cfg):
-    """Kernel B; returns (m', pending)."""
+    """Kernel B; returns (m', pending).  Reads only the gathered rows and
+    the head — the self-gather made the old-mega merge redundant."""
     n, W = m.shape
-    mT = m.T
     rowsT = rows_g.T
     scal = jnp.asarray(
         [1.0 if (cfg.reflect_wall and getattr(cfg, "inline_bounce", True))
@@ -322,7 +326,6 @@ def stream_post_hop(m, rows_g, head, cfg):
         grid=(pl.cdiv(n, BN_B),),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((W, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (LAYOUT_TET.row_w, BN_B), lambda i: (0, i),
                 memory_space=pltpu.VMEM,
@@ -333,7 +336,7 @@ def stream_post_hop(m, rows_g, head, cfg):
             pl.BlockSpec((W, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
-    )(scal, mT, rowsT, head)
+    )(scal, rowsT, head)
     return mT_new.T, pendT[0, :] > 0.5
 
 
