@@ -171,6 +171,13 @@ def _build_and_load_meshbuild():
         lib.face_centres_areas.argtypes = [
             f64, i64, i64, ctypes.c_int64, f64, f64,
         ]
+        i32 = np.ctypeslib.ndpointer(np.int32, flags="C")
+        lib.build_tet_tables.restype = None
+        lib.build_tet_tables.argtypes = [
+            f64, i64, ctypes.c_int64, ctypes.c_int64,
+            i32, i32, i32, i32, i32, i32, i32,
+            f64, f64, i32, f64, f64, i64,
+        ]
         _mb_lib = lib
         return _mb_lib
 
@@ -210,3 +217,43 @@ def face_centres_areas(points, face_verts, face_offsets):
     areas = np.empty((nf, 3), np.float64)
     lib.face_centres_areas(points, face_verts, face_offsets, nf, ctrs, areas)
     return ctrs, areas
+
+
+def build_tet_tables(points, tets):
+    """OpenMP C++ canonicalize + face tables + walk table (bit-faithful
+    to the numpy reference, see csrc/meshbuild.cpp); None if no toolchain.
+
+    Returns (tets_canon, faces, tet_faces, face_front, face_back,
+    bd_face_ids, bd_tet, bd_slot, a, tinv, nbr, n, dpl).
+    """
+    lib = _build_and_load_meshbuild()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points, np.float64)
+    tets = np.ascontiguousarray(tets, np.int64).copy()   # canonicalized in place
+    nt = len(tets)
+    m4 = 4 * nt
+    faces = np.empty((m4, 3), np.int32)
+    tet_faces = np.empty((nt, 4), np.int32)
+    face_front = np.empty(m4, np.int32)
+    face_back = np.empty(m4, np.int32)
+    bd_ids = np.empty(m4, np.int32)
+    bd_tet = np.empty(m4, np.int32)
+    bd_slot = np.empty(m4, np.int32)
+    a = np.empty((nt, 3), np.float64)
+    tinv = np.empty((nt, 3, 3), np.float64)
+    nbr = np.empty((nt, 4), np.int32)
+    n = np.empty((nt, 4, 3), np.float64)
+    dpl = np.empty((nt, 4), np.float64)
+    counts = np.zeros(2, np.int64)
+    lib.build_tet_tables(
+        points, tets, nt, len(points),
+        faces, tet_faces, face_front, face_back, bd_ids, bd_tet, bd_slot,
+        a, tinv, nbr, n, dpl, counts,
+    )
+    nf, nbd = int(counts[0]), int(counts[1])
+    return (
+        tets, faces[:nf].copy(), tet_faces, face_front[:nf].copy(),
+        face_back[:nf].copy(), bd_ids[:nbd].copy(), bd_tet[:nbd].copy(),
+        bd_slot[:nbd].copy(), a, tinv, nbr, n, dpl,
+    )

@@ -80,7 +80,7 @@ def load_polymesh(case_dir: str, regenerate: bool = True, log=print) -> polymesh
 
 # version of the host-side tet decomposition + table-build algorithm;
 # part of the cache fingerprint (see _cached_tet_mesh)
-_TET_CACHE_VERSION = 3
+_TET_CACHE_VERSION = 4
 
 
 def _builder_flavor() -> str:

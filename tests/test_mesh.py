@@ -287,3 +287,46 @@ def test_native_base_points_match_numpy_up_to_ties():
         assert abs(qn - qp) <= 1e-9 * max(abs(qn), abs(qp)), (
             f, qn, qp, "non-tie disagreement between builders"
         )
+
+
+def test_native_tet_tables_bit_exact():
+    """The OpenMP C++ canonicalize + face-table + walk-table builder
+    (csrc/meshbuild.cpp) must be BIT-exact against the numpy reference
+    implementation on a graded real mesh — unlike the base-point search
+    there is no tie-breaking freedom here."""
+    import pytest
+
+    import cudaparticlesfoam_tpu.io.native as native
+    from cudaparticlesfoam_tpu import mesh as meshlib
+    from cudaparticlesfoam_tpu.io import blockmesh, polymesh
+
+    if native._build_and_load_meshbuild() is None:
+        pytest.skip("no native toolchain")
+    import os as _os
+
+    bmd = _os.path.join(
+        _os.path.dirname(__file__), "..", "tutorials", "incompressible",
+        "cudaParticlesUncoupledFoam", "pitzDaily", "system", "blockMeshDict",
+    )
+    pm = blockmesh.generate(bmd)
+    fc = polymesh.face_centres_areas(pm)
+    cc, _ = polymesh.cell_centres_volumes(pm, *fc)
+    tets, _, _ = polymesh.tet_decompose(pm, cc)
+    pts = np.concatenate([pm.points, cc])
+
+    nat = native.build_tet_tables(pts, tets)
+    assert nat is not None
+    t2 = meshlib._canonicalize_winding(
+        np.asarray(pts, np.float64), np.asarray(tets, np.int64)
+    )
+    ft = meshlib.build_face_tables(t2)
+    wt = meshlib._build_walk_table(
+        np.asarray(pts, np.float64), t2, ft[1], ft[2], ft[3], ft[4]
+    )
+    for name, ref, got in zip(
+        ("tets", "faces", "tet_faces", "face_front", "face_back",
+         "bd_face_ids", "bd_tet", "bd_slot", "a", "tinv", "nbr", "n", "dpl"),
+        [t2, *ft, *wt],
+        nat,
+    ):
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got), name)
