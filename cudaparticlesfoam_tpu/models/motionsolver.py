@@ -80,18 +80,6 @@ class MotionSolverMotion:
     bcs: tuple                # ((patch, PointBC), ...)
 
 
-def _f1_constant(v):
-    """Function1 'constant X' tokens / bare number / 3-vector."""
-    if isinstance(v, list):
-        nums = [x for x in v if isinstance(x, (int, float))]
-        if len(nums) >= 3:
-            return tuple(float(x) for x in nums[:3])
-        if nums:
-            return float(nums[0])
-        return 0.0
-    return float(v)
-
-
 def _bc_value(entry, key="value"):
     v = entry.get(key, entry.get("uniformValue", 0.0))
 
