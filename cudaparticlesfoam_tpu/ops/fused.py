@@ -171,10 +171,21 @@ def _brownian_noise(rng_key, step, n, dtype, cfg):
                 jnp.asarray(step, jnp.uint32).reshape(1),
             ]
         )
-        _, bits = lax.rng_bit_generator(k4, (n, 6), dtype=jnp.uint32)
+        # full Box-Muller pairs (cos AND sin of each angle): 3 normals
+        # from 4 uniforms instead of the wasteful cos-only 6, saving a
+        # third of the bit generation plus one log/sqrt per lane
+        _, bits = lax.rng_bit_generator(k4, (n, 4), dtype=jnp.uint32)
         u = bits.astype(dtype) * (1.0 / 4294967296.0) + (0.5 / 4294967296.0)
-        r = jnp.sqrt(-2.0 * jnp.log(u[:, :3]))
-        return r * jnp.cos((2.0 * jnp.pi) * u[:, 3:])
+        r = jnp.sqrt(-2.0 * jnp.log(u[:, :2]))
+        a = (2.0 * jnp.pi) * u[:, 2:4]
+        return jnp.stack(
+            [
+                r[:, 0] * jnp.cos(a[:, 0]),
+                r[:, 0] * jnp.sin(a[:, 0]),
+                r[:, 1] * jnp.cos(a[:, 1]),
+            ],
+            axis=1,
+        )
     key = jax.random.fold_in(rng_key, step)
     return jax.random.normal(key, (n, 3), dtype=dtype)
 
