@@ -657,10 +657,8 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt, noise=None):
     return _rare_stage(mesh, tab, m, pending, cfg, ly, n, nb, W)
 
 
-def _rare_stage(mesh: TetMesh, tab, m, pending, cfg, ly: Layout, n, nb, W):
-    """Two-stage block-compacted resolution of the pending lanes (multi-hop
-    walkers + multi-bounce wall hits); shared by the jnp and pallas stream
-    paths.  See the module docstring, stage 3."""
+def _make_run_lanes(mesh: TetMesh, tab, cfg, ly: Layout):
+    """Arena lane resolver shared by the rare-stage variants."""
 
     def run_lanes(mc, lanes_act):
         """walk + reflect lanes toward their pos columns; returns updated
@@ -696,6 +694,15 @@ def _rare_stage(mesh: TetMesh, tab, m, pending, cfg, ly: Layout, n, nb, W):
             jnp.where(upd, tet_f, mc3[:, TET].astype(jnp.int32)).astype(mc3.dtype)
         )
         return mc3
+
+    return run_lanes
+
+
+def _rare_stage(mesh: TetMesh, tab, m, pending, cfg, ly: Layout, n, nb, W):
+    """Two-stage block-compacted resolution of the pending lanes (multi-hop
+    walkers + multi-bounce wall hits); shared by the jnp and pallas stream
+    paths.  See the module docstring, stage 3."""
+    run_lanes = _make_run_lanes(mesh, tab, cfg, ly)
 
     # --- rare stage: two-stage BLOCK compaction (nonzero over n/8 block
     # flags is 8x cheaper than lane-level), processed in rounds until no
@@ -761,3 +768,104 @@ def _rare_stage(mesh: TetMesh, tab, m, pending, cfg, ly: Layout, n, nb, W):
         rare_cond, rare_round, (m, pending, jnp.zeros((), jnp.int32))
     )
     return m
+
+
+# ---------------------------------------------------------------------------
+# packed-carry variant: the mega rides the cycle as its ROW-MAJOR bytes
+# viewed [n/4, 128] (f32 tile-exact — no padding), so the rare stage's block
+# gather/scatter run on that form natively and the per-cycle {0,1}<->{1,0}
+# layout copy pair (~1.9 ms at 1M lanes) disappears.  The stream kernels
+# unpack/pack in VMEM (ops/fused_pallas.py packed kernels); only the
+# ARENA-sized reshapes below still convert layouts (~8 MB per round).
+# ---------------------------------------------------------------------------
+
+
+def _rare_stage_packed(mesh: TetMesh, tab, m_rm, pending, cfg, ly: Layout,
+                       n, nb, W):
+    """:_rare_stage: on the packed [n/4, 128] carry.  An 8-lane block is 2
+    consecutive packed rows; block-local lane q lives at packed row q//4,
+    column 32*(q%4)+c — so all regroupings are row-major reshapes."""
+    run_lanes = _make_run_lanes(mesh, tab, cfg, ly)
+
+    capb = min(max(int(nb * cfg.walk_capacity_frac), 32), nb)
+    nl = capb * BLOCK
+    cap_l = max(nl // 4, 64)
+    max_rounds = -(-n // cap_l) + -(-nb // capb)
+
+    def rare_cond(carry):
+        m_rm, pending, r = carry
+        return (r < max_rounds) & jnp.any(pending)
+
+    def rare_round(carry):
+        m_rm, pending, r = carry
+        m3 = m_rm.reshape(nb, 2, 128)        # 8-lane blocks, packed
+        pend2 = pending.reshape(nb, BLOCK)
+        bpend = jnp.any(pend2, axis=1)
+        nbp = jnp.sum(bpend.astype(jnp.int32))
+        blk_iota = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0]
+        bidx = lax.sort(jnp.where(bpend, blk_iota, nb))[:capb]
+        safe_b = jnp.minimum(bidx, nb - 1)
+        mb = m3[safe_b].reshape(nl, W)       # arena-sized layout regroup
+        lane_b = lax.broadcasted_iota(jnp.int32, (capb, BLOCK), 0)
+        inrange = lane_b < jnp.minimum(nbp, capb)
+        pendb = pend2[safe_b] & inrange
+        lanes_act = pendb.reshape(-1)
+        lane_iota = lax.broadcasted_iota(jnp.int32, (nl, 1), 0)[:, 0]
+        skey = lax.sort(jnp.where(lanes_act, lane_iota, nl))
+        idxl = skey[:cap_l]
+        sub = mb[jnp.minimum(idxl, nl - 1)]
+        sub = run_lanes(sub, idxl < nl)
+        mb = mb.at[idxl].set(sub, mode="drop")
+        thresh = skey[cap_l - 1]
+        handled = lanes_act & (lane_iota <= jnp.minimum(thresh, nl - 1))
+        m3 = m3.at[bidx].set(mb.reshape(capb, 2, 128), mode="drop")
+        pend2 = pend2.at[bidx].set(
+            pendb & ~handled.reshape(capb, BLOCK), mode="drop"
+        )
+        return m3.reshape(n // 4, 128), pend2.reshape(n), r + 1
+
+    m_rm, _, _ = lax.while_loop(
+        rare_cond, rare_round, (m_rm, pending, jnp.zeros((), jnp.int32))
+    )
+    return m_rm
+
+
+def mega_cycle_packed(mesh: TetMesh, m_rm, rng_key, step, cfg, dt):
+    """One sub-step on the packed [n/4, 128] carry (pallas fast path with
+    inline_hops=1 only; caller guarantees the envelope via
+    fused_pallas.packed_supported and n % 8 == 0)."""
+    from . import fused_pallas
+
+    n = m_rm.shape[0] * 4
+    nb = n // BLOCK
+    ly = LAYOUT_TET
+    tab = row_table(mesh, ly)
+    chunks = max(int(getattr(cfg, "cycle_chunks", 1)), 1)
+    per = -(-(n // BLOCK) // chunks) * BLOCK
+    if chunks > 1 and per < n and per >= 64 * BLOCK:
+        noise = (
+            _brownian_noise(rng_key, step, n, m_rm.dtype, cfg)
+            if cfg.use_brownian else None
+        )
+        outs = []
+        for c in range(chunks):
+            lo = c * per
+            hi = min(lo + per, n)
+            if lo >= hi:
+                break
+            mc, pend = fused_pallas.pre_rare_cycle_packed(
+                mesh, tab, m_rm[lo // 4 : hi // 4], rng_key, step, cfg, dt,
+                noise=None if noise is None else noise[lo:hi],
+            )
+            outs.append(
+                _rare_stage_packed(
+                    mesh, tab, mc, pend, cfg, ly, hi - lo,
+                    (hi - lo) // BLOCK, ly.width,
+                )
+            )
+        return jnp.concatenate(outs, axis=0)
+    m_rm, pending = fused_pallas.pre_rare_cycle_packed(
+        mesh, tab, m_rm, rng_key, step, cfg, dt
+    )
+    return _rare_stage_packed(mesh, tab, m_rm, pending, cfg, ly, n, nb,
+                              ly.width)

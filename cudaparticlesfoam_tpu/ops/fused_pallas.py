@@ -97,31 +97,30 @@ def _pick4(c0, c1, c2, c3, slot):
     )
 
 
-def _kernel_a(scal_ref, m_ref, xi_ref, out_ref):
-    """advect + noise + move + hop-0 classify + neighbor select."""
+def _a_compute(scal_ref, mrow, xi_ref):
+    """advect + noise + move + hop-0 classify + neighbor select, on lane
+    vectors delivered by ``mrow(r)`` — shared by the transposed-view and
+    packed-carry kernel A variants."""
     dt = scal_ref[0]
     sigma = scal_ref[1]
     use_adv = scal_ref[2] > 0.5
     use_brown = scal_ref[3] > 0.5
 
-    tetf = m_ref[TET, :]
-    act = m_ref[ACT, :] > 0.5
+    tetf = mrow(TET)
+    act = mrow(ACT) > 0.5
     alive = act & (tetf >= 0.0)
     alf = jnp.where(use_adv, alive.astype(jnp.float32), 0.0)
 
-    ux = m_ref[ROW + 12, :]
-    uy = m_ref[ROW + 13, :]
-    uz = m_ref[ROW + 14, :]
+    ux = mrow(ROW + 12)
+    uy = mrow(ROW + 13)
+    uz = mrow(ROW + 14)
     dx = alf * ux * dt
     dy = alf * uy * dt
     dz = alf * uz * dt
-    v0x = m_ref[V0, :]
-    v0y = m_ref[V0 + 1, :]
-    v0z = m_ref[V0 + 2, :]
     adv_live = use_adv & alive
-    vx = jnp.where(adv_live, ux, v0x)
-    vy = jnp.where(adv_live, uy, v0y)
-    vz = jnp.where(adv_live, uz, v0z)
+    vx = jnp.where(adv_live, ux, mrow(V0))
+    vy = jnp.where(adv_live, uy, mrow(V0 + 1))
+    vz = jnp.where(adv_live, uz, mrow(V0 + 2))
 
     balf = jnp.where(use_adv, alf, act.astype(jnp.float32))
     bmask = jnp.where(use_brown, balf, 0.0)
@@ -129,45 +128,61 @@ def _kernel_a(scal_ref, m_ref, xi_ref, out_ref):
     dy = dy + bmask * sigma * xi_ref[1, :]
     dz = dz + bmask * sigma * xi_ref[2, :]
 
-    actf = jnp.where(use_adv, alf, m_ref[ACT, :])
+    actf = jnp.where(use_adv, alf, mrow(ACT))
 
-    px = m_ref[P0, :] + dx
-    py = m_ref[P0 + 1, :] + dy
-    pz = m_ref[P0 + 2, :] + dz
+    px = mrow(P0) + dx
+    py = mrow(P0 + 1) + dy
+    pz = mrow(P0 + 2) + dz
 
-    a0, a1, a2 = m_ref[RA, :], m_ref[RA + 1, :], m_ref[RA + 2, :]
-    t = tuple(m_ref[RA + 3 + k, :] for k in range(9))
-    wa, wb, wc, wd = _bary_rows(a0, a1, a2, t, px, py, pz)
+    t = tuple(mrow(RA + 3 + k) for k in range(9))
+    wa, wb, wc, wd = _bary_rows(mrow(RA), mrow(RA + 1), mrow(RA + 2), t,
+                                px, py, pz)
     s0, wmin = _argmin4(wa, wb, wc, wd)
     need = (wmin < 0.0) & (tetf >= 0.0)
 
     rn = ROW + LAYOUT_TET.nbr
-    code = _pick4(
-        m_ref[rn, :], m_ref[rn + 1, :], m_ref[rn + 2, :], m_ref[rn + 3, :],
-        s0,
-    )
+    code = _pick4(mrow(rn), mrow(rn + 1), mrow(rn + 2), mrow(rn + 3), s0)
     mv = need & (code >= 0.0)
     wall = need & (code < 0.0)
     idx = jnp.where(mv, code, jnp.maximum(tetf, 0.0))
 
-    out_ref[HPX, :] = px
-    out_ref[HPY, :] = py
-    out_ref[HPZ, :] = pz
-    out_ref[HVX, :] = vx
-    out_ref[HVY, :] = vy
-    out_ref[HVZ, :] = vz
-    out_ref[HACT, :] = actf
-    out_ref[HIDX, :] = idx
-    out_ref[HMV, :] = mv.astype(jnp.float32)
-    out_ref[HWALL, :] = wall.astype(jnp.float32)
-    out_ref[HSLOT, :] = s0.astype(jnp.float32)
-    out_ref[HTET, :] = tetf
+    out = [None] * HEAD_W
+    out[HPX], out[HPY], out[HPZ] = px, py, pz
+    out[HVX], out[HVY], out[HVZ] = vx, vy, vz
+    out[HACT] = actf
+    out[HIDX] = idx
+    out[HMV] = mv.astype(jnp.float32)
+    out[HWALL] = wall.astype(jnp.float32)
+    out[HSLOT] = s0.astype(jnp.float32)
+    out[HTET] = tetf
     for r in range(HTET + 1, HEAD_W):
-        out_ref[r, :] = jnp.zeros_like(px)
+        out[r] = jnp.zeros_like(px)
+    return out
 
 
-def _kernel_b(scal_ref, rows_ref, head_ref, out_ref, pend_ref):
-    """merge gathered rows + re-test + inline single bounce + assembly.
+def _kernel_a(scal_ref, m_ref, xi_ref, out_ref):
+    """advect + noise + move + hop-0 classify + neighbor select."""
+    out = _a_compute(scal_ref, lambda r: m_ref[r, :], xi_ref)
+    for r in range(HEAD_W):
+        out_ref[r, :] = out[r]
+
+
+def _kernel_a_packed(scal_ref, m_ref, xi_ref, out_ref):
+    """kernel A on a packed [BN/4, 128] mega block: unpack in VMEM
+    (3D transpose), then the shared compute."""
+    bn4 = m_ref.shape[0]
+    mb = jnp.transpose(
+        m_ref[:].reshape(bn4, 4, LAYOUT_TET.width), (2, 0, 1)
+    ).reshape(LAYOUT_TET.width, bn4 * 4)
+    out = _a_compute(scal_ref, lambda r: mb[r], xi_ref)
+    for r in range(HEAD_W):
+        out_ref[r, :] = out[r]
+
+
+def _b_compute(scal_ref, rows_ref, head_ref):
+    """merge gathered rows + re-test + inline single bounce; returns the
+    32 mega rows + the pending flag vector (shared by the transposed-view
+    and packed-carry kernel B variants).
 
     No mega input: the masked gather used each lane's OWN tet as the fill
     index, so ``rows_ref`` already holds the correct row cache for every
@@ -234,22 +249,41 @@ def _kernel_b(scal_ref, rows_ref, head_ref, out_ref, pend_ref):
     # NOT jnp.where: Mosaic cannot legalize select on i1 vectors
     wall_out = (do_bounce & refl & ~landed) | (~do_bounce & wall)
 
-    out_ref[P0, :] = px
-    out_ref[P0 + 1, :] = py
-    out_ref[P0 + 2, :] = pz
-    out_ref[V0, :] = vx
-    out_ref[V0 + 1, :] = vy
-    out_ref[V0 + 2, :] = vz
-    out_ref[TET, :] = cur_tet
-    out_ref[ACT, :] = actf
+    mrows = [None] * LAYOUT_TET.width
+    mrows[P0], mrows[P0 + 1], mrows[P0 + 2] = px, py, pz
+    mrows[V0], mrows[V0 + 1], mrows[V0 + 2] = vx, vy, vz
+    mrows[TET] = cur_tet
+    mrows[ACT] = actf
     for k in range(LAYOUT_TET.row_w):
-        out_ref[ROW + k, :] = rows[k]
+        mrows[ROW + k] = rows[k]
     for k in range(ROW + LAYOUT_TET.row_w, LAYOUT_TET.width):
-        out_ref[k, :] = jnp.zeros_like(px)
+        mrows[k] = jnp.zeros_like(px)
     pend = unresolved | wall_out
+    return mrows, pend
+
+
+def _kernel_b(scal_ref, rows_ref, head_ref, out_ref, pend_ref):
+    mrows, pend = _b_compute(scal_ref, rows_ref, head_ref)
+    for k in range(LAYOUT_TET.width):
+        out_ref[k, :] = mrows[k]
     pend_ref[0, :] = pend.astype(jnp.float32)
     for r in range(1, 8):
-        pend_ref[r, :] = jnp.zeros_like(px)
+        pend_ref[r, :] = jnp.zeros_like(mrows[0])
+
+
+def _kernel_b_packed(scal_ref, rows_ref, head_ref, out_ref, pend_ref):
+    """kernel B writing the packed [BN/4, 128] mega block (3D transpose
+    pack in VMEM)."""
+    mrows, pend = _b_compute(scal_ref, rows_ref, head_ref)
+    W = LAYOUT_TET.width
+    bn = mrows[0].shape[0]
+    mb = jnp.stack(mrows, axis=0)            # [W, BN]
+    out_ref[:] = jnp.transpose(
+        mb.reshape(W, bn // 4, 4), (1, 2, 0)
+    ).reshape(bn // 4, 4 * W)
+    pend_ref[0, :] = pend.astype(jnp.float32)
+    for r in range(1, 8):
+        pend_ref[r, :] = jnp.zeros_like(mrows[0])
 
 
 def supported(mesh, cfg, n_hops: int) -> bool:
@@ -272,6 +306,94 @@ def supported(mesh, cfg, n_hops: int) -> bool:
         return plat not in ("cpu",)
     except Exception:
         return False
+
+
+def packed_supported(mesh, cfg, n_hops: int) -> bool:
+    """Envelope for the packed-carry cycle (kills the rare-stage layout
+    copy pair).  OPT-IN via engine_impl='pallas_packed' until the Mosaic
+    in-VMEM 3D transposes are verified/measured on hardware."""
+    if getattr(cfg, "engine_impl", "auto") != "pallas_packed":
+        return False
+    if n_hops != 1 or getattr(cfg, "escape_faces", False):
+        return False
+    from .advect import TET_VELOCITY
+
+    if cfg.velocity_interp != TET_VELOCITY:
+        return False
+    if mesh.points.dtype != jnp.float32:
+        return False
+    try:
+        dd = jax.config.jax_default_device
+        plat = dd.platform if dd is not None else jax.default_backend()
+        return plat not in ("cpu",)
+    except Exception:
+        return False
+
+
+def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
+                          noise=None):
+    """Packed-carry stream section: kernel A/B read and write the mega as
+    its row-major [n/4, 128] bytes (in-VMEM pack/unpack transposes), so
+    the XLA rare stage and the cycle carry share ONE layout."""
+    n4, W4 = m_rm.shape
+    n = n4 * 4
+    W = W4 // 4
+    xi = None
+    if cfg.use_brownian:
+        xi = noise if noise is not None else _brownian_noise(
+            rng_key, step, n, m_rm.dtype, cfg
+        )
+    xiT = xi.T if xi is not None else jnp.zeros((3, n), m_rm.dtype)
+    scal = jnp.asarray(
+        [
+            dt,
+            jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(m_rm.dtype),
+            1.0 if cfg.use_advection else 0.0,
+            1.0 if (cfg.use_brownian and xi is not None) else 0.0,
+        ],
+        m_rm.dtype,
+    )
+    vm = pltpu.VMEM
+    head = pl.pallas_call(
+        _kernel_a_packed,
+        out_shape=jax.ShapeDtypeStruct((HEAD_W, n), m_rm.dtype),
+        grid=(pl.cdiv(n, BN_B),),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((3, BN_B), lambda i: (0, i), memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec(
+            (HEAD_W, BN_B), lambda i: (0, i), memory_space=vm
+        ),
+    )(scal, m_rm, xiT)
+    idx = head[HIDX, :].astype(jnp.int32)
+    rows_g = tab[idx]
+    scal_b = jnp.asarray(
+        [1.0 if (cfg.reflect_wall and getattr(cfg, "inline_bounce", True))
+         else 0.0],
+        m_rm.dtype,
+    )
+    m_rm_new, pendT = pl.pallas_call(
+        _kernel_b_packed,
+        out_shape=(
+            jax.ShapeDtypeStruct((n4, W4), m_rm.dtype),
+            jax.ShapeDtypeStruct((8, n), m_rm.dtype),
+        ),
+        grid=(pl.cdiv(n, BN_B),),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (LAYOUT_TET.row_w, BN_B), lambda i: (0, i), memory_space=vm
+            ),
+            pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
+        ],
+        out_specs=(
+            pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=vm),
+        ),
+    )(scal_b, rows_g.T, head)
+    return m_rm_new, pendT[0, :] > 0.5
 
 
 def stream_pre_hop(m, xi, cfg, dt):

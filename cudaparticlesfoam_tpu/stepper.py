@@ -221,6 +221,38 @@ def _run_cycles_impl(
             mesh, state.pos, state.vel, state.tet_id, state.active, ly
         )
 
+        from .ops import fused_pallas
+
+        n_hops = max(int(getattr(cfg, "inline_hops", 1)), 0)
+        if ly is fused.LAYOUT_TET and fused_pallas.packed_supported(
+            mesh, cfg, n_hops
+        ):
+            # packed-carry fast path: the mega rides the whole sub-cycling
+            # loop as its row-major [n/4, 128] bytes — one pack/unpack per
+            # run_cycles call instead of a layout copy pair per cycle
+            n0 = m0.shape[0]
+            pad = (-n0) % fused.BLOCK
+            if pad:
+                m0 = jnp.pad(m0, ((0, pad), (0, 0)))
+            m_rm0 = m0.reshape(-1, 4 * ly.width)
+
+            def body_p(i, carry):
+                m_rm, step = carry
+                m_rm = fused.mega_cycle_packed(
+                    mesh, m_rm, state.rng_key, step, cfg, dt
+                )
+                return m_rm, step + 1
+
+            m_rm, step = lax.fori_loop(
+                0, n_cycles, body_p, (m_rm0, state.step)
+            )
+            m = m_rm.reshape(-1, ly.width)[:n0]
+            pos, vel, tet, act = fused.unpack_state(m)
+            return dataclasses.replace(
+                state, pos=pos, vel=vel, disp=jnp.zeros_like(state.disp),
+                tet_id=tet, active=act, step=step,
+            )
+
         def body(i, carry):
             m, step = carry
             m = fused.mega_cycle(mesh, m, state.rng_key, step, cfg, dt)
