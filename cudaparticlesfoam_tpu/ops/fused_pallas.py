@@ -463,23 +463,24 @@ def stream_post_hop(m, rows_g, head, cfg):
 
 # ---------------------------------------------------------------------------
 # multi-hop extension (inline_hops >= 2, e.g. the tutorial-scale regime of
-# ~1 cell crossed per sub-step): kernel A additionally emits a hop-state
-# buffer S [32, n]; each further hop is one XLA row gather + one kernel H
-# (merge + re-test + next-hop classification); kernel B2 finishes with the
-# inline bounce + assembly.  Chain: A -> (gather -> H) x k -> B2.
+# ~1 cell crossed per sub-step): each further hop is one XLA row gather +
+# one kernel H (re-test + next-hop classification); kernel B2 finishes with
+# the inline bounce + assembly.  Chain: A -> (gather -> H) x k -> B2.
+#
+# There is no carried row buffer and no merge: every hop's gather uses each
+# lane's own tet as the masked fill index, so rows_g IS the current row
+# cache for every lane with tet >= 0 (see kernel B's docstring) — the hop
+# state is a skinny flag buffer.
 # ---------------------------------------------------------------------------
 
-# hop-state rows (S buffer)
-S_TET, S_UNRES, S_WALL, S_WSLOT, S_MV, S_IDX = 20, 21, 22, 23, 24, 25
-S_W = 32
+# hop-state rows (skinny S buffer)
+S_TET, S_UNRES, S_WALL, S_WSLOT, S_MV, S_IDX = range(6)
+S_W = 8
 
 
 def _kernel_a_mh(scal_ref, m_ref, xi_ref, out_ref, s_ref):
-    """kernel A + the hop-1 state buffer for the multi-hop chain."""
+    """kernel A + the hop-1 state flags for the multi-hop chain."""
     _kernel_a(scal_ref, m_ref, xi_ref, out_ref)
-    # S0: cached rows + hop-1 classification (mirrors the head flags)
-    for k in range(LAYOUT_TET.row_w):
-        s_ref[k, :] = m_ref[ROW + k, :]
     s_ref[S_TET, :] = m_ref[TET, :]
     s_ref[S_UNRES, :] = out_ref[HMV, :]      # placeholder; H overwrites
     s_ref[S_WALL, :] = out_ref[HWALL, :]
@@ -490,22 +491,18 @@ def _kernel_a_mh(scal_ref, m_ref, xi_ref, out_ref, s_ref):
         s_ref[k, :] = jnp.zeros_like(s_ref[0, :])
 
 
-def _kernel_h(scal_ref, s_in_ref, rows_ref, head_ref, s_out_ref):
-    """One inline hop: merge the gathered rows for movers, re-test at the
-    moved point, classify the next crossing (fused.py's hop-loop body).
-    ``scal_ref[0]`` = last-hop flag: the final hop does NOT classify — its
-    still-unresolved lanes go to the rare stage untouched, exactly like
-    the jnp loop's final ``unresolved``."""
-    last = scal_ref[0] > 0.5
+def _kernel_h(s_in_ref, rows_ref, head_ref, s_out_ref):
+    """One inline hop: re-test the gathered (= current) rows at the moved
+    point, classify the next crossing (fused.py's hop-loop body).  The
+    FINAL hop's re-test happens inside kernel B2 (which computes that
+    barycentric test anyway for the bounce), so the chain issues exactly
+    n_hops gathers like the jnp loop."""
     mv = s_in_ref[S_MV, :] > 0.5
     px = head_ref[HPX, :]
     py = head_ref[HPY, :]
     pz = head_ref[HPZ, :]
 
-    rows = [
-        jnp.where(mv, rows_ref[k, :], s_in_ref[k, :])
-        for k in range(LAYOUT_TET.row_w)
-    ]
+    rows = [rows_ref[k, :] for k in range(LAYOUT_TET.row_w)]
     cur_tet = jnp.where(mv, s_in_ref[S_IDX, :], s_in_ref[S_TET, :])
     t = tuple(rows[3 + k] for k in range(9))
     wa, wb, wc, wd = _bary_rows(rows[0], rows[1], rows[2], t, px, py, pz)
@@ -518,17 +515,13 @@ def _kernel_h(scal_ref, s_in_ref, rows_ref, head_ref, s_out_ref):
         rows[LAYOUT_TET.nbr], rows[LAYOUT_TET.nbr + 1],
         rows[LAYOUT_TET.nbr + 2], rows[LAYOUT_TET.nbr + 3], s_cur,
     )
-    mv_next = unresolved & (code >= 0.0) & ~last
-    new_wall = unresolved & (code < 0.0) & ~last
+    mv_next = unresolved & (code >= 0.0)
+    new_wall = unresolved & (code < 0.0)
     wall_slot = jnp.where(new_wall, s_cur, wall_slot)
     wall = wall | new_wall
     idx = jnp.where(mv_next, code, jnp.maximum(cur_tet, 0.0))
-    # not-last: walkers that keep crossing; last: the jnp loop's final
-    # unresolved (no further classification)
-    unresolved = (unresolved & last) | mv_next
+    unresolved = mv_next
 
-    for k in range(LAYOUT_TET.row_w):
-        s_out_ref[k, :] = rows[k]
     s_out_ref[S_TET, :] = cur_tet
     s_out_ref[S_UNRES, :] = unresolved.astype(jnp.float32)
     s_out_ref[S_WALL, :] = wall.astype(jnp.float32)
@@ -539,10 +532,11 @@ def _kernel_h(scal_ref, s_in_ref, rows_ref, head_ref, s_out_ref):
         s_out_ref[k, :] = jnp.zeros_like(px)
 
 
-def _kernel_b2(scal_ref, s_ref, head_ref, out_ref, pend_ref):
+def _kernel_b2(scal_ref, s_ref, rows_ref, head_ref, out_ref, pend_ref):
     """Multi-hop finisher: inline single bounce + mega assembly from the
-    final hop state (the S_MV lanes still pending their last gather ride
-    the rare stage, exactly like the jnp loop's final `unresolved`)."""
+    final hop state + final gathered rows (the S_MV lanes still pending
+    their last gather ride the rare stage, exactly like the jnp loop's
+    final `unresolved`)."""
     do_bounce = scal_ref[0] > 0.5
 
     px = head_ref[HPX, :]
@@ -552,14 +546,18 @@ def _kernel_b2(scal_ref, s_ref, head_ref, out_ref, pend_ref):
     vy = head_ref[HVY, :]
     vz = head_ref[HVZ, :]
     actf = head_ref[HACT, :]
-    rows = [s_ref[k, :] for k in range(LAYOUT_TET.row_w)]
-    cur_tet = s_ref[S_TET, :]
-    unresolved = s_ref[S_UNRES, :] > 0.5
+    rows = [rows_ref[k, :] for k in range(LAYOUT_TET.row_w)]
+    mv = s_ref[S_MV, :] > 0.5
+    cur_tet = jnp.where(mv, s_ref[S_IDX, :], s_ref[S_TET, :])
     wall = s_ref[S_WALL, :] > 0.5
     wall_slot = s_ref[S_WSLOT, :].astype(jnp.int32)
 
+    # the final hop's re-test (jnp loop's last `unresolved`) — this bary
+    # doubles as the bounce's face value below
     t = tuple(rows[3 + k] for k in range(9))
     wa, wb, wc, wd = _bary_rows(rows[0], rows[1], rows[2], t, px, py, pz)
+    wmin_h = jnp.minimum(jnp.minimum(wa, wb), jnp.minimum(wc, wd))
+    unresolved = mv & (wmin_h < 0.0)
 
     refl = wall & do_bounce
     rf = refl.astype(jnp.float32)
@@ -611,7 +609,8 @@ def _kernel_b2(scal_ref, s_ref, head_ref, out_ref, pend_ref):
 
 def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
                             noise=None):
-    """A -> (gather -> H) x n_hops -> B2; returns (m', pending)."""
+    """A -> (gather -> H) x (n_hops-1) -> gather -> B2; n_hops gathers in
+    total, like the jnp loop.  Returns (m', pending)."""
     n, W = m.shape
     xi = None
     if cfg.use_brownian:
@@ -649,15 +648,13 @@ def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
             pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
         ),
     )(scal, mT, xiT)
-    for h in range(n_hops):
+    for _h in range(n_hops - 1):
         rows_g = tab[s[S_IDX, :].astype(jnp.int32)]
-        last = jnp.asarray([1.0 if h == n_hops - 1 else 0.0], m.dtype)
         s = pl.pallas_call(
             _kernel_h,
             out_shape=jax.ShapeDtypeStruct((S_W, n), m.dtype),
             grid=(pl.cdiv(n, BN_B),),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
                 pl.BlockSpec(
                     (LAYOUT_TET.row_w, BN_B), lambda i: (0, i),
@@ -668,7 +665,8 @@ def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
             out_specs=pl.BlockSpec(
                 (S_W, BN_B), lambda i: (0, i), memory_space=vm
             ),
-        )(last, s, rows_g.T, head)
+        )(s, rows_g.T, head)
+    rows_g = tab[s[S_IDX, :].astype(jnp.int32)]
     scal_b = jnp.asarray(
         [1.0 if (cfg.reflect_wall and getattr(cfg, "inline_bounce", True))
          else 0.0],
@@ -684,13 +682,16 @@ def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
+            pl.BlockSpec(
+                (LAYOUT_TET.row_w, BN_B), lambda i: (0, i), memory_space=vm
+            ),
             pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
         ],
         out_specs=(
             pl.BlockSpec((W, BN_B), lambda i: (0, i), memory_space=vm),
             pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=vm),
         ),
-    )(scal_b, s, head)
+    )(scal_b, s, rows_g.T, head)
     return mT_new.T, pendT[0, :] > 0.5
 
 
