@@ -831,15 +831,16 @@ def _rare_stage_packed(mesh: TetMesh, tab, m_rm, pending, cfg, ly: Layout,
 
 
 def mega_cycle_packed(mesh: TetMesh, m_rm, rng_key, step, cfg, dt):
-    """One sub-step on the packed [n/4, 128] carry (pallas fast path with
-    inline_hops=1 only; caller guarantees the envelope via
-    fused_pallas.packed_supported and n % 8 == 0)."""
+    """One sub-step on the packed [n/4, 128] carry (pallas fast path;
+    caller guarantees the envelope via fused_pallas.packed_supported and
+    n % 8 == 0)."""
     from . import fused_pallas
 
     n = m_rm.shape[0] * 4
     nb = n // BLOCK
     ly = LAYOUT_TET
     tab = row_table(mesh, ly)
+    n_hops = max(int(getattr(cfg, "inline_hops", 1)), 1)
     chunks = max(int(getattr(cfg, "cycle_chunks", 1)), 1)
     per = -(-(n // BLOCK) // chunks) * BLOCK
     if chunks > 1 and per < n and per >= 64 * BLOCK:
@@ -856,6 +857,7 @@ def mega_cycle_packed(mesh: TetMesh, m_rm, rng_key, step, cfg, dt):
             mc, pend = fused_pallas.pre_rare_cycle_packed(
                 mesh, tab, m_rm[lo // 4 : hi // 4], rng_key, step, cfg, dt,
                 noise=None if noise is None else noise[lo:hi],
+                n_hops=n_hops,
             )
             outs.append(
                 _rare_stage_packed(
@@ -865,7 +867,7 @@ def mega_cycle_packed(mesh: TetMesh, m_rm, rng_key, step, cfg, dt):
             )
         return jnp.concatenate(outs, axis=0)
     m_rm, pending = fused_pallas.pre_rare_cycle_packed(
-        mesh, tab, m_rm, rng_key, step, cfg, dt
+        mesh, tab, m_rm, rng_key, step, cfg, dt, n_hops=n_hops
     )
     return _rare_stage_packed(mesh, tab, m_rm, pending, cfg, ly, n, nb,
                               ly.width)

@@ -314,7 +314,7 @@ def packed_supported(mesh, cfg, n_hops: int) -> bool:
     in-VMEM 3D transposes are verified/measured on hardware."""
     if getattr(cfg, "engine_impl", "auto") != "pallas_packed":
         return False
-    if n_hops != 1 or getattr(cfg, "escape_faces", False):
+    if not (1 <= n_hops <= 8) or getattr(cfg, "escape_faces", False):
         return False
     from .advect import TET_VELOCITY
 
@@ -331,10 +331,11 @@ def packed_supported(mesh, cfg, n_hops: int) -> bool:
 
 
 def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
-                          noise=None):
+                          noise=None, n_hops: int = 1):
     """Packed-carry stream section: kernel A/B read and write the mega as
     its row-major [n/4, 128] bytes (in-VMEM pack/unpack transposes), so
-    the XLA rare stage and the cycle carry share ONE layout."""
+    the XLA rare stage and the cycle carry share ONE layout.  For
+    n_hops > 1 the skinny hop chain runs between the packed A and B2."""
     n4, W4 = m_rm.shape
     n = n4 * 4
     W = W4 // 4
@@ -354,28 +355,86 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
         m_rm.dtype,
     )
     vm = pltpu.VMEM
-    head = pl.pallas_call(
-        _kernel_a_packed,
-        out_shape=jax.ShapeDtypeStruct((HEAD_W, n), m_rm.dtype),
+    scal_b = jnp.asarray(
+        [1.0 if (cfg.reflect_wall and getattr(cfg, "inline_bounce", True))
+         else 0.0],
+        m_rm.dtype,
+    )
+    if n_hops == 1:
+        head = pl.pallas_call(
+            _kernel_a_packed,
+            out_shape=jax.ShapeDtypeStruct((HEAD_W, n), m_rm.dtype),
+            grid=(pl.cdiv(n, BN_B),),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0), memory_space=vm),
+                pl.BlockSpec((3, BN_B), lambda i: (0, i), memory_space=vm),
+            ],
+            out_specs=pl.BlockSpec(
+                (HEAD_W, BN_B), lambda i: (0, i), memory_space=vm
+            ),
+        )(scal, m_rm, xiT)
+        rows_g = tab[head[HIDX, :].astype(jnp.int32)]
+        m_rm_new, pendT = pl.pallas_call(
+            _kernel_b_packed,
+            out_shape=(
+                jax.ShapeDtypeStruct((n4, W4), m_rm.dtype),
+                jax.ShapeDtypeStruct((8, n), m_rm.dtype),
+            ),
+            grid=(pl.cdiv(n, BN_B),),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (LAYOUT_TET.row_w, BN_B), lambda i: (0, i), memory_space=vm
+                ),
+                pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
+            ],
+            out_specs=(
+                pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0), memory_space=vm),
+                pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=vm),
+            ),
+        )(scal_b, rows_g.T, head)
+        return m_rm_new, pendT[0, :] > 0.5
+
+    # multi-hop: packed A -> (gather -> H) x (k-1) -> gather -> packed B2
+    head, st = pl.pallas_call(
+        _kernel_a_mh_packed,
+        out_shape=(
+            jax.ShapeDtypeStruct((HEAD_W, n), m_rm.dtype),
+            jax.ShapeDtypeStruct((S_W, n), m_rm.dtype),
+        ),
         grid=(pl.cdiv(n, BN_B),),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0), memory_space=vm),
             pl.BlockSpec((3, BN_B), lambda i: (0, i), memory_space=vm),
         ],
-        out_specs=pl.BlockSpec(
-            (HEAD_W, BN_B), lambda i: (0, i), memory_space=vm
+        out_specs=(
+            pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
+            pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
         ),
     )(scal, m_rm, xiT)
-    idx = head[HIDX, :].astype(jnp.int32)
-    rows_g = tab[idx]
-    scal_b = jnp.asarray(
-        [1.0 if (cfg.reflect_wall and getattr(cfg, "inline_bounce", True))
-         else 0.0],
-        m_rm.dtype,
-    )
+    for _h in range(n_hops - 1):
+        rows_g = tab[st[S_IDX, :].astype(jnp.int32)]
+        st = pl.pallas_call(
+            _kernel_h,
+            out_shape=jax.ShapeDtypeStruct((S_W, n), m_rm.dtype),
+            grid=(pl.cdiv(n, BN_B),),
+            in_specs=[
+                pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
+                pl.BlockSpec(
+                    (LAYOUT_TET.row_w, BN_B), lambda i: (0, i),
+                    memory_space=vm,
+                ),
+                pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
+            ],
+            out_specs=pl.BlockSpec(
+                (S_W, BN_B), lambda i: (0, i), memory_space=vm
+            ),
+        )(st, rows_g.T, head)
+    rows_g = tab[st[S_IDX, :].astype(jnp.int32)]
     m_rm_new, pendT = pl.pallas_call(
-        _kernel_b_packed,
+        _kernel_b2_packed,
         out_shape=(
             jax.ShapeDtypeStruct((n4, W4), m_rm.dtype),
             jax.ShapeDtypeStruct((8, n), m_rm.dtype),
@@ -383,6 +442,7 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
         grid=(pl.cdiv(n, BN_B),),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
             pl.BlockSpec(
                 (LAYOUT_TET.row_w, BN_B), lambda i: (0, i), memory_space=vm
             ),
@@ -392,7 +452,7 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
             pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0), memory_space=vm),
             pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=vm),
         ),
-    )(scal_b, rows_g.T, head)
+    )(scal_b, st, rows_g.T, head)
     return m_rm_new, pendT[0, :] > 0.5
 
 
@@ -532,11 +592,10 @@ def _kernel_h(s_in_ref, rows_ref, head_ref, s_out_ref):
         s_out_ref[k, :] = jnp.zeros_like(px)
 
 
-def _kernel_b2(scal_ref, s_ref, rows_ref, head_ref, out_ref, pend_ref):
-    """Multi-hop finisher: inline single bounce + mega assembly from the
-    final hop state + final gathered rows (the S_MV lanes still pending
-    their last gather ride the rare stage, exactly like the jnp loop's
-    final `unresolved`)."""
+def _b2_compute(scal_ref, s_ref, rows_ref, head_ref):
+    """Multi-hop finisher core: final re-test + inline single bounce;
+    returns (mega rows, pending) — shared by the transposed-view and
+    packed-carry B2 writers."""
     do_bounce = scal_ref[0] > 0.5
 
     px = head_ref[HPX, :]
@@ -589,22 +648,58 @@ def _kernel_b2(scal_ref, s_ref, rows_ref, head_ref, out_ref, pend_ref):
     landed = refl & (wmin2 >= 0.0)
     wall_out = (do_bounce & refl & ~landed) | (~do_bounce & wall)
 
-    out_ref[P0, :] = px
-    out_ref[P0 + 1, :] = py
-    out_ref[P0 + 2, :] = pz
-    out_ref[V0, :] = vx
-    out_ref[V0 + 1, :] = vy
-    out_ref[V0 + 2, :] = vz
-    out_ref[TET, :] = cur_tet
-    out_ref[ACT, :] = actf
+    mrows = [None] * LAYOUT_TET.width
+    mrows[P0], mrows[P0 + 1], mrows[P0 + 2] = px, py, pz
+    mrows[V0], mrows[V0 + 1], mrows[V0 + 2] = vx, vy, vz
+    mrows[TET] = cur_tet
+    mrows[ACT] = actf
     for k in range(LAYOUT_TET.row_w):
-        out_ref[ROW + k, :] = rows[k]
+        mrows[ROW + k] = rows[k]
     for k in range(ROW + LAYOUT_TET.row_w, LAYOUT_TET.width):
-        out_ref[k, :] = jnp.zeros_like(px)
+        mrows[k] = jnp.zeros_like(px)
     pend = unresolved | wall_out
+    return mrows, pend
+
+
+def _kernel_b2(scal_ref, s_ref, rows_ref, head_ref, out_ref, pend_ref):
+    mrows, pend = _b2_compute(scal_ref, s_ref, rows_ref, head_ref)
+    for k in range(LAYOUT_TET.width):
+        out_ref[k, :] = mrows[k]
     pend_ref[0, :] = pend.astype(jnp.float32)
     for r in range(1, 8):
-        pend_ref[r, :] = jnp.zeros_like(px)
+        pend_ref[r, :] = jnp.zeros_like(mrows[0])
+
+
+def _kernel_b2_packed(scal_ref, s_ref, rows_ref, head_ref, out_ref, pend_ref):
+    mrows, pend = _b2_compute(scal_ref, s_ref, rows_ref, head_ref)
+    W = LAYOUT_TET.width
+    bn = mrows[0].shape[0]
+    mb = jnp.stack(mrows, axis=0)
+    out_ref[:] = jnp.transpose(
+        mb.reshape(W, bn // 4, 4), (1, 2, 0)
+    ).reshape(bn // 4, 4 * W)
+    pend_ref[0, :] = pend.astype(jnp.float32)
+    for r in range(1, 8):
+        pend_ref[r, :] = jnp.zeros_like(mrows[0])
+
+
+def _kernel_a_mh_packed(scal_ref, m_ref, xi_ref, out_ref, s_ref):
+    """packed-carry kernel A + hop-1 state flags."""
+    bn4 = m_ref.shape[0]
+    mb = jnp.transpose(
+        m_ref[:].reshape(bn4, 4, LAYOUT_TET.width), (2, 0, 1)
+    ).reshape(LAYOUT_TET.width, bn4 * 4)
+    out = _a_compute(scal_ref, lambda r: mb[r], xi_ref)
+    for r in range(HEAD_W):
+        out_ref[r, :] = out[r]
+    s_ref[S_TET, :] = mb[TET]
+    s_ref[S_UNRES, :] = out[HMV]
+    s_ref[S_WALL, :] = out[HWALL]
+    s_ref[S_WSLOT, :] = out[HSLOT]
+    s_ref[S_MV, :] = out[HMV]
+    s_ref[S_IDX, :] = out[HIDX]
+    for k in range(S_IDX + 1, S_W):
+        s_ref[k, :] = jnp.zeros_like(out[0])
 
 
 def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
