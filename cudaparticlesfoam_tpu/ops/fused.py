@@ -842,8 +842,11 @@ def mega_cycle_packed(mesh: TetMesh, m_rm, rng_key, step, cfg, dt):
     tab = row_table(mesh, ly)
     n_hops = max(int(getattr(cfg, "inline_hops", 1)), 1)
     chunks = max(int(getattr(cfg, "cycle_chunks", 1)), 1)
-    per = -(-(n // BLOCK) // chunks) * BLOCK
-    if chunks > 1 and per < n and per >= 64 * BLOCK:
+    # chunk boundaries must tile whole pallas blocks (grouped lane order
+    # is per-block; see fused_pallas.PACK_LANES)
+    pk = fused_pallas.PACK_LANES
+    per = -(-(n // pk) // chunks) * pk
+    if chunks > 1 and per < n and per >= pk:
         noise = (
             _brownian_noise(rng_key, step, n, m_rm.dtype, cfg)
             if cfg.use_brownian else None

@@ -63,6 +63,66 @@ BN_B = 8192         # kernel B: (32+20+16+32+8) cols x 8k x 4 B x 2 ≈ 7.1 MB
 HPX, HPY, HPZ, HVX, HVY, HVZ, HACT, HIDX, HMV, HWALL, HSLOT, HTET = range(12)
 HEAD_W = 16         # padded to a sublane multiple
 
+# the packed-carry path requires the lane count to be a multiple of one
+# pallas block (the in-kernel unpack produces GROUPED lane order per
+# block, and the XLA-side xi/pend permutes must tile the same blocks)
+PACK_LANES = BN_B
+
+# auto-engine crossover: below this, the padding to a full block plus the
+# in-VMEM grouped transposes outweigh the copy-pair saving (measured:
+# 1M/hops=1 packed +4.6%, 100k/hops=4 packed -13%); explicit
+# engine_impl='pallas_packed' overrides
+PACK_MIN_LANES = 48 * PACK_LANES          # ~393k
+
+
+def _unpack_grouped(m_ref, W):
+    """Packed block [bn4, 4W] -> W mega rows [W, 4*bn4] in GROUPED lane
+    order (position q*bn4 + i holds natural in-block lane 4i + q).
+
+    Mosaic cannot split the lane dim of a vector (the naive
+    reshape(bn4, 4, W) dies with "unsupported shape cast"), but a 2D
+    transpose followed by sublane-major-only reshapes is supported and
+    bit-exact (probed on hardware): the reshape splits 4W sublanes into
+    (4, W), the (1,0,2) transpose is a vreg-row shuffle, and the final
+    merge folds the 4-axis into lane blocks of bn4 (a relabel, since
+    bn4 is a multiple of 128)."""
+    bn4 = m_ref.shape[0]
+    mt = m_ref[:].T                                   # [4W, bn4]
+    return mt.reshape(4, W, bn4).transpose(1, 0, 2).reshape(W, 4 * bn4)
+
+
+def _pack_grouped(mrows):
+    """Inverse of :func:`_unpack_grouped`: W grouped lane rows -> the
+    packed [bn4, 4W] block."""
+    W = len(mrows)
+    bn = mrows[0].shape[0]
+    bn4 = bn // 4
+    mb = jnp.stack(mrows, axis=0)                     # [W, bn]
+    return mb.reshape(W, 4, bn4).transpose(1, 0, 2).reshape(4 * W, bn4).T
+
+
+def to_grouped(x, bn: int = PACK_LANES):
+    """XLA-side lane permute matching the kernels' grouped order, applied
+    per bn-lane block along the LAST axis (requires n % bn == 0)."""
+    s = x.shape[:-1]
+    nblk = x.shape[-1] // bn
+    return (
+        x.reshape(*s, nblk, bn // 4, 4)
+        .swapaxes(-1, -2)
+        .reshape(*s, nblk * bn)
+    )
+
+
+def from_grouped(x, bn: int = PACK_LANES):
+    """Inverse of :func:`to_grouped`."""
+    s = x.shape[:-1]
+    nblk = x.shape[-1] // bn
+    return (
+        x.reshape(*s, nblk, 4, bn // 4)
+        .swapaxes(-1, -2)
+        .reshape(*s, nblk * bn)
+    )
+
 
 def _bary_rows(a0, a1, a2, t, px, py, pz):
     """Barycentric components vs a row-sliced tet cache.
@@ -168,12 +228,11 @@ def _kernel_a(scal_ref, m_ref, xi_ref, out_ref):
 
 
 def _kernel_a_packed(scal_ref, m_ref, xi_ref, out_ref):
-    """kernel A on a packed [BN/4, 128] mega block: unpack in VMEM
-    (3D transpose), then the shared compute."""
-    bn4 = m_ref.shape[0]
-    mb = jnp.transpose(
-        m_ref[:].reshape(bn4, 4, LAYOUT_TET.width), (2, 0, 1)
-    ).reshape(LAYOUT_TET.width, bn4 * 4)
+    """kernel A on a packed [BN/4, 128] mega block: in-VMEM unpack to
+    GROUPED lane order, then the shared compute.  ``xi_ref`` and the head
+    output are in the same grouped order (the caller permutes xi with
+    :func:`to_grouped`)."""
+    mb = _unpack_grouped(m_ref, LAYOUT_TET.width)
     out = _a_compute(scal_ref, lambda r: mb[r], xi_ref)
     for r in range(HEAD_W):
         out_ref[r, :] = out[r]
@@ -272,15 +331,11 @@ def _kernel_b(scal_ref, rows_ref, head_ref, out_ref, pend_ref):
 
 
 def _kernel_b_packed(scal_ref, rows_ref, head_ref, out_ref, pend_ref):
-    """kernel B writing the packed [BN/4, 128] mega block (3D transpose
-    pack in VMEM)."""
+    """kernel B writing the packed [BN/4, 128] mega block (in-VMEM
+    grouped pack); ``rows_ref``/``head_ref``/``pend_ref`` are in grouped
+    lane order (the caller un-permutes pend with :func:`from_grouped`)."""
     mrows, pend = _b_compute(scal_ref, rows_ref, head_ref)
-    W = LAYOUT_TET.width
-    bn = mrows[0].shape[0]
-    mb = jnp.stack(mrows, axis=0)            # [W, BN]
-    out_ref[:] = jnp.transpose(
-        mb.reshape(W, bn // 4, 4), (1, 2, 0)
-    ).reshape(bn // 4, 4 * W)
+    out_ref[:] = _pack_grouped(mrows)
     pend_ref[0, :] = pend.astype(jnp.float32)
     for r in range(1, 8):
         pend_ref[r, :] = jnp.zeros_like(mrows[0])
@@ -309,10 +364,15 @@ def supported(mesh, cfg, n_hops: int) -> bool:
 
 
 def packed_supported(mesh, cfg, n_hops: int) -> bool:
-    """Envelope for the packed-carry cycle (kills the rare-stage layout
-    copy pair).  OPT-IN via engine_impl='pallas_packed' until the Mosaic
-    in-VMEM 3D transposes are verified/measured on hardware."""
-    if getattr(cfg, "engine_impl", "auto") != "pallas_packed":
+    """Envelope for the packed-carry cycle — the DEFAULT TPU path: the
+    mega rides the sub-cycling loop in its row-major packed form, so the
+    per-cycle {0,1}<->{1,0} layout copy pair around the rare stage
+    (~1.9 ms at 1M lanes) disappears.  Measured 15.56 -> 14.87 ms/cycle
+    on the 1M headline (the in-VMEM grouped transposes and the xi/pend
+    lane permutes give back ~1.2 ms of the 1.9); bit-identical to the
+    jnp engine on hardware, incl. ragged lane counts and hops=4.
+    engine_impl='pallas' forces the transposed-view kernels instead."""
+    if getattr(cfg, "engine_impl", "auto") not in ("auto", "pallas_packed"):
         return False
     if not (1 <= n_hops <= 8) or getattr(cfg, "escape_faces", False):
         return False
@@ -335,7 +395,12 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
     """Packed-carry stream section: kernel A/B read and write the mega as
     its row-major [n/4, 128] bytes (in-VMEM pack/unpack transposes), so
     the XLA rare stage and the cycle carry share ONE layout.  For
-    n_hops > 1 the skinny hop chain runs between the packed A and B2."""
+    n_hops > 1 the skinny hop chain runs between the packed A and B2.
+
+    The kernels operate in GROUPED lane order per pallas block (see
+    :func:`_unpack_grouped`); xi enters and pend leaves through the
+    cheap XLA-side :func:`to_grouped`/:func:`from_grouped` permutes, and
+    the caller guarantees ``n % PACK_LANES == 0``."""
     n4, W4 = m_rm.shape
     n = n4 * 4
     W = W4 // 4
@@ -344,7 +409,9 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
         xi = noise if noise is not None else _brownian_noise(
             rng_key, step, n, m_rm.dtype, cfg
         )
-    xiT = xi.T if xi is not None else jnp.zeros((3, n), m_rm.dtype)
+    xiT = to_grouped(
+        xi.T if xi is not None else jnp.zeros((3, n), m_rm.dtype)
+    )
     scal = jnp.asarray(
         [
             dt,
@@ -394,7 +461,7 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
                 pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=vm),
             ),
         )(scal_b, rows_g.T, head)
-        return m_rm_new, pendT[0, :] > 0.5
+        return m_rm_new, from_grouped(pendT[0, :]) > 0.5
 
     # multi-hop: packed A -> (gather -> H) x (k-1) -> gather -> packed B2
     head, st = pl.pallas_call(
@@ -453,7 +520,7 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
             pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=vm),
         ),
     )(scal_b, st, rows_g.T, head)
-    return m_rm_new, pendT[0, :] > 0.5
+    return m_rm_new, from_grouped(pendT[0, :]) > 0.5
 
 
 def stream_pre_hop(m, xi, cfg, dt):
@@ -672,23 +739,15 @@ def _kernel_b2(scal_ref, s_ref, rows_ref, head_ref, out_ref, pend_ref):
 
 def _kernel_b2_packed(scal_ref, s_ref, rows_ref, head_ref, out_ref, pend_ref):
     mrows, pend = _b2_compute(scal_ref, s_ref, rows_ref, head_ref)
-    W = LAYOUT_TET.width
-    bn = mrows[0].shape[0]
-    mb = jnp.stack(mrows, axis=0)
-    out_ref[:] = jnp.transpose(
-        mb.reshape(W, bn // 4, 4), (1, 2, 0)
-    ).reshape(bn // 4, 4 * W)
+    out_ref[:] = _pack_grouped(mrows)
     pend_ref[0, :] = pend.astype(jnp.float32)
     for r in range(1, 8):
         pend_ref[r, :] = jnp.zeros_like(mrows[0])
 
 
 def _kernel_a_mh_packed(scal_ref, m_ref, xi_ref, out_ref, s_ref):
-    """packed-carry kernel A + hop-1 state flags."""
-    bn4 = m_ref.shape[0]
-    mb = jnp.transpose(
-        m_ref[:].reshape(bn4, 4, LAYOUT_TET.width), (2, 0, 1)
-    ).reshape(LAYOUT_TET.width, bn4 * 4)
+    """packed-carry kernel A + hop-1 state flags (grouped lane order)."""
+    mb = _unpack_grouped(m_ref, LAYOUT_TET.width)
     out = _a_compute(scal_ref, lambda r: mb[r], xi_ref)
     for r in range(HEAD_W):
         out_ref[r, :] = out[r]

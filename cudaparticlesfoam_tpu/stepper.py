@@ -224,14 +224,23 @@ def _run_cycles_impl(
         from .ops import fused_pallas
 
         n_hops = max(int(getattr(cfg, "inline_hops", 1)), 0)
-        if ly is fused.LAYOUT_TET and fused_pallas.packed_supported(
-            mesh, cfg, n_hops
+        if (
+            ly is fused.LAYOUT_TET
+            and fused_pallas.packed_supported(mesh, cfg, n_hops)
+            and (
+                m0.shape[0] >= fused_pallas.PACK_MIN_LANES
+                or getattr(cfg, "engine_impl", "auto") == "pallas_packed"
+            )
         ):
             # packed-carry fast path: the mega rides the whole sub-cycling
             # loop as its row-major [n/4, 128] bytes — one pack/unpack per
-            # run_cycles call instead of a layout copy pair per cycle
+            # run_cycles call instead of a layout copy pair per cycle.
+            # Lane count padded to a full pallas block: the in-kernel
+            # grouped unpack scatters a partial block's lanes out of range
+            # (fused_pallas.PACK_LANES docs).  Zero-padded lanes are
+            # benign: act=0, tet=0 with a zero row never goes pending.
             n0 = m0.shape[0]
-            pad = (-n0) % fused.BLOCK
+            pad = (-n0) % fused_pallas.PACK_LANES
             if pad:
                 m0 = jnp.pad(m0, ((0, pad), (0, 0)))
             m_rm0 = m0.reshape(-1, 4 * ly.width)

@@ -142,6 +142,79 @@ def test_pallas_multihop_bit_parity_with_jnp():
     )
 
 
+def test_packed_logic_matches_jnp_interpret():
+    """Interpret-mode check of the packed-carry cycle (grouped in-VMEM
+    pack/unpack + packed rare stage) against the jitted jnp engine —
+    discrete state exact, floats to fusion ulps (the on-TPU test below
+    is the strong bit-parity check)."""
+    import dataclasses as dc
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaparticlesfoam_tpu.ops import locate as locate_ops
+
+    if jax.config.read("jax_enable_x64"):
+        jax.config.update("jax_enable_x64", False)
+        try:
+            return test_packed_logic_matches_jnp_interpret()
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    mesh = box_mesh(8, 8, 8)
+    n = fused_pallas.PACK_LANES          # one full pallas block
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.uniform(0.5, 7.5, (n, 3)), jnp.float32)
+    loc = locate_ops.build_grid_locator(mesh)
+    tet = locate_ops.locate_seeds(mesh, loc, pos)
+    m0 = fused.pack_state(mesh, pos, jnp.zeros((n, 3), jnp.float32), tet,
+                          jnp.ones(n, bool))
+    key = jax.random.PRNGKey(1)
+
+    for hops, dt in ((1, 0.15), (4, 0.9)):
+        cfg = StepConfig(dt=dt, diffusion_coeff=5e-3, inline_hops=hops,
+                         walk_capacity_frac=0.25, brownian_rng="rbg")
+        mj = np.asarray(jax.jit(
+            lambda m, c=dc.replace(cfg, engine_impl="jnp"), d=dt:
+            fused.mega_cycle(mesh, m, key, 3, c, d)
+        )(m0))
+        with pltpu.force_tpu_interpret_mode():
+            m_rm = fused.mega_cycle_packed(
+                mesh, m0.reshape(-1, 4 * fused.LAYOUT_TET.width), key, 3,
+                dc.replace(cfg, engine_impl="pallas_packed"), dt)
+        mp = np.asarray(m_rm).reshape(-1, fused.LAYOUT_TET.width)
+        np.testing.assert_array_equal(mj[:, 6], mp[:, 6])   # tet ids
+        np.testing.assert_array_equal(mj[:, 7], mp[:, 7])   # active
+        np.testing.assert_allclose(mj[:, :6], mp[:, :6], atol=2e-6)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="pallas kernels need a TPU backend")
+def test_packed_bit_parity_with_jnp():
+    """On-TPU: the packed-carry default path must reproduce the jnp
+    engine bit-for-bit — aligned and ragged (padded) lane counts, hop-1
+    and multi-hop."""
+    import dataclasses as dc
+
+    from cudaparticlesfoam_tpu.ops import locate as locate_ops
+
+    mesh = box_mesh(10, 10, 10)
+    for n, hops, dt in ((4 * 8192, 1, 0.15), (60_000, 4, 0.6)):
+        rng = np.random.default_rng(9)
+        pos = jnp.asarray(rng.uniform(0.6, 9.4, (n, 3)), mesh.dtype)
+        st = statelib.make_state(pos)
+        loc = locate_ops.build_grid_locator(mesh)
+        st = dataclasses.replace(
+            st, tet_id=locate_ops.locate_seeds(mesh, loc, st.pos)
+        )
+        cfg = StepConfig(dt=dt, diffusion_coeff=2e-3, inline_hops=hops,
+                         walk_capacity_frac=0.25, brownian_rng="rbg")
+        out_j = run_cycles(mesh, st, dc.replace(cfg, engine_impl="jnp"), 10)
+        out_p = run_cycles(
+            mesh, st, dc.replace(cfg, engine_impl="pallas_packed"), 10)
+        np.testing.assert_array_equal(np.asarray(out_j.pos), np.asarray(out_p.pos))
+        np.testing.assert_array_equal(np.asarray(out_j.vel), np.asarray(out_p.vel))
+        np.testing.assert_array_equal(
+            np.asarray(out_j.tet_id), np.asarray(out_p.tet_id))
+
+
 @pytest.mark.skipif(not _on_tpu(), reason="pallas kernels need a TPU backend")
 def test_pallas_bit_parity_with_jnp():
     """10 cycles, same seed state: the pallas stream path must reproduce
