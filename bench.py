@@ -86,13 +86,15 @@ def run_config(name, n_side, n_particles, dt, n_cycles, diffusion=1e-3,
         t0 = time.perf_counter()
         mesh = with_convex_rows(mesh)
         log(f"convex rows built ({time.perf_counter()-t0:.1f}s)")
-    # hardware bit-generator Brownian noise: statistically equivalent
+    # in-kernel hardware-PRNG Brownian noise: statistically equivalent
     # normals (the reference's curand is equally non-bit-matching,
-    # particles.cu:551-599); saves ~0.8 ms/cycle of threefry VPU work
+    # particles.cu:551-599), generated inside the pallas stream kernel —
+    # no separate XLA noise stream, no xi lane permute (~1.6 ms/cycle at
+    # 1M); degrades to the XLA "rbg" stream off the pallas paths
     cfg = suggest_tuning(
         mesh, StepConfig(dt=dt, diffusion_coeff=diffusion,
-                         brownian_rng="rbg", locate_mode=locate_mode), dt,
-        n_particles=n_particles,
+                         brownian_rng="rbg_kernel", locate_mode=locate_mode),
+        dt, n_particles=n_particles,
     )
     log(f"[{name}] tuned: inline_hops={cfg.inline_hops} "
         f"walk_capacity_frac={cfg.walk_capacity_frac:.4f}")

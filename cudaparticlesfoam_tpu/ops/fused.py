@@ -163,7 +163,10 @@ def _brownian_noise(rng_key, step, n, dtype, cfg):
     VPU passes cheaper per cycle; keyed by (rng_key, step) so runs stay
     reproducible on the same backend.
     """
-    if getattr(cfg, "brownian_rng", "threefry") == "rbg":
+    # "rbg_kernel" (in-kernel hardware PRNG, fused_pallas._inkernel_noise)
+    # only exists on the pallas paths; everywhere else it degrades to the
+    # XLA "rbg" stream (statistically equivalent, different bits)
+    if getattr(cfg, "brownian_rng", "threefry") in ("rbg", "rbg_kernel"):
         k4 = jnp.concatenate(
             [
                 jnp.asarray(rng_key, jnp.uint32).reshape(-1)[:2],
@@ -457,9 +460,12 @@ def mega_cycle(mesh: TetMesh, m, rng_key, step, cfg, dt):
     per = -(-(n // BLOCK) // chunks) * BLOCK
     if chunks <= 1 or per >= n or per < 64 * BLOCK:
         return _mega_cycle_aligned(mesh, m, rng_key, step, cfg, dt)
+    from . import fused_pallas
+
+    inoise = fused_pallas._use_inkernel_noise(cfg)
     noise = (
         _brownian_noise(rng_key, step, n, m.dtype, cfg)
-        if cfg.use_brownian else None
+        if (cfg.use_brownian and not inoise) else None
     )
     outs = []
     for c in range(chunks):
@@ -471,12 +477,14 @@ def mega_cycle(mesh: TetMesh, m, rng_key, step, cfg, dt):
             _mega_cycle_aligned(
                 mesh, m[lo:hi], rng_key, step, cfg, dt,
                 noise=None if noise is None else noise[lo:hi],
+                lane_offset=lo,
             )
         )
     return jnp.concatenate(outs, axis=0)
 
 
-def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt, noise=None):
+def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt, noise=None,
+                        lane_offset=0):
     n = m.shape[0]
     nb = n // BLOCK
     ly = layout_for(cfg)
@@ -494,11 +502,13 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt, noise=None):
         # below is shared.  See ops/fused_pallas.py.
         if n_hops_cfg == 1:
             m, pending = fused_pallas.pre_rare_cycle(
-                mesh, tab, m, rng_key, step, cfg, dt, noise=noise
+                mesh, tab, m, rng_key, step, cfg, dt, noise=noise,
+                lane_offset=lane_offset,
             )
         else:
             m, pending = fused_pallas.pre_rare_cycle_multihop(
-                mesh, tab, m, rng_key, step, cfg, dt, n_hops_cfg, noise=noise
+                mesh, tab, m, rng_key, step, cfg, dt, n_hops_cfg, noise=noise,
+                lane_offset=lane_offset,
             )
         return _rare_stage(mesh, tab, m, pending, cfg, ly, n, nb, W)
 
@@ -847,9 +857,10 @@ def mega_cycle_packed(mesh: TetMesh, m_rm, rng_key, step, cfg, dt):
     pk = fused_pallas.PACK_LANES
     per = -(-(n // pk) // chunks) * pk
     if chunks > 1 and per < n and per >= pk:
+        inoise = fused_pallas._use_inkernel_noise(cfg)
         noise = (
             _brownian_noise(rng_key, step, n, m_rm.dtype, cfg)
-            if cfg.use_brownian else None
+            if (cfg.use_brownian and not inoise) else None
         )
         outs = []
         for c in range(chunks):
@@ -860,7 +871,7 @@ def mega_cycle_packed(mesh: TetMesh, m_rm, rng_key, step, cfg, dt):
             mc, pend = fused_pallas.pre_rare_cycle_packed(
                 mesh, tab, m_rm[lo // 4 : hi // 4], rng_key, step, cfg, dt,
                 noise=None if noise is None else noise[lo:hi],
-                n_hops=n_hops,
+                n_hops=n_hops, lane_offset=lo,
             )
             outs.append(
                 _rare_stage_packed(

@@ -124,6 +124,54 @@ def from_grouped(x, bn: int = PACK_LANES):
     )
 
 
+def _inkernel_noise(iscal_ref, bn):
+    """In-kernel Brownian normals (jnp [3, bn]) from the TPU hardware
+    PRNG — ``brownian_rng="rbg_kernel"`` (opt-in): removes the XLA-side
+    bit generation + Box-Muller stream and (on the packed path) the xi
+    lane permute.  Same full-pair Box-Muller construction as
+    fused._brownian_noise's "rbg" mode but a DIFFERENT stream (the
+    hardware PRNG is not counter-based): runs are reproducible for a
+    fixed (key, step, lane span) on the same backend, but never
+    bit-comparable with the XLA-noise engines.  Seeded by
+    (mix(key, step), global lane offset of the block) so sub-batch
+    chunks stay decorrelated; NOT safe under replicated-key particle-DP
+    (each shard would repeat the stream) — ParticleEngine downgrades it
+    to "rbg" there."""
+    pltpu.prng_seed(
+        iscal_ref[0], iscal_ref[1] + pl.program_id(0) * jnp.int32(bn)
+    )
+    bits = pltpu.prng_random_bits((4, bn))          # int32 semantics
+    # signed bits * 2^-32 + (0.5 + 2^-33) covers (0, 1) exactly like the
+    # XLA path's unsigned formula
+    u = bits.astype(jnp.float32) * (1.0 / 4294967296.0) + jnp.float32(
+        0.5 + 0.5 / 4294967296.0
+    )
+    r0 = jnp.sqrt(-2.0 * jnp.log(u[0]))
+    r1 = jnp.sqrt(-2.0 * jnp.log(u[1]))
+    a0 = (2.0 * jnp.pi) * u[2]
+    a1 = (2.0 * jnp.pi) * u[3]
+    return jnp.stack([r0 * jnp.cos(a0), r0 * jnp.sin(a0), r1 * jnp.cos(a1)])
+
+
+def _noise_iscal(rng_key, step, lane_offset):
+    """SMEM int32 [mix(key, step), lane_offset] for _inkernel_noise."""
+    kk = jnp.asarray(rng_key, jnp.uint32).reshape(-1)[:2]
+    mix = (
+        kk[0] * jnp.uint32(2654435761)
+        + kk[1] * jnp.uint32(40503)
+        + jnp.asarray(step, jnp.uint32) * jnp.uint32(2246822519)
+    )
+    return jax.lax.bitcast_convert_type(
+        jnp.stack([mix, jnp.uint32(lane_offset)]), jnp.int32
+    )
+
+
+def _use_inkernel_noise(cfg) -> bool:
+    return bool(cfg.use_brownian) and (
+        getattr(cfg, "brownian_rng", "threefry") == "rbg_kernel"
+    )
+
+
 def _bary_rows(a0, a1, a2, t, px, py, pz):
     """Barycentric components vs a row-sliced tet cache.
 
@@ -227,6 +275,14 @@ def _kernel_a(scal_ref, m_ref, xi_ref, out_ref):
         out_ref[r, :] = out[r]
 
 
+def _kernel_a_k(scal_ref, iscal_ref, m_ref, out_ref):
+    """:_kernel_a: with hardware-PRNG in-kernel noise (rbg_kernel)."""
+    xi = _inkernel_noise(iscal_ref, m_ref.shape[1])
+    out = _a_compute(scal_ref, lambda r: m_ref[r, :], xi)
+    for r in range(HEAD_W):
+        out_ref[r, :] = out[r]
+
+
 def _kernel_a_packed(scal_ref, m_ref, xi_ref, out_ref):
     """kernel A on a packed [BN/4, 128] mega block: in-VMEM unpack to
     GROUPED lane order, then the shared compute.  ``xi_ref`` and the head
@@ -234,6 +290,16 @@ def _kernel_a_packed(scal_ref, m_ref, xi_ref, out_ref):
     :func:`to_grouped`)."""
     mb = _unpack_grouped(m_ref, LAYOUT_TET.width)
     out = _a_compute(scal_ref, lambda r: mb[r], xi_ref)
+    for r in range(HEAD_W):
+        out_ref[r, :] = out[r]
+
+
+def _kernel_a_packed_k(scal_ref, iscal_ref, m_ref, out_ref):
+    """:_kernel_a_packed: with in-kernel noise — iid per lane, so no
+    permute is needed at all (the grouped order IS the stream order)."""
+    mb = _unpack_grouped(m_ref, LAYOUT_TET.width)
+    xi = _inkernel_noise(iscal_ref, m_ref.shape[0] * 4)
+    out = _a_compute(scal_ref, lambda r: mb[r], xi)
     for r in range(HEAD_W):
         out_ref[r, :] = out[r]
 
@@ -391,7 +457,7 @@ def packed_supported(mesh, cfg, n_hops: int) -> bool:
 
 
 def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
-                          noise=None, n_hops: int = 1):
+                          noise=None, n_hops: int = 1, lane_offset=0):
     """Packed-carry stream section: kernel A/B read and write the mega as
     its row-major [n/4, 128] bytes (in-VMEM pack/unpack transposes), so
     the XLA rare stage and the cycle carry share ONE layout.  For
@@ -405,19 +471,25 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
     n = n4 * 4
     W = W4 // 4
     xi = None
-    if cfg.use_brownian:
-        xi = noise if noise is not None else _brownian_noise(
-            rng_key, step, n, m_rm.dtype, cfg
+    iscal = None
+    if _use_inkernel_noise(cfg):
+        iscal = _noise_iscal(rng_key, step, lane_offset)
+        xiT = None
+    else:
+        if cfg.use_brownian:
+            xi = noise if noise is not None else _brownian_noise(
+                rng_key, step, n, m_rm.dtype, cfg
+            )
+        xiT = to_grouped(
+            xi.T if xi is not None else jnp.zeros((3, n), m_rm.dtype)
         )
-    xiT = to_grouped(
-        xi.T if xi is not None else jnp.zeros((3, n), m_rm.dtype)
-    )
     scal = jnp.asarray(
         [
             dt,
             jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(m_rm.dtype),
             1.0 if cfg.use_advection else 0.0,
-            1.0 if (cfg.use_brownian and xi is not None) else 0.0,
+            1.0 if (cfg.use_brownian and (xi is not None or iscal is not None))
+            else 0.0,
         ],
         m_rm.dtype,
     )
@@ -428,19 +500,39 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
         m_rm.dtype,
     )
     if n_hops == 1:
-        head = pl.pallas_call(
-            _kernel_a_packed,
-            out_shape=jax.ShapeDtypeStruct((HEAD_W, n), m_rm.dtype),
-            grid=(pl.cdiv(n, BN_B),),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0), memory_space=vm),
-                pl.BlockSpec((3, BN_B), lambda i: (0, i), memory_space=vm),
-            ],
-            out_specs=pl.BlockSpec(
-                (HEAD_W, BN_B), lambda i: (0, i), memory_space=vm
-            ),
-        )(scal, m_rm, xiT)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        if iscal is not None:
+            head = pl.pallas_call(
+                _kernel_a_packed_k,
+                out_shape=jax.ShapeDtypeStruct((HEAD_W, n), m_rm.dtype),
+                grid=(pl.cdiv(n, BN_B),),
+                in_specs=[
+                    smem,
+                    smem,
+                    pl.BlockSpec(
+                        (BN_B // 4, W4), lambda i: (i, 0), memory_space=vm
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (HEAD_W, BN_B), lambda i: (0, i), memory_space=vm
+                ),
+            )(scal, iscal, m_rm)
+        else:
+            head = pl.pallas_call(
+                _kernel_a_packed,
+                out_shape=jax.ShapeDtypeStruct((HEAD_W, n), m_rm.dtype),
+                grid=(pl.cdiv(n, BN_B),),
+                in_specs=[
+                    smem,
+                    pl.BlockSpec(
+                        (BN_B // 4, W4), lambda i: (i, 0), memory_space=vm
+                    ),
+                    pl.BlockSpec((3, BN_B), lambda i: (0, i), memory_space=vm),
+                ],
+                out_specs=pl.BlockSpec(
+                    (HEAD_W, BN_B), lambda i: (0, i), memory_space=vm
+                ),
+            )(scal, m_rm, xiT)
         rows_g = tab[head[HIDX, :].astype(jnp.int32)]
         m_rm_new, pendT = pl.pallas_call(
             _kernel_b_packed,
@@ -461,26 +553,46 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
                 pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=vm),
             ),
         )(scal_b, rows_g.T, head)
-        return m_rm_new, from_grouped(pendT[0, :]) > 0.5
+        return m_rm_new, from_grouped(pendT[0, :] > 0.5)
 
     # multi-hop: packed A -> (gather -> H) x (k-1) -> gather -> packed B2
-    head, st = pl.pallas_call(
-        _kernel_a_mh_packed,
-        out_shape=(
-            jax.ShapeDtypeStruct((HEAD_W, n), m_rm.dtype),
-            jax.ShapeDtypeStruct((S_W, n), m_rm.dtype),
-        ),
-        grid=(pl.cdiv(n, BN_B),),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0), memory_space=vm),
-            pl.BlockSpec((3, BN_B), lambda i: (0, i), memory_space=vm),
-        ],
-        out_specs=(
-            pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
-            pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
-        ),
-    )(scal, m_rm, xiT)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape_a = (
+        jax.ShapeDtypeStruct((HEAD_W, n), m_rm.dtype),
+        jax.ShapeDtypeStruct((S_W, n), m_rm.dtype),
+    )
+    out_specs_a = (
+        pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
+        pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
+    )
+    if iscal is not None:
+        head, st = pl.pallas_call(
+            _kernel_a_mh_packed_k,
+            out_shape=out_shape_a,
+            grid=(pl.cdiv(n, BN_B),),
+            in_specs=[
+                smem,
+                smem,
+                pl.BlockSpec(
+                    (BN_B // 4, W4), lambda i: (i, 0), memory_space=vm
+                ),
+            ],
+            out_specs=out_specs_a,
+        )(scal, iscal, m_rm)
+    else:
+        head, st = pl.pallas_call(
+            _kernel_a_mh_packed,
+            out_shape=out_shape_a,
+            grid=(pl.cdiv(n, BN_B),),
+            in_specs=[
+                smem,
+                pl.BlockSpec(
+                    (BN_B // 4, W4), lambda i: (i, 0), memory_space=vm
+                ),
+                pl.BlockSpec((3, BN_B), lambda i: (0, i), memory_space=vm),
+            ],
+            out_specs=out_specs_a,
+        )(scal, m_rm, xiT)
     for _h in range(n_hops - 1):
         rows_g = tab[st[S_IDX, :].astype(jnp.int32)]
         st = pl.pallas_call(
@@ -520,14 +632,15 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
             pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=vm),
         ),
     )(scal_b, st, rows_g.T, head)
-    return m_rm_new, from_grouped(pendT[0, :]) > 0.5
+    return m_rm_new, from_grouped(pendT[0, :] > 0.5)
 
 
-def stream_pre_hop(m, xi, cfg, dt):
-    """Kernel A over the transposed mega; returns the [16, n] head."""
+def stream_pre_hop(m, xi, cfg, dt, iscal=None):
+    """Kernel A over the transposed mega; returns the [16, n] head.
+    ``iscal`` (from :func:`_noise_iscal`) selects the in-kernel-noise
+    variant instead of the xi operand."""
     n, W = m.shape
     mT = m.T
-    xiT = xi.T if xi is not None else jnp.zeros((3, n), m.dtype)
     scal = jnp.asarray(
         [
             dt,
@@ -535,21 +648,39 @@ def stream_pre_hop(m, xi, cfg, dt):
             # one rounding): a pre-rounded dt differs in the last ulp
             jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(m.dtype),
             1.0 if cfg.use_advection else 0.0,
-            1.0 if (cfg.use_brownian and xi is not None) else 0.0,
+            1.0 if (cfg.use_brownian and (xi is not None or iscal is not None))
+            else 0.0,
         ],
         m.dtype,
     )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmA = pltpu.VMEM
+    if iscal is not None:
+        return pl.pallas_call(
+            _kernel_a_k,
+            out_shape=jax.ShapeDtypeStruct((HEAD_W, n), m.dtype),
+            grid=(pl.cdiv(n, BN_A),),
+            in_specs=[
+                smem,
+                smem,
+                pl.BlockSpec((W, BN_A), lambda i: (0, i), memory_space=vmA),
+            ],
+            out_specs=pl.BlockSpec(
+                (HEAD_W, BN_A), lambda i: (0, i), memory_space=vmA
+            ),
+        )(scal, iscal, mT)
+    xiT = xi.T if xi is not None else jnp.zeros((3, n), m.dtype)
     head = pl.pallas_call(
         _kernel_a,
         out_shape=jax.ShapeDtypeStruct((HEAD_W, n), m.dtype),
         grid=(pl.cdiv(n, BN_A),),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((W, BN_A), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BN_A), lambda i: (0, i), memory_space=pltpu.VMEM),
+            smem,
+            pl.BlockSpec((W, BN_A), lambda i: (0, i), memory_space=vmA),
+            pl.BlockSpec((3, BN_A), lambda i: (0, i), memory_space=vmA),
         ],
         out_specs=pl.BlockSpec(
-            (HEAD_W, BN_A), lambda i: (0, i), memory_space=pltpu.VMEM
+            (HEAD_W, BN_A), lambda i: (0, i), memory_space=vmA
         ),
     )(scal, mT, xiT)
     return head
@@ -610,6 +741,19 @@ def _kernel_a_mh(scal_ref, m_ref, xi_ref, out_ref, s_ref):
     _kernel_a(scal_ref, m_ref, xi_ref, out_ref)
     s_ref[S_TET, :] = m_ref[TET, :]
     s_ref[S_UNRES, :] = out_ref[HMV, :]      # placeholder; H overwrites
+    s_ref[S_WALL, :] = out_ref[HWALL, :]
+    s_ref[S_WSLOT, :] = out_ref[HSLOT, :]
+    s_ref[S_MV, :] = out_ref[HMV, :]
+    s_ref[S_IDX, :] = out_ref[HIDX, :]
+    for k in range(S_IDX + 1, S_W):
+        s_ref[k, :] = jnp.zeros_like(s_ref[0, :])
+
+
+def _kernel_a_mh_k(scal_ref, iscal_ref, m_ref, out_ref, s_ref):
+    """:_kernel_a_mh: with in-kernel noise."""
+    _kernel_a_k(scal_ref, iscal_ref, m_ref, out_ref)
+    s_ref[S_TET, :] = m_ref[TET, :]
+    s_ref[S_UNRES, :] = out_ref[HMV, :]
     s_ref[S_WALL, :] = out_ref[HWALL, :]
     s_ref[S_WSLOT, :] = out_ref[HSLOT, :]
     s_ref[S_MV, :] = out_ref[HMV, :]
@@ -745,10 +889,9 @@ def _kernel_b2_packed(scal_ref, s_ref, rows_ref, head_ref, out_ref, pend_ref):
         pend_ref[r, :] = jnp.zeros_like(mrows[0])
 
 
-def _kernel_a_mh_packed(scal_ref, m_ref, xi_ref, out_ref, s_ref):
-    """packed-carry kernel A + hop-1 state flags (grouped lane order)."""
-    mb = _unpack_grouped(m_ref, LAYOUT_TET.width)
-    out = _a_compute(scal_ref, lambda r: mb[r], xi_ref)
+def _mh_flags_packed(out, mb, out_ref, s_ref):
+    """Write the head + hop-1 state flags (shared by the packed multihop
+    kernel A variants)."""
     for r in range(HEAD_W):
         out_ref[r, :] = out[r]
     s_ref[S_TET, :] = mb[TET]
@@ -761,18 +904,35 @@ def _kernel_a_mh_packed(scal_ref, m_ref, xi_ref, out_ref, s_ref):
         s_ref[k, :] = jnp.zeros_like(out[0])
 
 
+def _kernel_a_mh_packed(scal_ref, m_ref, xi_ref, out_ref, s_ref):
+    """packed-carry kernel A + hop-1 state flags (grouped lane order)."""
+    mb = _unpack_grouped(m_ref, LAYOUT_TET.width)
+    out = _a_compute(scal_ref, lambda r: mb[r], xi_ref)
+    _mh_flags_packed(out, mb, out_ref, s_ref)
+
+
+def _kernel_a_mh_packed_k(scal_ref, iscal_ref, m_ref, out_ref, s_ref):
+    """:_kernel_a_mh_packed: with in-kernel noise."""
+    mb = _unpack_grouped(m_ref, LAYOUT_TET.width)
+    xi = _inkernel_noise(iscal_ref, m_ref.shape[0] * 4)
+    out = _a_compute(scal_ref, lambda r: mb[r], xi)
+    _mh_flags_packed(out, mb, out_ref, s_ref)
+
+
 def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
-                            noise=None):
+                            noise=None, lane_offset=0):
     """A -> (gather -> H) x (n_hops-1) -> gather -> B2; n_hops gathers in
     total, like the jnp loop.  Returns (m', pending)."""
     n, W = m.shape
     xi = None
-    if cfg.use_brownian:
+    iscal = None
+    if _use_inkernel_noise(cfg):
+        iscal = _noise_iscal(rng_key, step, lane_offset)
+    elif cfg.use_brownian:
         xi = noise if noise is not None else _brownian_noise(
             rng_key, step, n, m.dtype, cfg
         )
     mT = m.T
-    xiT = xi.T if xi is not None else jnp.zeros((3, n), m.dtype)
     scal = jnp.asarray(
         [
             dt,
@@ -780,28 +940,46 @@ def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
             # one rounding): a pre-rounded dt differs in the last ulp
             jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(m.dtype),
             1.0 if cfg.use_advection else 0.0,
-            1.0 if (cfg.use_brownian and xi is not None) else 0.0,
+            1.0 if (cfg.use_brownian and (xi is not None or iscal is not None))
+            else 0.0,
         ],
         m.dtype,
     )
     vm = pltpu.VMEM
-    head, s = pl.pallas_call(
-        _kernel_a_mh,
-        out_shape=(
-            jax.ShapeDtypeStruct((HEAD_W, n), m.dtype),
-            jax.ShapeDtypeStruct((S_W, n), m.dtype),
-        ),
-        grid=(pl.cdiv(n, BN_B),),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((W, BN_B), lambda i: (0, i), memory_space=vm),
-            pl.BlockSpec((3, BN_B), lambda i: (0, i), memory_space=vm),
-        ],
-        out_specs=(
-            pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
-            pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
-        ),
-    )(scal, mT, xiT)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape_a = (
+        jax.ShapeDtypeStruct((HEAD_W, n), m.dtype),
+        jax.ShapeDtypeStruct((S_W, n), m.dtype),
+    )
+    out_specs_a = (
+        pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
+        pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
+    )
+    if iscal is not None:
+        head, s = pl.pallas_call(
+            _kernel_a_mh_k,
+            out_shape=out_shape_a,
+            grid=(pl.cdiv(n, BN_B),),
+            in_specs=[
+                smem,
+                smem,
+                pl.BlockSpec((W, BN_B), lambda i: (0, i), memory_space=vm),
+            ],
+            out_specs=out_specs_a,
+        )(scal, iscal, mT)
+    else:
+        xiT = xi.T if xi is not None else jnp.zeros((3, n), m.dtype)
+        head, s = pl.pallas_call(
+            _kernel_a_mh,
+            out_shape=out_shape_a,
+            grid=(pl.cdiv(n, BN_B),),
+            in_specs=[
+                smem,
+                pl.BlockSpec((W, BN_B), lambda i: (0, i), memory_space=vm),
+                pl.BlockSpec((3, BN_B), lambda i: (0, i), memory_space=vm),
+            ],
+            out_specs=out_specs_a,
+        )(scal, mT, xiT)
     for _h in range(n_hops - 1):
         rows_g = tab[s[S_IDX, :].astype(jnp.int32)]
         s = pl.pallas_call(
@@ -1097,16 +1275,20 @@ def convex_pre_rare_cycle(mesh, tab, m, rng_key, step, cfg, dt):
     return mT_new.T, disp, pendT[0, :] > 0.5
 
 
-def pre_rare_cycle(mesh, tab, m, rng_key, step, cfg, dt, noise=None):
+def pre_rare_cycle(mesh, tab, m, rng_key, step, cfg, dt, noise=None,
+                   lane_offset=0):
     """The pallas replacement for fused.py's stream + inline-hop section:
     returns (m', pending) ready for the (unchanged) XLA rare stage."""
     n = m.shape[0]
     xi = None
-    if cfg.use_brownian:
+    iscal = None
+    if _use_inkernel_noise(cfg):
+        iscal = _noise_iscal(rng_key, step, lane_offset)
+    elif cfg.use_brownian:
         xi = noise if noise is not None else _brownian_noise(
             rng_key, step, n, m.dtype, cfg
         )
-    head = stream_pre_hop(m, xi, cfg, dt)
+    head = stream_pre_hop(m, xi, cfg, dt, iscal=iscal)
     idx = head[HIDX, :].astype(jnp.int32)
     rows_g = tab[idx]                      # the per-index wall, unchanged
     return stream_post_hop(m, rows_g, head, cfg)

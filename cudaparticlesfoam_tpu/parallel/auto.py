@@ -102,6 +102,17 @@ class ParticleEngine:
             )
         if strategy == "dp" and n_dev <= 1:
             strategy = "single"
+        if (
+            strategy != "single"
+            and getattr(cfg, "brownian_rng", "threefry") == "rbg_kernel"
+        ):
+            # the in-kernel hardware PRNG seeds by (key, step, block) with
+            # a replicated key — per-shard streams would repeat under DP /
+            # partitioned execution; the XLA "rbg" stream shards correctly
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, brownian_rng="rbg")
+            self.cfg = cfg
         self.strategy = strategy
         log(
             f"#adv: engine strategy={strategy} devices={n_dev} "

@@ -57,7 +57,10 @@ class StepConfig:
     integrator: str = "euler"
     # Brownian noise source (cached engine): "threefry" = counter-based
     # jax.random, bit-identical to the simple engine; "rbg" = TPU hardware
-    # bit generator + Box-Muller, statistically equivalent and cheaper
+    # bit generator + Box-Muller, statistically equivalent and cheaper;
+    # "rbg_kernel" = the same construction from the hardware PRNG INSIDE
+    # the pallas stream kernel (fastest; single-device pallas paths only —
+    # elsewhere it degrades to "rbg")
     brownian_rng: str = "threefry"
     # full-batch inline walk hops per sub-step before the compacted rare
     # stage takes over: 1 for low-CFL regimes (<~15% of particles cross a

@@ -186,6 +186,80 @@ def test_packed_logic_matches_jnp_interpret():
         np.testing.assert_allclose(mj[:, :6], mp[:, :6], atol=2e-6)
 
 
+def test_rbg_kernel_interpret_and_fallback():
+    """brownian_rng='rbg_kernel': in-kernel hardware-PRNG noise.  On the
+    jnp path it degrades to the XLA 'rbg' stream (CPU-safe); in interpret
+    mode the packed cycle runs and keeps particles in-domain."""
+    import dataclasses as dc
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaparticlesfoam_tpu.ops import locate as locate_ops
+
+    if jax.config.read("jax_enable_x64"):
+        jax.config.update("jax_enable_x64", False)
+        try:
+            return test_rbg_kernel_interpret_and_fallback()
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    mesh = box_mesh(6, 6, 6)
+    n = fused_pallas.PACK_LANES
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(rng.uniform(0.5, 5.5, (n, 3)), jnp.float32)
+    loc = locate_ops.build_grid_locator(mesh)
+    tet = locate_ops.locate_seeds(mesh, loc, pos)
+    m0 = fused.pack_state(mesh, pos, jnp.zeros((n, 3), jnp.float32), tet,
+                          jnp.ones(n, bool))
+    key = jax.random.PRNGKey(1)
+    cfg = StepConfig(dt=0.05, diffusion_coeff=1e-3, inline_hops=1,
+                     brownian_rng="rbg_kernel")
+    # jnp fallback == the XLA rbg stream
+    mj_k = np.asarray(jax.jit(
+        lambda m: fused.mega_cycle(
+            mesh, m, key, 3, dc.replace(cfg, engine_impl="jnp"), 0.05))(m0))
+    mj_r = np.asarray(jax.jit(
+        lambda m: fused.mega_cycle(
+            mesh, m, key, 3,
+            dc.replace(cfg, engine_impl="jnp", brownian_rng="rbg"), 0.05))(m0))
+    np.testing.assert_array_equal(mj_k, mj_r)
+    # interpret-mode packed cycle runs and stays sane
+    with pltpu.force_tpu_interpret_mode():
+        m_rm = fused.mega_cycle_packed(
+            mesh, m0.reshape(-1, 4 * fused.LAYOUT_TET.width), key, 3,
+            dc.replace(cfg, engine_impl="pallas_packed"), 0.05)
+    mp = np.asarray(m_rm).reshape(-1, fused.LAYOUT_TET.width)
+    assert (mp[:, 6] >= 0).all()
+    assert (mp[:, 7] > 0.5).all()
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="pallas kernels need a TPU backend")
+def test_rbg_kernel_stats_on_tpu():
+    """On-TPU: rbg_kernel noise is deterministic and statistically a
+    standard Brownian kick (variance 2 D dt per axis per cycle)."""
+    import dataclasses as dc
+
+    from cudaparticlesfoam_tpu.ops import locate as locate_ops
+
+    mesh = box_mesh(20, 20, 20)
+    n = 8 * 8192
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(rng.uniform(8.0, 12.0, (n, 3)), jnp.float32)
+    st = statelib.make_state(pos)
+    loc = locate_ops.build_grid_locator(mesh)
+    st = dataclasses.replace(
+        st, tet_id=locate_ops.locate_seeds(mesh, loc, st.pos))
+    D, dt, ncyc = 1e-3, 0.5, 20
+    cfg = StepConfig(dt=dt, diffusion_coeff=D, use_advection=False,
+                     brownian_rng="rbg_kernel", engine_impl="pallas_packed")
+    out = run_cycles(mesh, st, cfg, ncyc)
+    d = np.asarray(out.pos) - np.asarray(pos)
+    want = 2 * D * dt * ncyc
+    np.testing.assert_allclose(d.var(axis=0), want, rtol=0.06)
+    assert (np.abs(d.mean(axis=0)) < 4e-3).all()
+    out2 = run_cycles(mesh, st, cfg, ncyc)
+    np.testing.assert_array_equal(np.asarray(out.pos), np.asarray(out2.pos))
+
+
 @pytest.mark.skipif(not _on_tpu(), reason="pallas kernels need a TPU backend")
 def test_packed_bit_parity_with_jnp():
     """On-TPU: the packed-carry default path must reproduce the jnp
