@@ -89,6 +89,14 @@ class TetMesh:
     # (exact float integers, < 2^24 faces in f32).  ONE gather per trace
     # hop instead of four; built lazily by :func:`with_convex_rows`.
     tet_row_cx: jnp.ndarray | None = None
+    # ConvexPoly ENGINE table (ops/fused_convex.cx_table): cols 0:16 the
+    # planes/offsets of tet_row_cx, 16:20 neighbor codes, 20:23 tet
+    # velocity, 23 pad.  Kept as a mesh field so it enters jitted
+    # programs as a PARAMETER: built as an in-jit intermediate, XLA
+    # assigned it a free column-major layout + no parameter placement and
+    # the 1M-row stream gather ran 28 ms/cycle instead of 8 (profiled;
+    # see PERF_NOTES round-3 seventh pass).
+    tet_row_cxe: jnp.ndarray | None = None
 
     @property
     def dtype(self):
@@ -547,6 +555,9 @@ def replace_velocity(mesh: TetMesh, tet_vel=None, vert_vel=None) -> TetMesh:
         tv = jnp.asarray(tet_vel, dtype=mesh.dtype)
         kw["tet_vel"] = tv
         kw["tet_row"] = mesh.tet_row.at[:, 12:15].set(tv)
+        if mesh.tet_row_cxe is not None:
+            kw["tet_row_cxe"] = mesh.tet_row_cxe.at[:, 20:23].set(tv)
+            mirror_updates["tet_row_cxe"] = tv           # invalidates
         if isinstance(tet_vel, np.ndarray):
             tv_np = tet_vel.astype(np.dtype(mesh.dtype), copy=False)
             mirror_updates["tet_vel"] = tv_np
@@ -611,6 +622,11 @@ def refresh_geometry(mesh: TetMesh, new_points) -> TetMesh:
             mesh.tet_row_cx.at[:, 0:12].set(n.reshape(nt, 12))
             .at[:, 12:16].set(dpl)
         )
+    if mesh.tet_row_cxe is not None:
+        kw["tet_row_cxe"] = (
+            mesh.tet_row_cxe.at[:, 0:12].set(n.reshape(nt, 12))
+            .at[:, 12:16].set(dpl)
+        )
     new = dataclasses.replace(
         mesh,
         points=pts,
@@ -629,8 +645,8 @@ def refresh_geometry(mesh: TetMesh, new_points) -> TetMesh:
         _propagate_mirror(
             mesh, new,
             drop=("points", "tet_a", "tet_tinv", "tet_face_n", "tet_face_d",
-                  "tet_row", "tet_row_pk", "tet_row_cx", "bounds_lo",
-                  "bounds_hi"),
+                  "tet_row", "tet_row_pk", "tet_row_cx", "tet_row_cxe",
+                  "bounds_lo", "bounds_hi"),
         )
     return new
 
@@ -655,12 +671,21 @@ def with_convex_rows(mesh: TetMesh) -> TetMesh:
         ],
         axis=1,
     )
-    new = dataclasses.replace(mesh, tet_row_cx=row)
+    cxe = jnp.concatenate(
+        [
+            row[:, 0:20],
+            mesh.tet_vel.astype(mesh.dtype),
+            jnp.zeros((nt, 1), mesh.dtype),
+        ],
+        axis=1,
+    )
+    new = dataclasses.replace(mesh, tet_row_cx=row, tet_row_cxe=cxe)
     mirror = _mirror_of(mesh)
     updates = {}
     if mirror is not None and all(
         mirror.get(k) is not None
-        for k in ("tet_face_n", "tet_face_d", "tet_nbr", "tet_faces")
+        for k in ("tet_face_n", "tet_face_d", "tet_nbr", "tet_faces",
+                  "tet_vel")
     ):
         fdt = np.dtype(mesh.dtype)
         updates["tet_row_cx"] = np.concatenate(
@@ -672,8 +697,17 @@ def with_convex_rows(mesh: TetMesh) -> TetMesh:
             ],
             axis=1,
         )
+        updates["tet_row_cxe"] = np.concatenate(
+            [
+                updates["tet_row_cx"][:, 0:20],
+                mirror["tet_vel"].astype(fdt),
+                np.zeros((nt, 1), fdt),
+            ],
+            axis=1,
+        )
     else:
         updates["tet_row_cx"] = row                      # invalidates
+        updates["tet_row_cxe"] = cxe
     _propagate_mirror(mesh, new, updates)
     return new
 

@@ -857,29 +857,55 @@ def mega_cycle_packed(mesh: TetMesh, m_rm, rng_key, step, cfg, dt):
     pk = fused_pallas.PACK_LANES
     per = -(-(n // pk) // chunks) * pk
     if chunks > 1 and per < n and per >= pk:
+        # equal-size chunks ride ONE lax.scan body (unrolled chunk bodies
+        # made compile time O(chunks) — 263 s at 16 chunks/10M); a short
+        # tail chunk gets its own sized call
         inoise = fused_pallas._use_inkernel_noise(cfg)
         noise = (
             _brownian_noise(rng_key, step, n, m_rm.dtype, cfg)
             if (cfg.use_brownian and not inoise) else None
         )
-        outs = []
-        for c in range(chunks):
-            lo = c * per
-            hi = min(lo + per, n)
-            if lo >= hi:
-                break
+
+        def chunk_cycle(m_rm_c, off, noise_c, nl):
             mc, pend = fused_pallas.pre_rare_cycle_packed(
-                mesh, tab, m_rm[lo // 4 : hi // 4], rng_key, step, cfg, dt,
-                noise=None if noise is None else noise[lo:hi],
-                n_hops=n_hops, lane_offset=lo,
+                mesh, tab, m_rm_c, rng_key, step, cfg, dt,
+                noise=noise_c, n_hops=n_hops, lane_offset=off,
             )
-            outs.append(
-                _rare_stage_packed(
-                    mesh, tab, mc, pend, cfg, ly, hi - lo,
-                    (hi - lo) // BLOCK, ly.width,
-                )
+            return _rare_stage_packed(
+                mesh, tab, mc, pend, cfg, ly, nl, nl // BLOCK, ly.width
             )
-        return jnp.concatenate(outs, axis=0)
+
+        k_full = n // per
+        rem = n - k_full * per
+        m_full = m_rm[: k_full * per // 4].reshape(
+            k_full, per // 4, m_rm.shape[1]
+        )
+        offs = jnp.arange(k_full, dtype=jnp.int32) * per
+        if noise is not None:
+            nz_full = noise[: k_full * per].reshape(k_full, per, 3)
+
+            def body(_, x):
+                mi, oi, ni = x
+                return None, chunk_cycle(mi, oi, ni, per)
+
+            _, out = lax.scan(body, None, (m_full, offs, nz_full))
+        else:
+
+            def body(_, x):
+                mi, oi = x
+                return None, chunk_cycle(mi, oi, None, per)
+
+            _, out = lax.scan(body, None, (m_full, offs))
+        out = out.reshape(k_full * per // 4, m_rm.shape[1])
+        if rem:
+            tail = chunk_cycle(
+                m_rm[k_full * per // 4 :],
+                jnp.int32(k_full * per),
+                None if noise is None else noise[k_full * per :],
+                rem,
+            )
+            out = jnp.concatenate([out, tail], axis=0)
+        return out
     m_rm, pending = fused_pallas.pre_rare_cycle_packed(
         mesh, tab, m_rm, rng_key, step, cfg, dt, n_hops=n_hops
     )

@@ -50,6 +50,11 @@ def cx_table(mesh: TetMesh):
     with the per-tet velocity replacing the face-id block (the inline
     stage only needs an exit CLASSIFICATION; the rare stage re-traces with
     the full tables, where face ids live)."""
+    if mesh.tet_row_cxe is not None:
+        # precomputed mesh field: enters jit as a parameter (building the
+        # table as an in-jit intermediate let XLA pick a column-major
+        # layout with no parameter placement — 3.5x slower stream gather)
+        return mesh.tet_row_cxe
     row = mesh.tet_row_cx
     return jnp.concatenate(
         [
@@ -103,17 +108,6 @@ def mega_cycle(mesh: TetMesh, tab, m, rng_key, step, cfg, dt):
 def _cycle_aligned(mesh: TetMesh, tab, m, rng_key, step, cfg, dt):
     n = m.shape[0]
     nb = n // BLOCK
-
-    n_hops_cfg = max(int(getattr(cfg, "inline_hops", 1)), 0)
-    from . import fused_pallas
-
-    if fused_pallas.convex_supported(mesh, cfg, n_hops_cfg):
-        # TPU fast path: the stream + inline-hop passes as two hand-fused
-        # pallas kernels (see ops/fused_pallas.py); rare stage shared below
-        m, disp, pending = fused_pallas.convex_pre_rare_cycle(
-            mesh, tab, m, rng_key, step, cfg, dt
-        )
-        return _rare_stage(mesh, tab, m, disp, pending, cfg, n, nb)
 
     tet = m[:, TET].astype(jnp.int32)
     act = m[:, ACT] > 0.5
@@ -202,9 +196,8 @@ def _cycle_aligned(mesh: TetMesh, tab, m, rng_key, step, cfg, dt):
     return _rare_stage(mesh, tab, m, disp, pending, cfg, n, nb)
 
 
-def _rare_stage(mesh: TetMesh, tab, m, disp, pending, cfg, n, nb):
-    """Block-compacted resolution of pending convex lanes via the tested
-    simple-path tracer; shared by the jnp and pallas stream paths."""
+def _make_run_lanes(mesh: TetMesh, tab, cfg):
+    """Arena lane resolver shared by the convex rare-stage variants."""
 
     def run_lanes(mc, dsub, lanes_act):
         """Resolve compacted lanes with the tested simple-path sequence
@@ -247,6 +240,14 @@ def _rare_stage(mesh: TetMesh, tab, m, disp, pending, cfg, n, nb):
             jnp.where(upd[:, None], rows_new, mc[:, ROW : ROW + ROW_W])
         )
         return mc
+
+    return run_lanes
+
+
+def _rare_stage(mesh: TetMesh, tab, m, disp, pending, cfg, n, nb):
+    """Block-compacted resolution of pending convex lanes via the tested
+    simple-path tracer; shared by the jnp and packed stream paths."""
+    run_lanes = _make_run_lanes(mesh, tab, cfg)
 
     # rare stage: identical block scheme to fused._mega_cycle_aligned,
     # with the side displacement array gathered/scattered alongside
@@ -298,3 +299,74 @@ def _rare_stage(mesh: TetMesh, tab, m, disp, pending, cfg, n, nb):
         (m, disp, pending, jnp.zeros((), jnp.int32)),
     )
     return m
+
+
+def _rare_stage_packed(mesh, tab, m_rm, disp, pending, cfg, n, nb):
+    """:_rare_stage: on the packed [n/4, 128] carry (an 8-lane block is 2
+    consecutive packed rows, so all regroupings are row-major reshapes;
+    same scheme as fused._rare_stage_packed)."""
+    from .fused import BLOCK as _B
+
+    run = _make_run_lanes(mesh, tab, cfg)
+
+    capb = min(max(int(nb * cfg.walk_capacity_frac), 32), nb)
+    nl = capb * _B
+    cap_l = max(nl // 4, 64)
+    max_rounds = -(-n // cap_l) + -(-nb // capb)
+
+    def rare_cond(carry):
+        m_rm, disp, pending, r = carry
+        return (r < max_rounds) & jnp.any(pending)
+
+    def rare_round(carry):
+        m_rm, disp, pending, r = carry
+        m3 = m_rm.reshape(nb, 2, 128)
+        # disp is PACKED [n/4, 16] (lane l at row l//4, col 4*(l%4)+c) —
+        # 8-lane blocks are 2 consecutive rows, row-major relabel only
+        d3 = disp.reshape(nb, 2, 16)
+        pend2 = pending.reshape(nb, _B)
+        bpend = jnp.any(pend2, axis=1)
+        nbp = jnp.sum(bpend.astype(jnp.int32))
+        blk_iota = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0]
+        bidx = lax.sort(jnp.where(bpend, blk_iota, nb))[:capb]
+        safe_b = jnp.minimum(bidx, nb - 1)
+        mb = m3[safe_b].reshape(nl, WIDTH)
+        db = d3[safe_b].reshape(nl, 4)
+        lane_b = lax.broadcasted_iota(jnp.int32, (capb, _B), 0)
+        inrange = lane_b < jnp.minimum(nbp, capb)
+        pendb = pend2[safe_b] & inrange
+        lanes_act = pendb.reshape(-1)
+        lane_iota = lax.broadcasted_iota(jnp.int32, (nl, 1), 0)[:, 0]
+        skey = lax.sort(jnp.where(lanes_act, lane_iota, nl))
+        idxl = skey[:cap_l]
+        sub = mb[jnp.minimum(idxl, nl - 1)]
+        dsub = db[jnp.minimum(idxl, nl - 1)][:, :3]
+        sub = run(sub, dsub, idxl < nl)
+        mb = mb.at[idxl].set(sub, mode="drop")
+        thresh = skey[cap_l - 1]
+        handled = lanes_act & (lane_iota <= jnp.minimum(thresh, nl - 1))
+        m3 = m3.at[bidx].set(mb.reshape(capb, 2, 128), mode="drop")
+        pend2 = pend2.at[bidx].set(
+            pendb & ~handled.reshape(capb, _B), mode="drop"
+        )
+        return m3.reshape(n // 4, 128), disp, pend2.reshape(n), r + 1
+
+    m_rm, _, _, _ = lax.while_loop(
+        rare_cond, rare_round,
+        (m_rm, disp, pending, jnp.zeros((), jnp.int32)),
+    )
+    return m_rm
+
+
+def mega_cycle_packed(mesh: TetMesh, tab, m_rm, rng_key, step, cfg, dt):
+    """One convex sub-step on the packed [n/4, 128] carry (pallas fast
+    path; caller guarantees the envelope via
+    fused_pallas.convex_packed_supported and n % PACK_LANES == 0)."""
+    from . import fused_pallas
+
+    n = m_rm.shape[0] * 4
+    nb = n // BLOCK
+    m_rm, disp, pending = fused_pallas.convex_pre_rare_cycle_packed(
+        mesh, tab, m_rm, rng_key, step, cfg, dt
+    )
+    return _rare_stage_packed(mesh, tab, m_rm, disp, pending, cfg, n, nb)

@@ -533,7 +533,9 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
                     (HEAD_W, BN_B), lambda i: (0, i), memory_space=vm
                 ),
             )(scal, m_rm, xiT)
-        rows_g = tab[head[HIDX, :].astype(jnp.int32)]
+        rows_g = jax.lax.optimization_barrier(
+            tab[jax.lax.optimization_barrier(head[HIDX, :].astype(jnp.int32))]
+        )
         m_rm_new, pendT = pl.pallas_call(
             _kernel_b_packed,
             out_shape=(
@@ -594,7 +596,9 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
             out_specs=out_specs_a,
         )(scal, m_rm, xiT)
     for _h in range(n_hops - 1):
-        rows_g = tab[st[S_IDX, :].astype(jnp.int32)]
+        rows_g = jax.lax.optimization_barrier(
+            tab[jax.lax.optimization_barrier(st[S_IDX, :].astype(jnp.int32))]
+        )
         st = pl.pallas_call(
             _kernel_h,
             out_shape=jax.ShapeDtypeStruct((S_W, n), m_rm.dtype),
@@ -611,7 +615,9 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
                 (S_W, BN_B), lambda i: (0, i), memory_space=vm
             ),
         )(st, rows_g.T, head)
-    rows_g = tab[st[S_IDX, :].astype(jnp.int32)]
+    rows_g = jax.lax.optimization_barrier(
+            tab[jax.lax.optimization_barrier(st[S_IDX, :].astype(jnp.int32))]
+        )
     m_rm_new, pendT = pl.pallas_call(
         _kernel_b2_packed,
         out_shape=(
@@ -981,7 +987,9 @@ def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
             out_specs=out_specs_a,
         )(scal, mT, xiT)
     for _h in range(n_hops - 1):
-        rows_g = tab[s[S_IDX, :].astype(jnp.int32)]
+        rows_g = jax.lax.optimization_barrier(
+            tab[jax.lax.optimization_barrier(s[S_IDX, :].astype(jnp.int32))]
+        )
         s = pl.pallas_call(
             _kernel_h,
             out_shape=jax.ShapeDtypeStruct((S_W, n), m.dtype),
@@ -998,7 +1006,9 @@ def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
                 (S_W, BN_B), lambda i: (0, i), memory_space=vm
             ),
         )(s, rows_g.T, head)
-    rows_g = tab[s[S_IDX, :].astype(jnp.int32)]
+    rows_g = jax.lax.optimization_barrier(
+            tab[jax.lax.optimization_barrier(s[S_IDX, :].astype(jnp.int32))]
+        )
     scal_b = jnp.asarray(
         [1.0 if (cfg.reflect_wall and getattr(cfg, "inline_bounce", True))
          else 0.0],
@@ -1027,254 +1037,6 @@ def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
     return mT_new.T, pendT[0, :] > 0.5
 
 
-# ---------------------------------------------------------------------------
-# ConvexPoly engine streams (ops/fused_convex.py, the reference's default
-# build mode).  Same two-kernel structure around the inline hop-1 gather;
-# row layout is the 24-col cx table (inward plane normals 8:20 of the mega,
-# offsets 20:24, neighbor codes 24:28, per-tet velocity 28:31).
-# ---------------------------------------------------------------------------
-
-CX_ROW_W = 24
-CX_RN = ROW          # mega rows 8:20 — 4 inward normals x 3
-CX_RD = ROW + 12     # 20:24 plane offsets
-CX_RB = ROW + 16     # 24:28 neighbor codes
-CX_RU = ROW + 20     # 28:31 per-tet velocity
-
-# convex head rows (kernel CA output)
-CEX, CEY, CEZ, CVX, CVY, CVZ, CACT, CIDX, CINT, CCRS, CDT0, CSLT, CDX, CDY, CDZ = range(15)
-
-
-def _exit_test(m_or_rows, base, p0x, p0y, p0z, sx, sy, sz, suppress, tol):
-    """``traceIntet`` exit classification on row-sliced plane tables
-    (convex._exit_face_tables semantics: admitted face of minimal dT,
-    scan order, strict '<'; slot -1 = segment ends inside).
-
-    ``m_or_rows``: a ref sliceable as [row, :]; ``base``: row offset of
-    the 4x3 inward normals (offsets at base+12, neighbor codes at
-    base+16); ``suppress``: tuple of 4 bool vectors."""
-    best_dt = jnp.full(p0x.shape, 1.1, p0x.dtype)
-    best_slot = jnp.full(p0x.shape, -1, jnp.int32)
-    for i in range(4):
-        n0 = m_or_rows[base + 3 * i, :]
-        n1 = m_or_rows[base + 3 * i + 1, :]
-        n2 = m_or_rows[base + 3 * i + 2, :]
-        d = m_or_rows[base + 12 + i, :]
-        face_dist = n0 * p0x + n1 * p0y + n2 * p0z - d
-        denom = -(n0 * sx + n1 * sy + n2 * sz)
-        dt_ = face_dist / denom
-        dt_ = jnp.where(jnp.isinf(dt_), -1.0, dt_)
-        ok = (
-            (face_dist < tol) & (dt_ > tol) & (dt_ <= 1.0) & ~suppress[i]
-        )
-        dtm = jnp.where(ok, dt_, 1.1)
-        upd = dtm < best_dt
-        best_dt = jnp.where(upd, dtm, best_dt)
-        best_slot = jnp.where(upd, jnp.int32(i), best_slot)
-    return best_dt, best_slot
-
-
-def _kernel_ca(scal_ref, m_ref, xi_ref, out_ref):
-    """convex: advect + noise + segment + hop-0 exit test + neighbor."""
-    dt = scal_ref[0]
-    sigma = scal_ref[1]
-    use_adv = scal_ref[2] > 0.5
-    use_brown = scal_ref[3] > 0.5
-    tol = scal_ref[4]
-
-    tetf = m_ref[TET, :]
-    act = m_ref[ACT, :] > 0.5
-    alive = act & (tetf >= 0.0)
-    alf = jnp.where(use_adv, alive.astype(jnp.float32), 0.0)
-
-    ux = m_ref[CX_RU, :]
-    uy = m_ref[CX_RU + 1, :]
-    uz = m_ref[CX_RU + 2, :]
-    dx = alf * ux * dt
-    dy = alf * uy * dt
-    dz = alf * uz * dt
-    adv_live = use_adv & alive
-    vx = jnp.where(adv_live, ux, m_ref[V0, :])
-    vy = jnp.where(adv_live, uy, m_ref[V0 + 1, :])
-    vz = jnp.where(adv_live, uz, m_ref[V0 + 2, :])
-    balf = jnp.where(use_adv, alf, act.astype(jnp.float32))
-    bmask = jnp.where(use_brown, balf, 0.0)
-    dx = dx + bmask * sigma * xi_ref[0, :]
-    dy = dy + bmask * sigma * xi_ref[1, :]
-    dz = dz + bmask * sigma * xi_ref[2, :]
-    actf = jnp.where(use_adv, alf, m_ref[ACT, :])
-
-    p0x, p0y, p0z = m_ref[P0, :], m_ref[P0 + 1, :], m_ref[P0 + 2, :]
-    ex = p0x + dx
-    ey = p0y + dy
-    ez = p0z + dz
-
-    no_sup = jnp.zeros(p0x.shape, bool)
-    dt0, slot0 = _exit_test(
-        m_ref, CX_RN, p0x, p0y, p0z, dx, dy, dz,
-        (no_sup, no_sup, no_sup, no_sup), tol,
-    )
-    crossing = alive & (slot0 >= 0)
-    nxt0 = _pick4(
-        m_ref[CX_RB, :], m_ref[CX_RB + 1, :], m_ref[CX_RB + 2, :],
-        m_ref[CX_RB + 3, :], slot0,
-    )
-    interior = crossing & (nxt0 >= 0.0)
-    idx = jnp.where(interior, nxt0, jnp.maximum(tetf, 0.0))
-
-    out_ref[CEX, :] = ex
-    out_ref[CEY, :] = ey
-    out_ref[CEZ, :] = ez
-    out_ref[CVX, :] = vx
-    out_ref[CVY, :] = vy
-    out_ref[CVZ, :] = vz
-    out_ref[CACT, :] = actf
-    out_ref[CIDX, :] = idx
-    out_ref[CINT, :] = interior.astype(jnp.float32)
-    out_ref[CCRS, :] = crossing.astype(jnp.float32)
-    out_ref[CDT0, :] = dt0
-    out_ref[CSLT, :] = slot0.astype(jnp.float32)
-    out_ref[CDX, :] = dx
-    out_ref[CDY, :] = dy
-    out_ref[CDZ, :] = dz
-    out_ref[15, :] = jnp.zeros_like(ex)
-
-
-def _kernel_cb(scal_ref, m_ref, rows_ref, head_ref, out_ref, pend_ref):
-    """convex: hop-1 exit test in the neighbor + assembly."""
-    tol = scal_ref[0]
-
-    interior = head_ref[CINT, :] > 0.5
-    crossing = head_ref[CCRS, :] > 0.5
-    dt0 = head_ref[CDT0, :]
-    dx = head_ref[CDX, :]
-    dy = head_ref[CDY, :]
-    dz = head_ref[CDZ, :]
-    tetf = m_ref[TET, :]
-    p0x, p0y, p0z = m_ref[P0, :], m_ref[P0 + 1, :], m_ref[P0 + 2, :]
-
-    # march point p1 = p0 + dT*seg; remaining segment = (1 - dT)*seg,
-    # expressed exactly as p_end - p1 like the jnp engine
-    p1x = p0x + dt0 * dx
-    p1y = p0y + dt0 * dy
-    p1z = p0z + dt0 * dz
-    ex = head_ref[CEX, :]
-    ey = head_ref[CEY, :]
-    ez = head_ref[CEZ, :]
-    rx = ex - p1x
-    ry = ey - p1y
-    rz = ez - p1z
-
-    sup = tuple(rows_ref[16 + i, :] == tetf for i in range(4))
-    dt1, slot1 = _exit_test(rows_ref, 0, p1x, p1y, p1z, rx, ry, rz, sup, tol)
-    res2 = interior & (slot1 < 0)
-
-    pending = crossing & ~res2
-    fin = ~pending
-
-    out_ref[P0, :] = jnp.where(fin, ex, p0x)
-    out_ref[P0 + 1, :] = jnp.where(fin, ey, p0y)
-    out_ref[P0 + 2, :] = jnp.where(fin, ez, p0z)
-    out_ref[V0, :] = head_ref[CVX, :]
-    out_ref[V0 + 1, :] = head_ref[CVY, :]
-    out_ref[V0 + 2, :] = head_ref[CVZ, :]
-    out_ref[TET, :] = jnp.where(res2, head_ref[CIDX, :], tetf)
-    out_ref[ACT, :] = head_ref[CACT, :]
-    for k in range(CX_ROW_W):
-        out_ref[ROW + k, :] = jnp.where(
-            res2, rows_ref[k, :], m_ref[ROW + k, :]
-        )
-    pend_ref[0, :] = pending.astype(jnp.float32)
-    for r in range(1, 8):
-        pend_ref[r, :] = jnp.zeros_like(ex)
-
-
-def convex_supported(mesh, cfg, n_hops: int) -> bool:
-    """Envelope for the convex pallas streams: f32, >=1 inline hop, TPU.
-    (escape faces are fine — wall exits are pending lanes either way).
-
-    OPT-IN for now (engine_impl="pallas"): measured 29.4 vs 25.5 ms/cycle
-    at the 1M stress config — the disp side-array transpose and a layout
-    interaction in the convex rare stage eat the stream savings; see
-    PERF_NOTES.  The bary path (supported()) is auto-on."""
-    if getattr(cfg, "engine_impl", "auto") != "pallas":
-        return False
-    if n_hops < 1:
-        return False
-    if mesh.points.dtype != jnp.float32:
-        return False
-    try:
-        dd = jax.config.jax_default_device
-        plat = dd.platform if dd is not None else jax.default_backend()
-        return plat not in ("cpu",)
-    except Exception:
-        return False
-
-
-def convex_pre_rare_cycle(mesh, tab, m, rng_key, step, cfg, dt):
-    """Pallas replacement for fused_convex._cycle_aligned's stream +
-    inline-hop section: returns (m', disp, pending) for the rare stage."""
-    from .convex import TOL
-
-    n = m.shape[0]
-    xi = None
-    if cfg.use_brownian:
-        xi = _brownian_noise(rng_key, step, n, m.dtype, cfg)
-    mT = m.T
-    xiT = xi.T if xi is not None else jnp.zeros((3, n), m.dtype)
-    scal = jnp.asarray(
-        [
-            dt,
-            # EXACTLY fused.py's sigma expression (python-f64 product,
-            # one rounding): a pre-rounded dt differs in the last ulp
-            jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(m.dtype),
-            1.0 if cfg.use_advection else 0.0,
-            1.0 if (cfg.use_brownian and xi is not None) else 0.0,
-            TOL,
-        ],
-        m.dtype,
-    )
-    W = m.shape[1]
-    head = pl.pallas_call(
-        _kernel_ca,
-        out_shape=jax.ShapeDtypeStruct((HEAD_W, n), m.dtype),
-        grid=(pl.cdiv(n, BN_A),),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((W, BN_A), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BN_A), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (HEAD_W, BN_A), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-    )(scal, mT, xiT)
-    idx = head[CIDX, :].astype(jnp.int32)
-    rows_g = tab[idx]
-    rowsT = rows_g.T
-    scal_b = jnp.asarray([TOL], m.dtype)
-    mT_new, pendT = pl.pallas_call(
-        _kernel_cb,
-        out_shape=(
-            jax.ShapeDtypeStruct((W, n), m.dtype),
-            jax.ShapeDtypeStruct((8, n), m.dtype),
-        ),
-        grid=(pl.cdiv(n, BN_B),),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((W, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (CX_ROW_W, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((W, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ),
-    )(scal_b, mT, rowsT, head)
-    disp = jnp.stack([head[CDX, :], head[CDY, :], head[CDZ, :]], axis=1)
-    return mT_new.T, disp, pendT[0, :] > 0.5
-
-
 def pre_rare_cycle(mesh, tab, m, rng_key, step, cfg, dt, noise=None,
                    lane_offset=0):
     """The pallas replacement for fused.py's stream + inline-hop section:
@@ -1289,6 +1051,332 @@ def pre_rare_cycle(mesh, tab, m, rng_key, step, cfg, dt, noise=None,
             rng_key, step, n, m.dtype, cfg
         )
     head = stream_pre_hop(m, xi, cfg, dt, iscal=iscal)
-    idx = head[HIDX, :].astype(jnp.int32)
-    rows_g = tab[idx]                      # the per-index wall, unchanged
+    # barrier: keep the index vector a materialized dense array — fusing
+    # the {0,1}-layout head-row read into the gather serializes the index
+    # stream at large n (measured 3x gather slowdown at 10M lanes)
+    idx = jax.lax.optimization_barrier(head[HIDX, :].astype(jnp.int32))
+    rows_g = jax.lax.optimization_barrier(tab[idx])   # the per-index wall
     return stream_post_hop(m, rows_g, head, cfg)
+
+
+# ---------------------------------------------------------------------------
+# ConvexPoly engine streams (ops/fused_convex.py, the reference's default
+# build mode) — packed-carry design mirroring the bary engine: the mega
+# rides the sub-cycling loop as its row-major [n/4, 128] bytes, kernel CA
+# (advect + noise + segment + hop-0 exit test) and a LEAN kernel CB
+# (hop-1 exit test in the neighbor + assembly; no old-mega read — the
+# masked gather self-fetches every live lane's own row) bracket the one
+# cx-row gather.  Arithmetic mirrors fused_convex._cycle_aligned
+# expression-for-expression (seg = (p0+d) - p0, march p1 = p0 + dT*seg,
+# remaining = p_end - p1) for cross-engine bit-parity on TPU.
+# Row layout: cx table [nt, 24] (inward plane normals 0:12, offsets
+# 12:16, neighbor codes 16:20, per-tet velocity 20:23).
+# ---------------------------------------------------------------------------
+
+CX_ROW_W = 24
+CX_W = 32                    # convex mega width (fused_convex.WIDTH)
+
+# convex head rows (kernel CA output; 16 = HEAD_W)
+(CP0X, CP0Y, CP0Z, CVX, CVY, CVZ, CACT, CIDX, CINT, CCRS, CDT0, CSLT,
+ CDX, CDY, CDZ, CTET) = range(16)
+
+
+def _cx_exit_test(row, base, px, py, pz, sx, sy, sz, suppress, tol):
+    """``traceIntet`` exit classification on row-sliced plane tables
+    (convex._exit_face_tables semantics: admitted face of minimal dT,
+    scan order, strict '<'; slot -1 = segment ends inside).
+
+    ``row(k)``: lane-vector getter; ``base``: offset of the 4x3 inward
+    normals (offsets at base+12); ``suppress``: tuple of 4 bool vectors."""
+    best_dt = jnp.full(px.shape, 1.1, px.dtype)
+    best_slot = jnp.full(px.shape, -1, jnp.int32)
+    for i in range(4):
+        n0 = row(base + 3 * i)
+        n1 = row(base + 3 * i + 1)
+        n2 = row(base + 3 * i + 2)
+        d = row(base + 12 + i)
+        face_dist = n0 * px + n1 * py + n2 * pz - d
+        denom = -(n0 * sx + n1 * sy + n2 * sz)
+        dt_ = face_dist / denom
+        dt_ = jnp.where(jnp.isinf(dt_), -1.0, dt_)
+        ok = (face_dist < tol) & (dt_ > tol) & (dt_ <= 1.0) & ~suppress[i]
+        dtm = jnp.where(ok, dt_, 1.1)
+        upd = dtm < best_dt
+        best_dt = jnp.where(upd, dtm, best_dt)
+        best_slot = jnp.where(upd, jnp.int32(i), best_slot)
+    return best_dt, best_slot
+
+
+def _ca_compute(scal_ref, mrow, xi):
+    """convex kernel CA: advect + noise + segment + hop-0 exit test +
+    neighbor select on lane vectors; returns the 16 head rows.
+    Mirrors fused_convex._cycle_aligned's stream section bit-for-bit
+    (seg is computed as (p0 + d) - p0, exactly like the jnp engine)."""
+    dt = scal_ref[0]
+    sigma = scal_ref[1]
+    use_adv = scal_ref[2] > 0.5
+    use_brown = scal_ref[3] > 0.5
+    tol = scal_ref[4]
+
+    tetf = mrow(TET)
+    act = mrow(ACT) > 0.5
+    alive = act & (tetf >= 0.0)
+    alf = jnp.where(use_adv, alive.astype(jnp.float32), 0.0)
+
+    RU = ROW + 20
+    ux = mrow(RU)
+    uy = mrow(RU + 1)
+    uz = mrow(RU + 2)
+    dx = alf * ux * dt
+    dy = alf * uy * dt
+    dz = alf * uz * dt
+    adv_live = use_adv & alive
+    vx = jnp.where(adv_live, ux, mrow(V0))
+    vy = jnp.where(adv_live, uy, mrow(V0 + 1))
+    vz = jnp.where(adv_live, uz, mrow(V0 + 2))
+    balf = jnp.where(use_adv, alf, act.astype(jnp.float32))
+    bmask = jnp.where(use_brown, balf, 0.0)
+    dx = dx + bmask * sigma * xi[0, :]
+    dy = dy + bmask * sigma * xi[1, :]
+    dz = dz + bmask * sigma * xi[2, :]
+    actf = jnp.where(use_adv, alf, mrow(ACT))
+
+    p0x, p0y, p0z = mrow(P0), mrow(P0 + 1), mrow(P0 + 2)
+    ex = p0x + dx
+    ey = p0y + dy
+    ez = p0z + dz
+    # the jnp engine's seg = p_end - p0 (NOT d itself — ulps differ)
+    sx = ex - p0x
+    sy = ey - p0y
+    sz = ez - p0z
+
+    no_sup = jnp.zeros(p0x.shape, bool)
+    dt0, slot0 = _cx_exit_test(
+        lambda k: mrow(ROW + k), 0, p0x, p0y, p0z, sx, sy, sz,
+        (no_sup, no_sup, no_sup, no_sup), tol,
+    )
+    crossing = alive & (slot0 >= 0)
+    CX_RB = ROW + 16
+    nxt0 = _pick4(
+        mrow(CX_RB), mrow(CX_RB + 1), mrow(CX_RB + 2), mrow(CX_RB + 3),
+        slot0,
+    )
+    interior = crossing & (nxt0 >= 0.0)
+    idx = jnp.where(interior, nxt0, jnp.maximum(tetf, 0.0))
+
+    out = [None] * HEAD_W
+    out[CP0X], out[CP0Y], out[CP0Z] = p0x, p0y, p0z
+    out[CVX], out[CVY], out[CVZ] = vx, vy, vz
+    out[CACT] = actf
+    out[CIDX] = idx
+    out[CINT] = interior.astype(jnp.float32)
+    out[CCRS] = crossing.astype(jnp.float32)
+    out[CDT0] = dt0
+    out[CSLT] = slot0.astype(jnp.float32)
+    out[CDX], out[CDY], out[CDZ] = dx, dy, dz
+    out[CTET] = tetf
+    return out
+
+
+def _kernel_ca_packed(scal_ref, m_ref, xi_ref, out_ref):
+    mb = _unpack_grouped(m_ref, CX_W)
+    out = _ca_compute(scal_ref, lambda r: mb[r], xi_ref)
+    for r in range(HEAD_W):
+        out_ref[r, :] = out[r]
+
+
+def _kernel_ca_packed_k(scal_ref, iscal_ref, m_ref, out_ref):
+    mb = _unpack_grouped(m_ref, CX_W)
+    xi = _inkernel_noise(iscal_ref, m_ref.shape[0] * 4)
+    out = _ca_compute(scal_ref, lambda r: mb[r], xi)
+    for r in range(HEAD_W):
+        out_ref[r, :] = out[r]
+
+
+def _kernel_cb_packed(scal_ref, rows_ref, head_ref, out_ref, pend_ref,
+                      disp_ref):
+    """Lean convex kernel CB: hop-1 exit test in the (self-)gathered
+    neighbor rows + packed assembly.  No old-mega read — the masked
+    gather used each live lane's own tet as the fill index, so rows_ref
+    IS the current row cache for every lane with tet >= 0 (dead lanes'
+    caches are semantically unused, as in the bary engine)."""
+    tol = scal_ref[0]
+
+    interior = head_ref[CINT, :] > 0.5
+    crossing = head_ref[CCRS, :] > 0.5
+    dt0 = head_ref[CDT0, :]
+    dx = head_ref[CDX, :]
+    dy = head_ref[CDY, :]
+    dz = head_ref[CDZ, :]
+    tetf = head_ref[CTET, :]
+    p0x = head_ref[CP0X, :]
+    p0y = head_ref[CP0Y, :]
+    p0z = head_ref[CP0Z, :]
+    # bitwise identical to kernel CA's values (same ops, same inputs)
+    ex = p0x + dx
+    ey = p0y + dy
+    ez = p0z + dz
+    sx = ex - p0x
+    sy = ey - p0y
+    sz = ez - p0z
+
+    # march point p1 = p0 + dT*seg; remaining segment = p_end - p1
+    p1x = p0x + dt0 * sx
+    p1y = p0y + dt0 * sy
+    p1z = p0z + dt0 * sz
+    rx = ex - p1x
+    ry = ey - p1y
+    rz = ez - p1z
+
+    rows = [rows_ref[k, :] for k in range(CX_ROW_W)]
+    sup = tuple(rows[16 + i] == tetf for i in range(4))
+    dt1, slot1 = _cx_exit_test(
+        lambda k: rows[k], 0, p1x, p1y, p1z, rx, ry, rz, sup, tol,
+    )
+    res2 = interior & (slot1 < 0)
+
+    pending = crossing & ~res2
+    fin = ~pending
+
+    mrows = [None] * CX_W
+    mrows[P0] = jnp.where(fin, ex, p0x)
+    mrows[P0 + 1] = jnp.where(fin, ey, p0y)
+    mrows[P0 + 2] = jnp.where(fin, ez, p0z)
+    mrows[V0] = head_ref[CVX, :]
+    mrows[V0 + 1] = head_ref[CVY, :]
+    mrows[V0 + 2] = head_ref[CVZ, :]
+    mrows[TET] = jnp.where(res2, head_ref[CIDX, :], tetf)
+    mrows[ACT] = head_ref[CACT, :]
+    for k in range(CX_ROW_W):
+        mrows[ROW + k] = rows[k]
+    for k in range(ROW + CX_ROW_W, CX_W):
+        mrows[k] = jnp.zeros_like(ex)
+    out_ref[:] = _pack_grouped(mrows)
+    pend_ref[0, :] = pending.astype(jnp.float32)
+    for r in range(1, 8):
+        pend_ref[r, :] = jnp.zeros_like(ex)
+    # disp leaves PACKED [bn4, 16] (lane l at row l//4, col 4*(l%4)+c):
+    # materializing an [n,3] array on the XLA side costs ~28 ms/cycle at
+    # 1M (T(4,128)-layout transpose emitter; round-1 cost model) — the
+    # packed rare stage consumes this form with row-major reshapes only
+    disp_ref[:] = _pack_grouped([dx, dy, dz, jnp.zeros_like(dx)])
+
+
+def convex_packed_supported(mesh, cfg, n_hops: int) -> bool:
+    """Envelope for the packed convex streams: TPU, f32, >=1 inline hop,
+    unchunked (escape faces are fine — wall exits are pending lanes
+    either way).
+
+    OPT-IN (engine_impl="pallas_packed"): bit-parity holds on hardware,
+    but the stream gather runs ~3.5x slower in this program than in the
+    jnp convex engine (28 vs 8 ms/cycle at 1M — total 38 vs 25.5 ms).
+    Profiled cause: the [n,24] row gather is emitted with a column-major
+    {0,1} output and the cx TABLE operand loses its fast-memory S(1)
+    placement; none of the measured counters moved it (index/output
+    optimization_barriers, hoisting the table to a jit parameter
+    (mesh.tet_row_cxe — kept, it is the right structure anyway), natural
+    [BN,24] kernel operands, transposed [24,BN] operands).  The jnp
+    convex engine stays the default until the layout assignment is
+    understood; see PERF_NOTES round-3 seventh pass."""
+    if getattr(cfg, "engine_impl", "auto") != "pallas_packed":
+        return False
+    if n_hops < 1 or max(int(getattr(cfg, "cycle_chunks", 1)), 1) > 1:
+        return False
+    if mesh.points.dtype != jnp.float32:
+        return False
+    try:
+        dd = jax.config.jax_default_device
+        plat = dd.platform if dd is not None else jax.default_backend()
+        return plat not in ("cpu",)
+    except Exception:
+        return False
+
+
+def convex_pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt):
+    """Packed convex stream section: returns (m_rm', disp, pending) for
+    the packed convex rare stage.  ``disp`` is rebuilt [n, 3] natural
+    from the head rows (the rare tracer marches pos -> pos + disp)."""
+    from .convex import TOL
+
+    n4, W4 = m_rm.shape
+    n = n4 * 4
+    xi = None
+    iscal = None
+    if _use_inkernel_noise(cfg):
+        iscal = _noise_iscal(rng_key, step, 0)
+        xiT = None
+    else:
+        if cfg.use_brownian:
+            xi = _brownian_noise(rng_key, step, n, m_rm.dtype, cfg)
+        xiT = to_grouped(
+            xi.T if xi is not None else jnp.zeros((3, n), m_rm.dtype)
+        )
+    scal = jnp.asarray(
+        [
+            dt,
+            # EXACTLY fused_convex's sigma expression (python-f64 product,
+            # one rounding)
+            jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(m_rm.dtype),
+            1.0 if cfg.use_advection else 0.0,
+            1.0 if (cfg.use_brownian and (xi is not None or iscal is not None))
+            else 0.0,
+            TOL,
+        ],
+        m_rm.dtype,
+    )
+    vm = pltpu.VMEM
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if iscal is not None:
+        head = pl.pallas_call(
+            _kernel_ca_packed_k,
+            out_shape=jax.ShapeDtypeStruct((HEAD_W, n), m_rm.dtype),
+            grid=(pl.cdiv(n, BN_B),),
+            in_specs=[
+                smem,
+                smem,
+                pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0),
+                             memory_space=vm),
+            ],
+            out_specs=pl.BlockSpec(
+                (HEAD_W, BN_B), lambda i: (0, i), memory_space=vm
+            ),
+        )(scal, iscal, m_rm)
+    else:
+        head = pl.pallas_call(
+            _kernel_ca_packed,
+            out_shape=jax.ShapeDtypeStruct((HEAD_W, n), m_rm.dtype),
+            grid=(pl.cdiv(n, BN_B),),
+            in_specs=[
+                smem,
+                pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0),
+                             memory_space=vm),
+                pl.BlockSpec((3, BN_B), lambda i: (0, i), memory_space=vm),
+            ],
+            out_specs=pl.BlockSpec(
+                (HEAD_W, BN_B), lambda i: (0, i), memory_space=vm
+            ),
+        )(scal, m_rm, xiT)
+    rows_g = jax.lax.optimization_barrier(
+        tab[jax.lax.optimization_barrier(head[CIDX, :].astype(jnp.int32))]
+    )
+    scal_b = jnp.asarray([TOL], m_rm.dtype)
+    m_rm_new, pendT, disp_pk = pl.pallas_call(
+        _kernel_cb_packed,
+        out_shape=(
+            jax.ShapeDtypeStruct((n4, W4), m_rm.dtype),
+            jax.ShapeDtypeStruct((8, n), m_rm.dtype),
+            jax.ShapeDtypeStruct((n4, 16), m_rm.dtype),
+        ),
+        grid=(pl.cdiv(n, BN_B),),
+        in_specs=[
+            smem,
+            pl.BlockSpec((CX_ROW_W, BN_B), lambda i: (0, i), memory_space=vm),
+            pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
+        ],
+        out_specs=(
+            pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=vm),
+            pl.BlockSpec((BN_B // 4, 16), lambda i: (i, 0), memory_space=vm),
+        ),
+    )(scal_b, rows_g.T, head)
+    return m_rm_new, disp_pk, from_grouped(pendT[0, :] > 0.5)

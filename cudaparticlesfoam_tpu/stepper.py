@@ -191,12 +191,43 @@ def _run_cycles_impl(
             # without with_convex_rows(mesh): simple engine
             engine = "simple"
         else:
-            from .ops import fused, fused_convex
+            from .ops import fused, fused_convex, fused_pallas
 
             tab = fused_convex.cx_table(mesh)
             m0 = fused_convex.pack_state(
                 mesh, tab, state.pos, state.vel, state.tet_id, state.active
             )
+
+            n_hops = max(int(getattr(cfg, "inline_hops", 1)), 0)
+            if fused_pallas.convex_packed_supported(mesh, cfg, n_hops) and (
+                m0.shape[0] >= fused_pallas.PACK_MIN_LANES
+                or getattr(cfg, "engine_impl", "auto")
+                in ("pallas", "pallas_packed")
+            ):
+                # packed-carry convex fast path (see the bary twin below)
+                n0 = m0.shape[0]
+                pad = (-n0) % fused_pallas.PACK_LANES
+                if pad:
+                    m0 = jnp.pad(m0, ((0, pad), (0, 0)))
+                m_rm0 = m0.reshape(-1, 4 * fused_convex.WIDTH)
+
+                def body_cp(i, carry):
+                    m_rm, step = carry
+                    m_rm = fused_convex.mega_cycle_packed(
+                        mesh, tab, m_rm, state.rng_key, step, cfg, dt
+                    )
+                    return m_rm, step + 1
+
+                m_rm, step = lax.fori_loop(
+                    0, n_cycles, body_cp, (m_rm0, state.step)
+                )
+                m = m_rm.reshape(-1, fused_convex.WIDTH)[:n0]
+                pos, vel, tet, act = fused.unpack_state(m)
+                return dataclasses.replace(
+                    state, pos=pos, vel=vel,
+                    disp=jnp.zeros_like(state.disp),
+                    tet_id=tet, active=act, step=step,
+                )
 
             def body(i, carry):
                 m, step = carry
@@ -385,11 +416,23 @@ def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None,
     bd_frac = float(np.mean(np.any(meshlib.host_np(mesh, "tet_nbr") < 0, axis=1)))
     wall_rate = bd_frac * min(crossings, 1.0) * 0.5
     inline_bounce = cfg.reflect_wall and wall_rate > 0.01
-    # very large batches: sub-batch the cycle (measured on v5e: at 10M
-    # lanes the full-batch hop gather's per-index cost ~doubles under HBM
-    # load-queue pressure; ~5M-lane chunks restore the 1M-scale rate,
-    # 344 -> 205 ms/cycle at 10M — exactly linear vs 1M)
-    chunks = max(1, round((n_particles or 0) / 5_000_000))
+    # very large batches: sub-batch the cycle (measured on v5e: the
+    # full-batch hop gather's per-index cost grows with index count under
+    # HBM load-queue pressure).  The pallas stream engines degrade above
+    # ~1M indices (10M sweep: 5M chunks 382, 1.25M 191, 625k 181 ms) —
+    # target ~625k-lane chunks there; the jnp engine holds its rate to
+    # ~5M (344 -> 197 ms at 10M with 5M chunks).
+    from .ops import fused_pallas
+
+    n_p = int(n_particles or 0)
+    pallas_tet = (
+        getattr(cfg, "locate_mode", "bary") == "bary"
+        and fused_pallas.supported(
+            mesh, dataclasses.replace(cfg, inline_hops=hops), hops
+        )
+    )
+    target = 625_000 if pallas_tet else 5_000_000
+    chunks = 1 if n_p <= 2_000_000 else max(1, round(n_p / target))
     return dataclasses.replace(
         cfg, inline_hops=hops, walk_capacity_frac=frac,
         inline_bounce=inline_bounce, cycle_chunks=chunks,

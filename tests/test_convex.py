@@ -142,3 +142,92 @@ def test_cached_convex_without_rows_falls_back(setup):
         20,
     )
     np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+
+
+def test_packed_convex_logic_matches_jnp_interpret():
+    """Interpret-mode check of the packed convex cycle (grouped in-VMEM
+    pack/unpack + lean kernel CB + packed rare stage) against the jitted
+    jnp cached engine — discrete state exact, floats to fusion ulps (the
+    on-TPU test below is the strong bit-parity check)."""
+    import dataclasses as dc
+
+    import jax
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaparticlesfoam_tpu import StepConfig, box_mesh
+    from cudaparticlesfoam_tpu.mesh import with_convex_rows
+    from cudaparticlesfoam_tpu.ops import fused_convex
+    from cudaparticlesfoam_tpu.ops import locate as locate_ops
+
+    if jax.config.read("jax_enable_x64"):
+        jax.config.update("jax_enable_x64", False)
+        try:
+            return test_packed_convex_logic_matches_jnp_interpret()
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    mesh = with_convex_rows(box_mesh(8, 8, 8))
+    tab = fused_convex.cx_table(mesh)
+    n = 8192
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.uniform(0.5, 7.5, (n, 3)), jnp.float32)
+    loc = locate_ops.build_grid_locator(mesh)
+    tet = locate_ops.locate_seeds(mesh, loc, pos)
+    m0 = fused_convex.pack_state(
+        mesh, tab, pos, jnp.zeros((n, 3), jnp.float32), tet,
+        jnp.ones(n, bool))
+    key = jax.random.PRNGKey(1)
+    cfg = StepConfig(dt=0.4, diffusion_coeff=3e-3, locate_mode="convex",
+                     walk_capacity_frac=0.25, brownian_rng="rbg")
+    mj = np.asarray(jax.jit(
+        lambda m: fused_convex.mega_cycle(mesh, tab, m, key, 3, cfg, 0.4))(m0))
+    with pltpu.force_tpu_interpret_mode():
+        m_rm = fused_convex.mega_cycle_packed(
+            mesh, tab, m0.reshape(-1, 4 * fused_convex.WIDTH), key, 3,
+            cfg, 0.4)
+    mp = np.asarray(m_rm).reshape(-1, fused_convex.WIDTH)
+    np.testing.assert_array_equal(mj[:, 6], mp[:, 6])
+    np.testing.assert_array_equal(mj[:, 7], mp[:, 7])
+    np.testing.assert_allclose(mj[:, :6], mp[:, :6], atol=2e-6)
+
+
+def test_packed_convex_bit_parity_on_tpu():
+    """On-TPU: the packed convex path must reproduce the jnp cached
+    convex engine bit-for-bit (aligned + ragged lane counts)."""
+    import dataclasses as dc
+
+    import jax
+    import numpy as np
+    import pytest
+
+    dd = jax.config.jax_default_device
+    plat = dd.platform if dd is not None else jax.default_backend()
+    if plat == "cpu":
+        pytest.skip("pallas kernels need a TPU backend")
+
+    import jax.numpy as jnp
+
+    from cudaparticlesfoam_tpu import StepConfig, box_mesh, run_cycles
+    from cudaparticlesfoam_tpu.mesh import with_convex_rows
+    from cudaparticlesfoam_tpu.ops import locate as locate_ops
+    from cudaparticlesfoam_tpu import state as statelib
+
+    mesh = with_convex_rows(box_mesh(10, 10, 10))
+    for n, dt in ((4 * 8192, 0.15), (60_000, 0.5)):
+        rng = np.random.default_rng(9)
+        pos = jnp.asarray(rng.uniform(0.6, 9.4, (n, 3)), mesh.dtype)
+        st = statelib.make_state(pos)
+        loc = locate_ops.build_grid_locator(mesh)
+        st = dc.replace(st, tet_id=locate_ops.locate_seeds(mesh, loc, st.pos))
+        cfg = StepConfig(dt=dt, diffusion_coeff=2e-3, locate_mode="convex",
+                         walk_capacity_frac=0.25, brownian_rng="rbg")
+        out_j = run_cycles(mesh, st, dc.replace(cfg, engine_impl="jnp"), 10)
+        out_p = run_cycles(
+            mesh, st, dc.replace(cfg, engine_impl="pallas_packed"), 10)
+        np.testing.assert_array_equal(np.asarray(out_j.pos), np.asarray(out_p.pos))
+        np.testing.assert_array_equal(np.asarray(out_j.vel), np.asarray(out_p.vel))
+        np.testing.assert_array_equal(
+            np.asarray(out_j.tet_id), np.asarray(out_p.tet_id))

@@ -32,6 +32,8 @@ def main():
         0.05, n_particles=n_particles,
     )
     cfg = dataclasses.replace(cfg, engine_impl=impl)
+    if len(sys.argv) > 5:
+        cfg = dataclasses.replace(cfg, cycle_chunks=int(sys.argv[5]))
     print(
         f"impl={impl} inline_hops={cfg.inline_hops} "
         f"walk_capacity_frac={cfg.walk_capacity_frac} "
