@@ -21,3 +21,20 @@ try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except RuntimeError:
     pass
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop jit/compilation caches between test modules.
+
+    A full-suite run (~195 tests, several hundred XLA:CPU compilations in
+    one process) reproducibly segfaults inside backend_compile_and_load
+    near the END of the suite (test_stepper::test_step_determinism) while
+    every module passes in isolation — an XLA CPU JIT state/accumulation
+    bug, not a framework one.  Clearing per module keeps each module's
+    compile history short and the suite green; the cost is re-tracing a
+    handful of shared helpers per module."""
+    yield
+    jax.clear_caches()
