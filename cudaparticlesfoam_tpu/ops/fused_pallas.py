@@ -58,6 +58,7 @@ from .fused import (
 # with double buffering (in+out blocks x2 + Mosaic stack)
 BN_A = 16384        # kernel A: (32+3+16) cols x 16k x 4 B x 2 ≈ 6.7 MB
 BN_B = 8192         # kernel B: (32+20+16+32+8) cols x 8k x 4 B x 2 ≈ 7.1 MB
+                    # (16k swept: 14.73 vs 14.78 ms — noise; keep 8k)
 
 # head-array rows produced by kernel A
 HPX, HPY, HPZ, HVX, HVY, HVZ, HACT, HIDX, HMV, HWALL, HSLOT, HTET = range(12)
