@@ -215,3 +215,32 @@ def test_cycle_chunks_bit_identical():
     np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
     np.testing.assert_array_equal(np.asarray(a.tet_id), np.asarray(b.tet_id))
     np.testing.assert_array_equal(np.asarray(a.vel), np.asarray(b.vel))
+
+
+def test_fuzz_cached_vs_simple(setup):
+    """Seeded fuzz over the StepConfig surface: random combinations of
+    dt / diffusion / toggles / hops / capacity / chunks must keep the
+    cached engine on the simple engine's trajectories.  Broad-net
+    regression guard for engine rewrites (the targeted tests above pin
+    the individually interesting regimes)."""
+    import dataclasses as dc
+
+    mesh, st = setup
+    rng = np.random.default_rng(2024)
+    for trial in range(8):
+        kw = dict(
+            dt=float(rng.uniform(0.02, 0.5)),
+            diffusion_coeff=float(10 ** rng.uniform(-5, -2.5)),
+            use_advection=bool(rng.random() < 0.85),
+            use_brownian=bool(rng.random() < 0.7),
+            reflect_wall=bool(rng.random() < 0.85),
+            inline_hops=int(rng.integers(0, 5)),
+            inline_bounce=bool(rng.random() < 0.7),
+            walk_capacity_frac=float(rng.choice([1 / 32, 1 / 16, 1 / 4])),
+            cycle_chunks=int(rng.choice([1, 1, 2])),
+        )
+        n = int(rng.integers(20, 60))
+        try:
+            compare(mesh, st, n=n, atol=1e-9, **kw)
+        except AssertionError as e:
+            raise AssertionError(f"fuzz trial {trial} failed for {kw}") from e
