@@ -361,11 +361,69 @@ def _rare_stage_packed(mesh, tab, m_rm, disp, pending, cfg, n, nb):
 def mega_cycle_packed(mesh: TetMesh, tab, m_rm, rng_key, step, cfg, dt):
     """One convex sub-step on the packed [n/4, 128] carry (pallas fast
     path; caller guarantees the envelope via
-    fused_pallas.convex_packed_supported and n % PACK_LANES == 0)."""
+    fused_pallas.convex_packed_supported and n % PACK_LANES == 0).
+
+    ``cfg.cycle_chunks > 1`` runs the cycle in sub-batches (one lax.scan
+    body over equal chunks, same scheme as fused.mega_cycle_packed).
+    Beyond the 10M-scale gather-rate fix, chunking is what restores the
+    cx TABLE's S(1) fast-memory placement at >=512k lanes: the full-batch
+    [n,24] gather output otherwise wins the ~128 MB VMEM budget contest
+    (see fused_pallas.convex_packed_supported).  Bit-identical to
+    unchunked: noise is drawn once for the full batch and sliced."""
     from . import fused_pallas
 
     n = m_rm.shape[0] * 4
     nb = n // BLOCK
+    chunks = max(int(getattr(cfg, "cycle_chunks", 1)), 1)
+    pk = fused_pallas.PACK_LANES
+    per = -(-(n // pk) // chunks) * pk
+    if chunks > 1 and per < n and per >= pk:
+        inoise = fused_pallas._use_inkernel_noise(cfg)
+        noise = (
+            _brownian_noise(rng_key, step, n, m_rm.dtype, cfg)
+            if (cfg.use_brownian and not inoise) else None
+        )
+
+        def chunk_cycle(m_rm_c, off, noise_c, nl):
+            mc, dsp, pend = fused_pallas.convex_pre_rare_cycle_packed(
+                mesh, tab, m_rm_c, rng_key, step, cfg, dt,
+                noise=noise_c, lane_offset=off,
+            )
+            return _rare_stage_packed(
+                mesh, tab, mc, dsp, pend, cfg, nl, nl // BLOCK
+            )
+
+        k_full = n // per
+        rem = n - k_full * per
+        m_full = m_rm[: k_full * per // 4].reshape(
+            k_full, per // 4, m_rm.shape[1]
+        )
+        offs = jnp.arange(k_full, dtype=jnp.int32) * per
+        if noise is not None:
+            nz_full = noise[: k_full * per].reshape(k_full, per, 3)
+
+            def body(_, x):
+                mi, oi, ni = x
+                return None, chunk_cycle(mi, oi, ni, per)
+
+            _, out = lax.scan(body, None, (m_full, offs, nz_full))
+        else:
+
+            def body(_, x):
+                mi, oi = x
+                return None, chunk_cycle(mi, oi, None, per)
+
+            _, out = lax.scan(body, None, (m_full, offs))
+        out = out.reshape(k_full * per // 4, m_rm.shape[1])
+        if rem:
+            tail = chunk_cycle(
+                m_rm[k_full * per // 4 :],
+                jnp.int32(k_full * per),
+                None if noise is None else noise[k_full * per :],
+                rem,
+            )
+            out = jnp.concatenate([out, tail], axis=0)
+        return out
     m_rm, disp, pending = fused_pallas.convex_pre_rare_cycle_packed(
         mesh, tab, m_rm, rng_key, step, cfg, dt
     )

@@ -1264,24 +1264,27 @@ def _kernel_cb_packed(scal_ref, rows_ref, head_ref, out_ref, pend_ref,
 
 
 def convex_packed_supported(mesh, cfg, n_hops: int) -> bool:
-    """Envelope for the packed convex streams: TPU, f32, >=1 inline hop,
-    unchunked (escape faces are fine — wall exits are pending lanes
-    either way).
+    """Envelope for the packed convex streams: TPU, f32, >=1 inline hop
+    (escape faces are fine — wall exits are pending lanes either way).
 
-    OPT-IN (engine_impl="pallas_packed"): bit-parity holds on hardware,
-    but the stream gather runs ~3.5x slower in this program than in the
-    jnp convex engine (28 vs 8 ms/cycle at 1M — total 38 vs 25.5 ms).
-    Profiled cause: the [n,24] row gather is emitted with a column-major
-    {0,1} output and the cx TABLE operand loses its fast-memory S(1)
-    placement; none of the measured counters moved it (index/output
-    optimization_barriers, hoisting the table to a jit parameter
-    (mesh.tet_row_cxe — kept, it is the right structure anyway), natural
-    [BN,24] kernel operands, transposed [24,BN] operands).  The jnp
-    convex engine stays the default until the layout assignment is
-    understood; see PERF_NOTES round-3 seventh pass."""
-    if getattr(cfg, "engine_impl", "auto") != "pallas_packed":
+    UNCHUNKED (cycle_chunks=1) at ~1M lanes this program runs the stream
+    gather ~3.5x slower than the jnp convex engine (28 vs 8 ms/cycle —
+    total 38 vs 25.5 ms).  HLO-confirmed cause: XLA's memory-space
+    assignment places the 96.7 MB gather OUTPUT in S(1) alternate memory
+    instead of the 95.8 MB cx TABLE (both cannot fit the ~128 MB VMEM
+    budget; the bary program's 80 MB pair fits the table and wins).
+    Chunking the cycle into ~500k-1M-lane sub-batches (each riding one
+    lax.scan body) restores the table's S(1) placement — measured at 1M:
+    k=2 (500k chunks) 18.5 ms vs k=1 38.3; at 2M: k=2 (1M chunks) 36.4.
+    Smaller chunks LOSE it again (1M k=3/333k: 39.0, k=4/250k: 40.9 —
+    HLO-verified, the table reverts to plain HBM), so the auto policy
+    (stepper + suggest_tuning) engages this path only at >=1M lanes with
+    chunks = max(2, ceil(n/1M))."""
+    if getattr(cfg, "engine_impl", "auto") not in (
+        "auto", "pallas", "pallas_packed"
+    ):
         return False
-    if n_hops < 1 or max(int(getattr(cfg, "cycle_chunks", 1)), 1) > 1:
+    if n_hops < 1:
         return False
     if mesh.points.dtype != jnp.float32:
         return False
@@ -1293,7 +1296,8 @@ def convex_packed_supported(mesh, cfg, n_hops: int) -> bool:
         return False
 
 
-def convex_pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt):
+def convex_pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
+                                 noise=None, lane_offset=0):
     """Packed convex stream section: returns (m_rm', disp, pending) for
     the packed convex rare stage.  ``disp`` is rebuilt [n, 3] natural
     from the head rows (the rare tracer marches pos -> pos + disp)."""
@@ -1304,11 +1308,13 @@ def convex_pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt):
     xi = None
     iscal = None
     if _use_inkernel_noise(cfg):
-        iscal = _noise_iscal(rng_key, step, 0)
+        iscal = _noise_iscal(rng_key, step, lane_offset)
         xiT = None
     else:
         if cfg.use_brownian:
-            xi = _brownian_noise(rng_key, step, n, m_rm.dtype, cfg)
+            xi = noise if noise is not None else _brownian_noise(
+                rng_key, step, n, m_rm.dtype, cfg
+            )
         xiT = to_grouped(
             xi.T if xi is not None else jnp.zeros((3, n), m_rm.dtype)
         )

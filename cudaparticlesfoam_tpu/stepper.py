@@ -199,10 +199,19 @@ def _run_cycles_impl(
             )
 
             n_hops = max(int(getattr(cfg, "inline_hops", 1)), 0)
+            # auto engages the packed convex path only in its measured-good
+            # regime: >=1M lanes AND cycle_chunks >= 2 (~500k-1M-lane
+            # chunks keep the cx table S(1)-placed; unchunked or <=333k
+            # chunks run the stream gather 2x slower — see
+            # fused_pallas.convex_packed_supported).  suggest_tuning sets
+            # the chunks; explicit engine_impl overrides.
             if fused_pallas.convex_packed_supported(mesh, cfg, n_hops) and (
-                m0.shape[0] >= fused_pallas.PACK_MIN_LANES
-                or getattr(cfg, "engine_impl", "auto")
+                getattr(cfg, "engine_impl", "auto")
                 in ("pallas", "pallas_packed")
+                or (
+                    m0.shape[0] >= 1_000_000
+                    and max(int(getattr(cfg, "cycle_chunks", 1)), 1) >= 2
+                )
             ):
                 # packed-carry convex fast path (see the bary twin below)
                 n0 = m0.shape[0]
@@ -431,8 +440,20 @@ def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None,
             mesh, dataclasses.replace(cfg, inline_hops=hops), hops
         )
     )
-    target = 625_000 if pallas_tet else 5_000_000
-    chunks = 1 if n_p <= 2_000_000 else max(1, round(n_p / target))
+    pallas_cx = (
+        getattr(cfg, "locate_mode", "bary") == "convex"
+        and fused_pallas.convex_packed_supported(
+            mesh, dataclasses.replace(cfg, inline_hops=hops), hops
+        )
+    )
+    if pallas_cx and n_p >= 1_000_000:
+        # packed convex: ~500k-1M-lane chunks keep the cx table S(1)-
+        # placed (measured: 1M k=2 18.5 ms vs k=1 38.3; smaller chunks
+        # lose the placement again) — see fused_convex.mega_cycle_packed
+        chunks = max(2, -(-n_p // 1_000_000))
+    else:
+        target = 625_000 if pallas_tet else 5_000_000
+        chunks = 1 if n_p <= 2_000_000 else max(1, round(n_p / target))
     return dataclasses.replace(
         cfg, inline_hops=hops, walk_capacity_frac=frac,
         inline_bounce=inline_bounce, cycle_chunks=chunks,

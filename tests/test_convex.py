@@ -193,6 +193,18 @@ def test_packed_convex_logic_matches_jnp_interpret():
     np.testing.assert_array_equal(mj[:, 7], mp[:, 7])
     np.testing.assert_allclose(mj[:, :6], mp[:, :6], atol=2e-6)
 
+    # chunked packed cycle (cycle_chunks=2, scan body) must be
+    # bit-identical to the unchunked packed cycle: two PACK_LANES blocks
+    m0w = jnp.concatenate([m0, m0], axis=0)
+    with pltpu.force_tpu_interpret_mode():
+        m_u = fused_convex.mega_cycle_packed(
+            mesh, tab, m0w.reshape(-1, 4 * fused_convex.WIDTH), key, 3,
+            cfg, 0.4)
+        m_c = fused_convex.mega_cycle_packed(
+            mesh, tab, m0w.reshape(-1, 4 * fused_convex.WIDTH), key, 3,
+            dc.replace(cfg, cycle_chunks=2), 0.4)
+    np.testing.assert_array_equal(np.asarray(m_u), np.asarray(m_c))
+
 
 def test_packed_convex_bit_parity_on_tpu():
     """On-TPU: the packed convex path must reproduce the jnp cached
@@ -225,9 +237,14 @@ def test_packed_convex_bit_parity_on_tpu():
         cfg = StepConfig(dt=dt, diffusion_coeff=2e-3, locate_mode="convex",
                          walk_capacity_frac=0.25, brownian_rng="rbg")
         out_j = run_cycles(mesh, st, dc.replace(cfg, engine_impl="jnp"), 10)
-        out_p = run_cycles(
-            mesh, st, dc.replace(cfg, engine_impl="pallas_packed"), 10)
-        np.testing.assert_array_equal(np.asarray(out_j.pos), np.asarray(out_p.pos))
-        np.testing.assert_array_equal(np.asarray(out_j.vel), np.asarray(out_p.vel))
-        np.testing.assert_array_equal(
-            np.asarray(out_j.tet_id), np.asarray(out_p.tet_id))
+        for ck in (1, 2):
+            out_p = run_cycles(
+                mesh, st,
+                dc.replace(cfg, engine_impl="pallas_packed",
+                           cycle_chunks=ck), 10)
+            np.testing.assert_array_equal(
+                np.asarray(out_j.pos), np.asarray(out_p.pos))
+            np.testing.assert_array_equal(
+                np.asarray(out_j.vel), np.asarray(out_p.vel))
+            np.testing.assert_array_equal(
+                np.asarray(out_j.tet_id), np.asarray(out_p.tet_id))
