@@ -208,7 +208,9 @@ class ParticleEngine:
 
             from . import partition
 
-            pm = partition.update_velocity(self._pm, tm.tet_vel)
+            pm = partition.update_velocity(
+                self._pm, tm.tet_vel, vert_vel=tm.vert_vel, tets=tm.tets
+            )
             self._pm = dataclasses.replace(
                 pm,
                 tet_row=jax.device_put(

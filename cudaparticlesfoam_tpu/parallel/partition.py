@@ -153,29 +153,44 @@ def partition_mesh(mesh: TetMesh, n_shards: int,
     )
 
 
-def update_velocity(pm: PartitionedMesh, tet_vel) -> PartitionedMesh:
-    """Refresh the per-tet velocity columns of the partitioned walk rows
-    from a GLOBAL (old-numbering) tet velocity array — the coupled/replay
-    drivers' per-Eulerian-interval U refresh (``advect.H:44-83``) without
-    re-partitioning.  (TetVelocity rows only — the pk layout carries
-    vertex velocities.)"""
+def update_velocity(
+    pm: PartitionedMesh, tet_vel, vert_vel=None, tets=None
+) -> PartitionedMesh:
+    """Refresh the velocity columns of the partitioned walk rows from
+    GLOBAL (old-numbering) velocity arrays — the coupled/replay drivers'
+    per-Eulerian-interval U refresh (``advect.H:44-83``) without
+    re-partitioning.  TetVelocity (20-col) and convex (24-col) rows take
+    the per-tet ``tet_vel``; pk (28-col) rows take ``vert_vel`` + the
+    global ``tets`` connectivity (v0..v3 at row cols 12:24)."""
     import dataclasses
 
-    if pm.tet_row.shape[-1] == 20:
-        u0 = 12
-    elif pm.tet_row.shape[-1] == 24:
-        u0 = 20                                          # cx layout
-    else:
-        raise NotImplementedError(
-            "per-interval velocity refresh on partitioned pk rows"
+    if pm.tet_row.shape[-1] == 28:                       # pk layout
+        if vert_vel is None or tets is None:
+            raise ValueError(
+                "pk-row velocity refresh needs vert_vel and tets"
+            )
+        tv = (
+            jnp.asarray(vert_vel, pm.tet_row.dtype)[jnp.asarray(tets)]
+            .reshape(-1, 12)[pm.inv_perm]
         )
-    tv = jnp.asarray(tet_vel, pm.tet_row.dtype)[pm.inv_perm]
+        u0, uw = 12, 12
+    else:
+        if pm.tet_row.shape[-1] == 20:
+            u0 = 12
+        elif pm.tet_row.shape[-1] == 24:
+            u0 = 20                                      # cx layout
+        else:
+            raise NotImplementedError(
+                f"velocity refresh on {pm.tet_row.shape[-1]}-col rows"
+            )
+        tv = jnp.asarray(tet_vel, pm.tet_row.dtype)[pm.inv_perm]
+        uw = 3
     total = pm.n_shards * pm.tets_per_shard
     pad = total - pm.n_tets
     if pad:
-        tv = jnp.concatenate([tv, jnp.zeros((pad, 3), tv.dtype)])
-    row = pm.tet_row.at[:, :, u0 : u0 + 3].set(
-        tv.reshape(pm.n_shards, pm.tets_per_shard, 3)
+        tv = jnp.concatenate([tv, jnp.zeros((pad, uw), tv.dtype)])
+    row = pm.tet_row.at[:, :, u0 : u0 + uw].set(
+        tv.reshape(pm.n_shards, pm.tets_per_shard, uw)
     )
     return dataclasses.replace(pm, tet_row=row)
 

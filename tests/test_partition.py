@@ -198,6 +198,43 @@ def test_partitioned_brownian_stable_across_shard_counts(circulating):
     np.testing.assert_array_equal(a[2], b[2])
 
 
+def test_partitioned_velocity_refresh_layouts(circulating):
+    """partition.update_velocity must reproduce a fresh partition's rows
+    for all three row layouts — tet (20-col), convex (24-col), and pk
+    (28-col, the coupled driver's VertexVelocity refresh path)."""
+    from cudaparticlesfoam_tpu.mesh import with_convex_rows, with_pk_rows
+
+    mesh, _ = circulating
+    rng = np.random.default_rng(3)
+    u2 = rng.normal(size=(mesh.n_tets, 3)).astype(np.float32)
+    vv2 = rng.normal(size=(len(np.asarray(mesh.points)), 3)).astype(np.float32)
+
+    # tet layout
+    pm = partition.partition_mesh(mesh, S)
+    fresh = partition.partition_mesh(replace_velocity(mesh, tet_vel=u2), S)
+    upd = partition.update_velocity(pm, u2)
+    np.testing.assert_array_equal(
+        np.asarray(upd.tet_row), np.asarray(fresh.tet_row))
+
+    # convex layout
+    mesh_cx = with_convex_rows(mesh)
+    pm = partition.partition_mesh(mesh_cx, S, layout="cx")
+    fresh = partition.partition_mesh(
+        with_convex_rows(replace_velocity(mesh, tet_vel=u2)), S, layout="cx")
+    upd = partition.update_velocity(pm, u2)
+    np.testing.assert_array_equal(
+        np.asarray(upd.tet_row), np.asarray(fresh.tet_row))
+
+    # pk layout (vert_vel + tets)
+    mesh_pk = with_pk_rows(replace_velocity(mesh, vert_vel=np.zeros_like(vv2)))
+    pm = partition.partition_mesh(mesh_pk, S, layout="pk")
+    fresh = partition.partition_mesh(
+        with_pk_rows(replace_velocity(mesh, vert_vel=vv2)), S, layout="pk")
+    upd = partition.update_velocity(pm, None, vert_vel=vv2, tets=mesh.tets)
+    np.testing.assert_array_equal(
+        np.asarray(upd.tet_row), np.asarray(fresh.tet_row))
+
+
 @pytest.mark.skipif(n_cpu_devices() < S, reason="needs 8 virtual devices")
 def test_partitioned_convex_needs_rows(circulating):
     """Convex locate on the partitioned strategy requires the packed
