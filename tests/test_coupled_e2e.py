@@ -164,7 +164,11 @@ def test_tjunction_coupled_multichip_particles(tmp_path):
     from cudaparticlesfoam_tpu.models import coupled
 
     states = {}
-    for name, kw in (("single", {}), ("dp8", {"devices": 8, "strategy": "dp"})):
+    for name, kw in (
+        ("single", {}),
+        ("dp8", {"devices": 8, "strategy": "dp"}),
+        ("part8", {"devices": 8, "strategy": "partitioned"}),
+    ):
         case = shrink_tjunction(tmp_path / name, num_particles=400)
         d = foamfile.read(os.path.join(case, "system", "cudaParticlesDict"))
         d.pop("FoamFile", None)
@@ -181,10 +185,13 @@ def test_tjunction_coupled_multichip_particles(tmp_path):
         assert stats["cycles"] >= 20
         states[name] = state
     ref = np.asarray(states["single"].pos)
-    np.testing.assert_allclose(np.asarray(states["dp8"].pos), ref, atol=1e-9)
-    np.testing.assert_array_equal(
-        np.asarray(states["dp8"].tet_id), np.asarray(states["single"].tet_id)
-    )
+    for name in ("dp8", "part8"):
+        np.testing.assert_allclose(np.asarray(states[name].pos), ref,
+                                   atol=1e-9)
+        np.testing.assert_array_equal(
+            np.asarray(states[name].tet_id),
+            np.asarray(states["single"].tet_id),
+        )
 
 
 
