@@ -48,7 +48,8 @@ from ..models.simple import FlowState
 from ..utils.pytree import pytree_dataclass
 
 
-@pytree_dataclass(meta_fields=("n_dev", "axis", "n_loc", "fv_meta"))
+@pytree_dataclass(meta_fields=("n_dev", "axis", "n_loc", "fv_meta",
+                               "halo_perms"))
 class ShardedFlowMesh:
     """Stacked per-device FV meshes + halo exchange plan.
 
@@ -69,10 +70,12 @@ class ShardedFlowMesh:
     delta: jnp.ndarray
     bd_delta: jnp.ndarray
     nonortho: jnp.ndarray
-    # halo plan: local cell ids to send to d+1 / d-1; ghost slot layout is
-    # [owned | recv_from_prev | recv_from_next]
-    send_up: jnp.ndarray      # [D, H]
-    send_dn: jnp.ndarray      # [D, H]
+    # halo plan: R directed exchange rounds over the device grid (2 per
+    # decomposed axis: +1 / -1, non-wrapping).  ``send[d, r]`` lists the
+    # local cell ids device d contributes to round r; ghost slot layout is
+    # [owned | recv_round0 | recv_round1 | ... | dummy] and round r's
+    # ppermute pairs are the static ``halo_perms[r]``.
+    send: jnp.ndarray         # [D, R, H]
     cell_mask: jnp.ndarray    # [D, C_ext] True on owned (non-ghost, non-pad)
     glob_cell: jnp.ndarray    # [D, C_ext] global cell id (or -1)
     fglob: jnp.ndarray        # [D, nf] signed global face id+1 (0 = pad;
@@ -81,6 +84,7 @@ class ShardedFlowMesh:
     axis: str
     n_loc: int                # owned cells per device (padded count)
     fv_meta: tuple            # (n_cells_ext, n_faces, n_internal, patch_slices)
+    halo_perms: tuple         # per-round ((src, dst), ...) ppermute pairs
 
     def local_fv(self, sl=slice(None)):
         """View device-local arrays (inside shard_map: leading axis 1)."""
@@ -95,10 +99,18 @@ class ShardedFlowMesh:
         )
 
 
-def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0):
-    """Slab-decompose a PolyMesh into a ShardedFlowMesh + per-device BC
+def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0,
+              grid=None):
+    """Decompose a PolyMesh into a ShardedFlowMesh + per-device BC
     stacking helpers.  Returns (smesh, perm) where ``perm[d, i]`` is the
-    global cell id of device d's owned cell i (-1 padding)."""
+    global cell id of device d's owned cell i (-1 padding).
+
+    ``grid=(gx, gy, gz)`` (prod = n_dev) selects a multi-axis block
+    decomposition — the decomposeParDict ``simple``/``hierarchical``
+    method (order xyz): coordinate-rank splits along x, then y within
+    each x-block, then z.  Default is 1-D slabs along ``direction``.
+    Halos are one directed ppermute round per decomposed-axis direction
+    (2 rounds for 1-D, up to 6 for 3-D)."""
     from ..io.polymesh import face_centres_areas
 
     gm = fv.fv_mesh(pm, dtype=dtype)
@@ -108,21 +120,51 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0):
     own = np.asarray(gm.owner)
     nei = np.asarray(gm.neighbour)
 
-    # slab assignment by sorted coordinate rank (equal cell counts, the
-    # decomposeParDict `simple` method's spirit)
-    order = np.argsort(cc[:, direction], kind="stable")
-    dev_of = np.empty(nc, np.int64)
-    bounds = np.linspace(0, nc, n_dev + 1).astype(np.int64)
-    for d in range(n_dev):
-        dev_of[order[bounds[d] : bounds[d + 1]]] = d
+    if grid is None:
+        grid = [1, 1, 1]
+        grid[direction] = n_dev
+    grid = tuple(int(g) for g in grid)
+    gx, gy, gz = grid
+    if gx * gy * gz != n_dev:
+        raise ValueError(f"decomposition grid {grid} != {n_dev} devices")
 
-    # cross faces must connect adjacent slabs only (1-D ppermute halo)
+    # hierarchical coordinate-rank assignment (equal cell counts per
+    # block, the decomposeParDict `simple`/`hierarchical` xyz order)
+    def _split(idx, axis_c, k):
+        order = idx[np.argsort(cc[idx, axis_c], kind="stable")]
+        bounds = np.linspace(0, len(idx), k + 1).astype(np.int64)
+        return [order[bounds[i] : bounds[i + 1]] for i in range(k)]
+
+    dev_of = np.empty(nc, np.int64)
+    for ix, sx in enumerate(_split(np.arange(nc), 0, gx)):
+        for iy, sy in enumerate(_split(sx, 1, gy)):
+            for iz, sz in enumerate(_split(sy, 2, gz)):
+                dev_of[sz] = (ix * gy + iy) * gz + iz
+
+    def _coords(d):
+        return d // (gy * gz), (d // gz) % gy, d % gz
+
+    # exchange rounds: one directed ppermute per decomposed-axis direction
+    strides = (gy * gz, gz, 1)
+    dirs = []                       # (axis, sign, device-id stride)
+    for a in range(3):
+        if grid[a] > 1:
+            dirs.append((a, +1, strides[a]))
+            dirs.append((a, -1, -strides[a]))
+    n_rounds = max(len(dirs), 1)
+
+    # cross faces must connect grid-adjacent blocks (one axis, +-1)
     do, dn = dev_of[own[:n_int]], dev_of[nei]
-    if np.abs(do - dn).max(initial=0) > 1:
-        raise ValueError(
-            "slab decomposition produced non-adjacent cross faces; "
-            "use fewer devices or a different direction"
-        )
+    cross = do != dn
+    dstep = {st for _, _, st in dirs}
+    for f in np.where(cross)[0]:
+        ca, cb = _coords(do[f]), _coords(dn[f])
+        diff = [abs(ca[i] - cb[i]) for i in range(3)]
+        if sorted(diff) != [0, 0, 1] or (dn[f] - do[f]) not in dstep:
+            raise ValueError(
+                f"decomposition grid {grid} produced non-adjacent cross "
+                "faces; use fewer devices or a different grid"
+            )
 
     # local numbering per device
     loc_id = np.empty(nc, np.int64)
@@ -133,36 +175,49 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0):
         n_owned[d] = len(cells)
     n_loc = int(n_owned.max())
 
-    # halo: cells d sends to d+1 = owners/neighbours of up-cross faces
-    send_up = [[] for _ in range(n_dev)]
-    send_dn = [[] for _ in range(n_dev)]
-    cross = do != dn
+    # send lists per device per round: cells with a cross face whose other
+    # cell sits one step along that round's direction
+    send = [[[] for _ in range(n_rounds)] for _ in range(n_dev)]
     for f in np.where(cross)[0]:
         a, b = own[f], nei[f]
         da, db = dev_of[a], dev_of[b]
-        lo_d, hi_d = (da, db) if da < db else (db, da)
-        lo_c, hi_c = (a, b) if da < db else (b, a)
-        send_up[lo_d].append(lo_c)
-        send_dn[hi_d].append(hi_c)
-    send_up = [np.unique(np.array(s, np.int64)) for s in send_up]
-    send_dn = [np.unique(np.array(s, np.int64)) for s in send_dn]
-    n_halo = max(
-        [len(s) for s in send_up] + [len(s) for s in send_dn] + [1]
-    )
-    # ghost layout per device: [owned(n_loc) | from_prev(n_halo) | from_next(n_halo) | dummy]
-    ghost_prev0 = n_loc
-    ghost_next0 = n_loc + n_halo
-    c_ext = n_loc + 2 * n_halo + 1
+        for r, (_, _, st) in enumerate(dirs):
+            if db - da == st:
+                send[da][r].append(a)
+                # the reverse round exists for every direction (dirs come
+                # in +/- pairs), so b's contribution lands there
+            if da - db == st:
+                send[db][r].append(b)
+    send = [[np.unique(np.array(s, np.int64)) if len(s) else
+             np.array([], np.int64) for s in dev_rounds]
+            for dev_rounds in send]
+    n_halo = max([len(s) for dev_rounds in send for s in dev_rounds] + [1])
+    # ghost layout per device: [owned | recv_round0..R-1 (n_halo each) | dummy]
+    c_ext = n_loc + n_rounds * n_halo + 1
     dummy = c_ext - 1
 
-    # ghost slot lookup: for device d, global cell g (on d-1 or d+1) -> slot
+    # per-round ppermute pairs (static) — round r: every device sends to
+    # its +step neighbor; receivers fill ghost block r
+    halo_perms = tuple(
+        tuple(
+            (d, d + st) for d in range(n_dev)
+            if 0 <= _coords(d)[ax] + sg < grid[ax]
+        )
+        for ax, sg, st in dirs
+    ) or ((),)
+
+    # ghost slot lookup: device d, global cell g on a neighbor -> slot.
+    # Round r's ghosts on device d come from sender d - step_r.
     ghost_slot = [dict() for _ in range(n_dev)]
-    for d in range(n_dev - 1):
-        # cells d sends up become d+1's from_prev ghosts, in send order
-        for i, g in enumerate(send_up[d]):
-            ghost_slot[d + 1][g] = ghost_prev0 + i
-        for i, g in enumerate(send_dn[d + 1]):
-            ghost_slot[d][g] = ghost_next0 + i
+    for r, (ax, sg, st) in enumerate(dirs):
+        g0 = n_loc + r * n_halo
+        for d in range(n_dev):
+            cs = _coords(d)
+            if not (0 <= cs[ax] - sg < grid[ax]):
+                continue
+            sender = d - st
+            for i, g in enumerate(send[sender][r]):
+                ghost_slot[d][g] = g0 + i
 
     f_ctr, f_area = face_centres_areas(pm)
     mag_g = np.asarray(gm.mag_sf)
@@ -231,7 +286,7 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0):
 
     owner_s, neigh_s, sf_s, mag_s, w_s, delta_s, k_s = [], [], [], [], [], [], []
     bdelta_s, vol_s, cc_s, cf_s = [], [], [], []
-    sup_s, sdn_s, mask_s, glob_s, bglob_s, fglob_s = [], [], [], [], [], []
+    send_s, mask_s, glob_s, bglob_s, fglob_s = [], [], [], [], []
     for d in range(n_dev):
         oi, ni_, sfl, magl, wl, dl, kl, cfl, fgl = dev_faces[d]
         bo, bsf, bmag, bdl, bgl, bcf = dev_bd[d]
@@ -257,17 +312,19 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0):
         # d_up and limitedLinear's d read remote upwind centres)
         ccv = np.zeros((c_ext, 3))
         ccv[: len(cells_d)] = cc[cells_d]
-        if d > 0:
-            ccv[ghost_prev0 : ghost_prev0 + len(send_up[d - 1])] = cc[send_up[d - 1]]
-        if d < n_dev - 1:
-            ccv[ghost_next0 : ghost_next0 + len(send_dn[d + 1])] = cc[send_dn[d + 1]]
+        for r, (ax, sg, st) in enumerate(dirs):
+            cs = _coords(d)
+            if 0 <= cs[ax] - sg < grid[ax]:
+                sl = send[d - st][r]
+                ccv[n_loc + r * n_halo : n_loc + r * n_halo + len(sl)] = cc[sl]
         cc_s.append(ccv)
         cf_s.append(np.concatenate([
             padded(cfl, nf_int), padded(bcf, nf_bd)]))
-        sup_s.append(padded(loc_id[send_up[d]] if len(send_up[d]) else
-                            np.array([0], np.int64), n_halo, 0, np.int64))
-        sdn_s.append(padded(loc_id[send_dn[d]] if len(send_dn[d]) else
-                            np.array([0], np.int64), n_halo, 0, np.int64))
+        send_s.append(np.stack([
+            padded(loc_id[s] if len(s) else np.array([0], np.int64),
+                   n_halo, 0, np.int64)
+            for s in send[d]
+        ]))
         maskv = np.zeros(c_ext, bool)
         maskv[: n_owned[d]] = True
         mask_s.append(maskv)
@@ -287,12 +344,13 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0):
         mag_sf=as_f(mag_s), cf=as_f(cf_s), cc=as_f(cc_s), vol=as_f(vol_s),
         w=as_f(w_s), delta=as_f(delta_s), bd_delta=as_f(bdelta_s),
         nonortho=as_f(k_s),
-        send_up=as_i(sup_s), send_dn=as_i(sdn_s),
+        send=as_i(send_s),
         cell_mask=jnp.asarray(np.stack(mask_s)),
         glob_cell=as_i(glob_s),
         fglob=as_i(fglob_s),
         n_dev=n_dev, axis="f", n_loc=n_loc,
         fv_meta=(c_ext, nf_int + nf_bd, nf_int, ()),
+        halo_perms=halo_perms,
     )
     return smesh, jnp.asarray(np.stack(bglob_s), jnp.int32)
 
@@ -351,33 +409,37 @@ def gather_cells(smesh: ShardedFlowMesh, x_stacked):
 # ----------------------------------------------------------------- kernels
 
 
-def _perm_up(n_dev):
-    return [(d, d + 1) for d in range(n_dev - 1)]
+def make_halo_refresh(smesh: ShardedFlowMesh, axis: str):
+    """ppermute halo exchange over the decomposition's directed rounds:
+    fill each ghost block from the corresponding neighbor's send list.
+    Returns refresh(m_s, x) for use INSIDE shard_map (m_s device-local)."""
+    n_loc = smesh.n_loc
+    n_halo = smesh.send.shape[2]
+    perms = smesh.halo_perms
 
+    def refresh(m_s, x):
+        snd = m_s.send[0]
+        for r, perm in enumerate(perms):
+            g0 = n_loc + r * n_halo
+            x = x.at[g0 : g0 + n_halo].set(
+                lax.ppermute(x[snd[r]], axis, list(perm))
+            )
+        return x
 
-def _perm_dn(n_dev):
-    return [(d + 1, d) for d in range(n_dev - 1)]
+    return refresh
 
 
 def make_flux_init(smesh: ShardedFlowMesh, device_mesh: Mesh):
     """Jitted initial face flux from a sharded velocity field (the
     sharded analog of ``fv.flux_of`` at case load)."""
-    n_dev = smesh.n_dev
-    n_loc = smesh.n_loc
     axis = device_mesh.axis_names[0]
-    n_halo = smesh.send_up.shape[1]
-    gp0, gn0 = n_loc, n_loc + n_halo
+    refresh = make_halo_refresh(smesh, axis)
 
     def local(m_s, u, u_bcs):
         lm = m_s.local_fv()
         u = u[0]
         u_bcs = jax.tree.map(lambda x: x[0], u_bcs)
-        up = u[m_s.send_up[0]]
-        dn = u[m_s.send_dn[0]]
-        u = u.at[gp0 : gp0 + n_halo].set(
-            lax.ppermute(up, axis, _perm_up(n_dev)))
-        u = u.at[gn0 : gn0 + n_halo].set(
-            lax.ppermute(dn, axis, _perm_dn(n_dev)))
+        u = refresh(m_s, u)
         return fv.flux_of(lm, u, u_bcs)[None]
 
     specs = _mesh_specs(smesh, axis)
@@ -394,9 +456,10 @@ def _mesh_specs(smesh: ShardedFlowMesh, axis: str):
     return ShardedFlowMesh(
         **{k: P(axis) for k in (
             "owner", "neighbour", "sf", "mag_sf", "cf", "cc", "vol", "w",
-            "delta", "bd_delta", "nonortho", "send_up", "send_dn",
+            "delta", "bd_delta", "nonortho", "send",
             "cell_mask", "glob_cell", "fglob")},
         n_dev=smesh.n_dev, axis="f", n_loc=smesh.n_loc, fv_meta=smesh.fv_meta,
+        halo_perms=smesh.halo_perms,
     )
 
 
@@ -438,18 +501,7 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
     n_loc = smesh.n_loc
     axis = device_mesh.axis_names[0]
     c_ext, n_faces, n_int, _ = smesh.fv_meta
-    n_halo = smesh.send_up.shape[1]
-    gp0, gn0 = n_loc, n_loc + n_halo
-
-    def refresh(m_s, x):
-        """ppermute halo exchange: fill ghost slots with neighbor values."""
-        up = x[m_s.send_up[0]]
-        dn = x[m_s.send_dn[0]]
-        from_prev = lax.ppermute(up, axis, _perm_up(n_dev))
-        from_next = lax.ppermute(dn, axis, _perm_dn(n_dev))
-        x = x.at[gp0 : gp0 + n_halo].set(from_prev)
-        x = x.at[gn0 : gn0 + n_halo].set(from_next)
-        return x
+    refresh = make_halo_refresh(smesh, axis)
 
     def psum_dot(mask, a, b):
         return lax.psum(jnp.sum(jnp.where(mask, a * b, 0.0)), axis)
@@ -880,8 +932,7 @@ def make_sharded_keps(smesh: ShardedFlowMesh, device_mesh: Mesh,
     n_dev = smesh.n_dev
     n_loc = smesh.n_loc
     axis = device_mesh.axis_names[0]
-    n_halo = smesh.send_up.shape[1]
-    gp0, gn0 = n_loc, n_loc + n_halo
+    _refresh = make_halo_refresh(smesh, axis)
 
     def local(m_s, k, eps, nut, u, flux, u_bcs, k_bcs, e_bcs,
               wall_cell, y_wall, dt):
@@ -895,13 +946,7 @@ def make_sharded_keps(smesh: ShardedFlowMesh, device_mesh: Mesh,
         wall_cell, y_wall = wall_cell[0], y_wall[0]
 
         def hx(x):
-            up = x[m_s.send_up[0]]
-            dn = x[m_s.send_dn[0]]
-            x = x.at[gp0 : gp0 + n_halo].set(
-                lax.ppermute(up, axis, _perm_up(n_dev)))
-            x = x.at[gn0 : gn0 + n_halo].set(
-                lax.ppermute(dn, axis, _perm_dn(n_dev)))
-            return x
+            return _refresh(m_s, x)
 
         k = jnp.maximum(k, turb.SMALL)
         eps = jnp.maximum(eps, turb.SMALL)
@@ -1009,6 +1054,45 @@ def make_courant(smesh: ShardedFlowMesh, device_mesh: Mesh):
     ))
 
 
+def read_decompose_par(case_dir, n_dev: int, log=print):
+    """Decomposition grid from ``system/decomposeParDict`` (the
+    ``simple``/``hierarchical`` method's ``n (nx ny nz)`` coefficient,
+    ``TJunction/system/decomposeParDict:17-24``).  Returns None (1-D
+    default) when the dict is absent, the method is unsupported, or the
+    subdomain/device counts disagree."""
+    import os
+
+    from ..io import foamfile
+
+    path = os.path.join(case_dir, "system", "decomposeParDict")
+    if not os.path.exists(path):
+        return None
+    try:
+        d = foamfile.read(path)
+    except Exception:
+        return None
+    method = str(d.get("method", "")).strip()
+    coeffs = d.get("coeffs") or d.get(f"{method}Coeffs") or {}
+    n = coeffs.get("n") if isinstance(coeffs, dict) else None
+    nsub = d.get("numberOfSubdomains")
+    if method not in ("simple", "hierarchical") or n is None:
+        if method:
+            log(f"#flow: decomposeParDict method {method!r} not supported "
+                "on-device; using 1-D slabs")
+        return None
+    grid = tuple(int(v) for v in n)
+    if len(grid) != 3 or grid[0] * grid[1] * grid[2] != n_dev:
+        log(f"#flow: decomposeParDict n {grid} != {n_dev} devices; "
+            "using 1-D slabs")
+        return None
+    if nsub is not None and int(nsub) != n_dev:
+        log(f"#flow: numberOfSubdomains {nsub} != {n_dev} devices; "
+            "using 1-D slabs")
+        return None
+    log(f"#flow: decomposition grid {grid} (decomposeParDict {method})")
+    return grid
+
+
 class ShardedFlowSolver:
     """Drop-in FlowSolver running the PIMPLE step domain-decomposed over
     the device mesh — the product path behind ``coupled --flow-devices N``
@@ -1034,7 +1118,10 @@ class ShardedFlowSolver:
         cfg_kw.setdefault("p_solver", "amg")
         self.cfg = PimpleConfig(nu=nu, pin_pressure=pin, **cfg_kw)
         self.m = m
-        self.smesh, bglob = decompose(case.poly, n_dev, dtype=jnp.float32)
+        grid = read_decompose_par(case.case_dir, n_dev, log=log)
+        self.smesh, bglob = decompose(
+            case.poly, n_dev, dtype=jnp.float32, grid=grid
+        )
         self.dmesh = shardlib.make_device_mesh(n_dev, axis="f")
         self.bglob = bglob
         self.p_bcs = p_bcs

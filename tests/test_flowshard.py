@@ -95,6 +95,51 @@ def test_sharded_pimple_matches_single(div_scheme):
     assert float(np.asarray(diag["continuity"])[0]) < 1e-8
 
 
+@pytest.mark.parametrize("grid", [(2, 2, 2), (4, 2, 1), (2, 1, 2)])
+def test_sharded_pimple_multiaxis_grid(grid):
+    """Multi-axis block decomposition (decomposeParDict simple n (gx gy
+    gz)): 2-D and 3-D device grids with per-axis ppermute halo rounds
+    must match the single-device solver like the 1-D slabs do."""
+    n_dev = int(np.prod(grid))
+    if n_cpu() < n_dev:
+        pytest.skip(f"needs {n_dev} virtual devices")
+    pm = duct_pm(nx=12, ny=6, nz=6)
+    m = fv.fv_mesh(pm, dtype=jnp.float64)
+    u_bcs = fv.make_bcs(
+        m, {"inlet": ("fixedValue", [1.0, 0.0, 0.0]), "walls": ("noSlip", 0.0)}, 3
+    )
+    p_bcs = fv.make_bcs(m, {"outlet": ("fixedValue", 0.0)}, 1)
+    u0 = jnp.tile(jnp.asarray([1.0, 0.0, 0.0]), (m.n_cells, 1))
+    st = FlowState(u=u0, p=jnp.zeros(m.n_cells, jnp.float64),
+                   flux=fv.flux_of(m, u0, u_bcs))
+    cfg = PimpleConfig(nu=1e-3, n_outer=1, n_correctors=2, n_jacobi=8,
+                       p_tol=1e-12, p_max_iter=600)
+    dt = 0.02
+    for _ in range(3):
+        st, res = pimple_step(m, st, u_bcs, p_bcs, cfg, dt)
+
+    smesh, bglob = flowshard.decompose(pm, n_dev, dtype=jnp.float64,
+                                       grid=grid)
+    dmesh = sharding.make_device_mesh(n_dev, axis="f")
+    u_bcs_s = flowshard.shard_bcs(u_bcs, bglob)
+    p_bcs_s = flowshard.shard_bcs(p_bcs, bglob)
+    u_s = flowshard.scatter_cells(smesh, np.asarray(u0))
+    p_s = flowshard.scatter_cells(smesh, np.zeros(m.n_cells))
+    flux_s = flowshard.make_flux_init(smesh, dmesh)(smesh, u_s, u_bcs_s)
+    step = flowshard.make_sharded_pimple(smesh, cfg, dmesh)
+    for _ in range(3):
+        u_s, p_s, flux_s, diag = step(
+            smesh, u_s, p_s, flux_s, u_bcs_s, p_bcs_s, dt
+        )
+    u_g = flowshard.gather_cells(smesh, u_s)
+    p_g = flowshard.gather_cells(smesh, p_s)
+    du = np.abs(u_g - np.asarray(st.u)).max()
+    dp = np.abs(p_g - np.asarray(st.p)).max()
+    assert du < 1e-8, du
+    assert dp < 1e-6 * max(np.abs(np.asarray(st.p)).max(), 1.0), dp
+    assert float(np.asarray(diag["continuity"])[0]) < 1e-8
+
+
 def _duct_mrf(m, omega_z=6.0):
     """MRFZones with a rotor zone in the middle third of the duct,
     rotating about z through the duct centre (mirrors mrf.from_case's
