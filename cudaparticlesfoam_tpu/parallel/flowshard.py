@@ -1,15 +1,18 @@
 """Domain-decomposed (sharded) incompressible flow solve.
 
 The TPU-native answer to the reference's MPI fluid decomposition
-(``decomposePar`` with the ``simple`` 4x1x1 method + ``mpirun -np 4
-cudaParticlesPimpleFoam -parallel``,
+(``decomposePar`` with the ``simple``/``hierarchical`` method +
+``mpirun -np 4 cudaParticlesPimpleFoam -parallel``,
 ``tutorials/.../TJunction/Allrun-parallel:10-11``,
-``TJunction/system/decomposeParDict:17-24``): cells are sliced into
-coordinate slabs, each device owns one slab plus a one-cell ghost layer,
-and the PIMPLE step runs under ``shard_map`` with
+``TJunction/system/decomposeParDict:17-24``): cells are split into
+coordinate-rank blocks over a (gx, gy, gz) device grid (1-D slabs by
+default, the dict's ``n`` coefficient when present), each device owns
+one block plus a one-cell ghost layer, and the PIMPLE step runs under
+``shard_map`` with
 
-* ``lax.ppermute`` halo exchange refreshing ghost-cell values before any
-  operator that reads neighbour cells (the collective rides ICI), and
+* ``lax.ppermute`` halo exchange — one directed round per decomposed-
+  axis direction — refreshing ghost-cell values before any operator
+  that reads neighbour cells (the collectives ride ICI), and
 * ``lax.psum`` for the global reductions (CG dot products, residuals,
   continuity).
 
