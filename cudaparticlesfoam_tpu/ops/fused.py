@@ -722,7 +722,7 @@ def _rare_stage(mesh: TetMesh, tab, m, pending, cfg, ly: Layout, n, nb, W):
     nl = capb * BLOCK   # arena lanes
     # exact-stage lane capacity: pending density inside a pending block is
     # typically 1-2 of 8 lanes; leftovers just stay pending for a new round
-    cap_l = max(nl // 4, 64)
+    cap_l = -(-max(int(nl * getattr(cfg, 'arena_lane_frac', 0.25)), 64) // 8) * 8
     # static bound: every round retires min(cap_l lanes, capb blocks) —
     # generous; the while cond exits as soon as nothing is pending
     max_rounds = -(-n // cap_l) + -(-nb // capb)
@@ -799,7 +799,7 @@ def _rare_stage_packed(mesh: TetMesh, tab, m_rm, pending, cfg, ly: Layout,
 
     capb = min(max(int(nb * cfg.walk_capacity_frac), 32), nb)
     nl = capb * BLOCK
-    cap_l = max(nl // 4, 64)
+    cap_l = -(-max(int(nl * getattr(cfg, 'arena_lane_frac', 0.25)), 64) // 8) * 8
     max_rounds = -(-n // cap_l) + -(-nb // capb)
 
     def rare_cond(carry):

@@ -253,7 +253,7 @@ def _rare_stage(mesh: TetMesh, tab, m, disp, pending, cfg, n, nb):
     # with the side displacement array gathered/scattered alongside
     capb = min(max(int(nb * cfg.walk_capacity_frac), 32), nb)
     nl = capb * BLOCK
-    cap_l = max(nl // 4, 64)
+    cap_l = -(-max(int(nl * getattr(cfg, 'arena_lane_frac', 0.25)), 64) // 8) * 8
     max_rounds = -(-n // cap_l) + -(-nb // capb)
 
     def rare_cond(carry):
@@ -311,7 +311,7 @@ def _rare_stage_packed(mesh, tab, m_rm, disp, pending, cfg, n, nb):
 
     capb = min(max(int(nb * cfg.walk_capacity_frac), 32), nb)
     nl = capb * _B
-    cap_l = max(nl // 4, 64)
+    cap_l = -(-max(int(nl * getattr(cfg, 'arena_lane_frac', 0.25)), 64) // 8) * 8
     max_rounds = -(-n // cap_l) + -(-nb // capb)
 
     def rare_cond(carry):

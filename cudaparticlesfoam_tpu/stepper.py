@@ -48,6 +48,12 @@ class StepConfig:
     # round (pending lanes after the inline hop — multi-hop walkers + wall
     # hits).  Undersizing costs extra rounds, never correctness.
     walk_capacity_frac: float = 0.125
+    # rare-stage exact-lane capacity, as a fraction of the round arena
+    # (``walk_capacity_frac * n`` lanes).  Arena op cost scales with this;
+    # undersizing costs extra rounds, never correctness.  1/4 retires a
+    # fully-pending arena in 4 rounds; the headline regime pends ~1% of
+    # lanes so smaller fractions shrink every per-round [cap_l,*] op.
+    arena_lane_frac: float = 0.25
     # cell-location algorithm: "bary" = barycentric sign walk (RTX build,
     # query/RTQuery.cu), "convex" = exact segment/face tracing (ConvexPoly
     # build, query/ConvexQuery.cu)
