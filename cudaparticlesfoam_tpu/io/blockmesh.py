@@ -552,12 +552,29 @@ def generate(dict_path_or_text: str) -> PolyMesh:
         ok = loc >= 0
         face_patch[loc[ok]] = all_side_pids[ok]
 
-    # unassigned boundary faces: defaultFaces
+    # unassigned boundary faces -> the default patch (blockMesh semantics:
+    # name/type from an optional ``defaultPatch {name; type;}`` entry,
+    # defaulting to defaultFaces/empty).  A patch of that name declared in
+    # the boundary list with ``faces ()`` sets its TYPE and receives the
+    # faces — the idiom the reference's TJunction uses to make its
+    # unlisted faces walls (``TJunction/system/blockMeshDict:116-120``,
+    # consumed as walls by 0/k's kqRWallFunction); emitting a separate
+    # empty-typed patch here used to silently disable every wall function
+    # on that case.
     unassigned = (~internal) & (face_patch < 0)
     patches_spec = [(name, ptype) for name, ptype, _ in boundary]
     if unassigned.any():
-        face_patch[unassigned] = len(patches_spec)
-        patches_spec.append(("defaultFaces", "empty"))
+        dp = d.get("defaultPatch", {})
+        dp_name = str(dp.get("name", "defaultFaces")) if isinstance(dp, dict) \
+            else "defaultFaces"
+        dp_type = str(dp.get("type", "empty")) if isinstance(dp, dict) \
+            else "empty"
+        declared = [i for i, (n, _) in enumerate(patches_spec) if n == dp_name]
+        if declared:
+            face_patch[unassigned] = declared[0]
+        else:
+            face_patch[unassigned] = len(patches_spec)
+            patches_spec.append((dp_name, dp_type))
 
     # --- canonical OpenFOAM face ordering ---
     # internal: sort by (owner, neighbour); boundary: by (patch, owner)

@@ -283,6 +283,15 @@ def wall_distance(m: fv.FvMesh) -> np.ndarray:
     if not wall_f:
         return np.full(m.n_cells, 1e10)
     wf = cf[np.concatenate(wall_f)]
+    if len(wf) == 0:
+        return np.full(m.n_cells, 1e10)
+    try:  # k-d tree when scipy is present (248k cells x 49k wall faces
+        #   at reference TJunction scale is ~1.2e10 brute-force pairs)
+        from scipy.spatial import cKDTree
+
+        return cKDTree(wf).query(cc, workers=-1)[0]
+    except ImportError:
+        pass
     y = np.empty(m.n_cells)
     step = max(1, 2**22 // max(len(wf), 1))
     for c0 in range(0, m.n_cells, step):

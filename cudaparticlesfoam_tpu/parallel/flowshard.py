@@ -1036,6 +1036,167 @@ def make_sharded_keps(smesh: ShardedFlowMesh, device_mesh: Mesh,
     ))
 
 
+def make_sharded_sst(smesh: ShardedFlowMesh, device_mesh: Mesh,
+                     nu: float, n_sweeps: int = 6):
+    """Shard_map'ed transient k-omega SST update mirroring
+    ``models.turbulence.k_omega_sst_step`` (dt mode): Menter 2003
+    blending from the sharded wall-distance field, cross-diffusion from
+    halo-refreshed k/omega gradients, strain-rate-limited eddy
+    viscosity, omegaWallFunction pins on the local wall cells, Jacobi
+    sweeps with per-sweep halo refresh (same solver structure as
+    ``make_sharded_keps``)."""
+    from ..models import turbulence as turb
+
+    axis = device_mesh.axis_names[0]
+    _refresh = make_halo_refresh(smesh, axis)
+
+    def local(m_s, k, w, nut, y, u, flux, u_bcs, k_bcs, w_bcs,
+              wall_cell, y_wall, dt):
+        lm = m_s.local_fv()
+        mask = m_s.cell_mask[0]
+        n_int = lm.n_internal
+        u_bcs = jax.tree.map(lambda x: x[0], u_bcs)
+        k_bcs = jax.tree.map(lambda x: x[0], k_bcs)
+        w_bcs = jax.tree.map(lambda x: x[0], w_bcs)
+        k, w, nut, y, u, flux = k[0], w[0], nut[0], y[0], u[0], flux[0]
+        wall_cell, y_wall = wall_cell[0], y_wall[0]
+        vol = m_s.vol[0]
+
+        def hx(x):
+            return _refresh(m_s, x)
+
+        k = jnp.maximum(k, turb.SMALL)
+        w = jnp.maximum(w, turb.SMALL)
+        y_c = jnp.maximum(y, 1e-10)
+        y2 = y_c * y_c
+
+        # strain rate from the halo-refreshed velocity gradient
+        uh = hx(u)
+        grads = []
+        for comp in range(3):
+            bc_c = fv.BoundaryCoeffs(a=u_bcs.a, b=u_bcs.b[:, comp : comp + 1])
+            grads.append(fv.gradient(lm, uh[:, comp], bc_c))
+        g = jnp.stack(grads, axis=1)
+        s = 0.5 * (g + jnp.swapaxes(g, 1, 2))
+        s2 = 2.0 * jnp.sum(s * s, axis=(1, 2))
+
+        # cross-diffusion + blending functions (pointwise given halo'd grads)
+        gk = fv.gradient(lm, hx(k), k_bcs)
+        gw = fv.gradient(lm, hx(w), w_bcs)
+        cd_kw = 2.0 * turb.ALPHA_W2 * jnp.sum(gk * gw, axis=1) / w
+        cd_kw_plus = jnp.maximum(cd_kw, 1e-10)
+        sqk = jnp.sqrt(k)
+        arg1 = jnp.minimum(
+            jnp.minimum(
+                jnp.maximum(sqk / (turb.BETA_STAR * w * y_c),
+                            500.0 * nu / (y2 * w)),
+                4.0 * turb.ALPHA_W2 * k / (cd_kw_plus * y2),
+            ),
+            10.0,
+        )
+        f1 = jnp.tanh(arg1 ** 4)
+        arg2 = jnp.minimum(
+            jnp.maximum(2.0 * sqk / (turb.BETA_STAR * w * y_c),
+                        500.0 * nu / (y2 * w)), 100.0
+        )
+        f2 = jnp.tanh(arg2 * arg2)
+
+        nut_l = turb.A1_SST * k / jnp.maximum(
+            turb.A1_SST * w, turb.B1_SST * f2 * jnp.sqrt(s2)
+        )
+        pk = jnp.minimum(nut_l * s2, turb.C1_SST * turb.BETA_STAR * k * w)
+
+        blend = lambda c1_, c2_: f1 * c1_ + (1.0 - f1) * c2_
+        alpha_k = blend(turb.ALPHA_K1, turb.ALPHA_K2)
+        alpha_w = blend(turb.ALPHA_W1, turb.ALPHA_W2)
+        beta = blend(turb.BETA1, turb.BETA2)
+        gamma = blend(turb.GAMMA1, turb.GAMMA2)
+
+        ddt = jnp.where(mask, vol / jnp.asarray(dt, k.dtype), 0.0)
+        safe_diag = lambda d: jnp.where(mask, d, 1.0)
+
+        def jacobi1(A, b, x0):
+            inv_d = 1.0 / safe_diag(A.diag)
+            x = x0
+            for _ in range(n_sweeps):
+                xh = hx(x)
+                r = b - (A.diag * x + jnp.zeros_like(x)
+                         .at[lm.owner[:n_int]].add(A.upper * xh[lm.neighbour])
+                         .at[lm.neighbour].add(A.lower * xh[lm.owner[:n_int]]))
+                x = jnp.where(mask, x + inv_d * r, 0.0)
+            return x
+
+        big = jnp.asarray(1e30, k.dtype)
+        valid_w = y_wall > 0.0
+        wc = jnp.where(valid_w, wall_cell, lm.n_cells - 1)   # dummy slot
+
+        def gamma_faces(coef):
+            ch = hx(coef)
+            return nu + jnp.concatenate(
+                [fv.face_interp(lm, ch), ch[lm.owner[n_int:]]]
+            )
+
+        # omega equation
+        Aw = fv.assemble_transport(
+            lm, flux, gamma_faces(alpha_w * nut_l), w_bcs, 1,
+            ddt_coeff=ddt, phi_old=w[:, None],
+        )
+        diag_w = Aw.diag + beta * w * vol            # implicit -beta w^2
+        src_w = Aw.source[:, 0] + (gamma * s2 + (1.0 - f1) * cd_kw) * vol
+        # wall cells: omegaWallFunction blended value, pinned by big diag
+        yw = jnp.maximum(y_wall, 1e-10)
+        kw_ = jnp.maximum(k[jnp.maximum(wall_cell, 0)], turb.SMALL)
+        w_vis = 6.0 * nu / (turb.BETA1 * yw * yw)
+        w_log = jnp.sqrt(kw_) / (turb.CMU ** 0.25 * turb.KAPPA * yw)
+        w_wall = jnp.sqrt(w_vis * w_vis + w_log * w_log)
+        diag_w = diag_w.at[wc].add(jnp.where(valid_w, big, 0.0), mode="drop")
+        src_w = src_w.at[wc].add(
+            jnp.where(valid_w, big * w_wall, 0.0), mode="drop"
+        )
+        w_new = jacobi1(
+            dataclasses.replace(Aw, diag=diag_w), jnp.where(mask, src_w, 0.0),
+            w * mask.astype(k.dtype),
+        )
+        w_new = jnp.where(mask, jnp.maximum(w_new, turb.SMALL), 0.0)
+
+        # k equation
+        Ak = fv.assemble_transport(
+            lm, flux, gamma_faces(alpha_k * nut_l), k_bcs, 1,
+            ddt_coeff=ddt, phi_old=k[:, None],
+        )
+        diag_k = Ak.diag + turb.BETA_STAR * jnp.maximum(w_new, turb.SMALL) * vol
+        src_k = Ak.source[:, 0] + pk * vol
+        k_new = jacobi1(
+            dataclasses.replace(Ak, diag=diag_k), jnp.where(mask, src_k, 0.0),
+            k * mask.astype(k.dtype),
+        )
+        k_new = jnp.where(mask, jnp.maximum(k_new, turb.SMALL), 0.0)
+
+        nut_new = jnp.where(
+            mask,
+            jnp.clip(
+                turb.A1_SST * k_new / jnp.maximum(
+                    turb.A1_SST * jnp.maximum(w_new, turb.SMALL),
+                    turb.B1_SST * f2 * jnp.sqrt(s2),
+                ),
+                0.0, 1e5,
+            ),
+            0.0,
+        )
+        return k_new[None], w_new[None], nut_new[None]
+
+    specs = _mesh_specs(smesh, axis)
+    bc_spec = fv.BoundaryCoeffs(a=P(axis), b=P(axis),
+                                io_mask=P(axis), io_value=P(axis))
+    return jax.jit(shard_map(
+        local, mesh=device_mesh,
+        in_specs=(specs,) + (P(axis),) * 6 + (bc_spec,) * 3
+        + (P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_rep=False,
+    ))
+
+
 def make_courant(smesh: ShardedFlowMesh, device_mesh: Mesh):
     """Sharded max Courant number (CourantNo.H): pmax over devices."""
     axis = device_mesh.axis_names[0]
@@ -1099,11 +1260,11 @@ def read_decompose_par(case_dir, n_dev: int, log=print):
 class ShardedFlowSolver:
     """Drop-in FlowSolver running the PIMPLE step domain-decomposed over
     the device mesh — the product path behind ``coupled --flow-devices N``
-    (the reference's ``Allrun-parallel`` analog).  Supports the laminar
-    and kEpsilon closures (the reference's parallel tutorial runs
-    kEpsilon, ``TJunction/constant/turbulenceProperties:21-27``) and MRF
-    zones; kOmegaSST and dynamic-mesh cases stay on the single-device
-    flow path (loud error)."""
+    (the reference's ``Allrun-parallel`` analog).  Supports the laminar,
+    kEpsilon (the reference's parallel tutorial closure,
+    ``TJunction/constant/turbulenceProperties:21-27``) and kOmegaSST
+    closures plus MRF zones; dynamic-mesh cases stay on the
+    single-device flow path (loud error)."""
 
     def __init__(self, case, n_dev: int, log=print, **cfg_kw):
         from ..models.pimple import PimpleConfig
@@ -1171,6 +1332,8 @@ class ShardedFlowSolver:
         self._turb_on = False
         if self.turb_model == "kEpsilon":
             self._init_keps(case, m, u_bcs, bglob, nu, log)
+        elif self.turb_model == "kOmegaSST":
+            self._init_sst(case, m, u_bcs, bglob, nu, log)
         elif self.turb_model != "laminar":
             raise NotImplementedError(
                 f"turbulence model {self.turb_model!r} is not supported by "
@@ -1192,18 +1355,9 @@ class ShardedFlowSolver:
             f"{case.poly.n_cells} cells ({self.smesh.n_loc}/shard), nu={nu}"
             + (f", {self.turb_model} closure" if self._turb_on else ""))
 
-    def _init_keps(self, case, m, u_bcs, bglob, nu, log):
-        """Scatter k/eps/nut + build per-device wall arrays (local bd slot,
-        local owner cell, wall distance) from the global wall_info."""
-        from ..models import turbulence as turb
-
-        kes, k_bcs, e_bcs, wi = turb.init_from_case(case.case_dir, m)
-        self.k_s = scatter_cells(self.smesh, np.asarray(kes.k))
-        self.e_s = scatter_cells(self.smesh, np.asarray(kes.eps))
-        self.nut_s = scatter_cells(self.smesh, np.asarray(kes.nut))
-        self.k_bcs_s = shard_bcs(k_bcs, bglob)
-        self.e_bcs_s = shard_bcs(e_bcs, bglob)
-        # global bd-face id -> (wall distance, is-wall)
+    def _wall_arrays(self, m, wi, bglob):
+        """Per-device wall arrays (local bd slot, local owner cell, wall
+        distance) from the global wall_info; returns the wall-face count."""
         n_bd_g = m.n_faces - m.n_internal
         y_of = np.full(n_bd_g, -1.0)
         y_of[np.asarray(wi.wall_bd_face)] = np.asarray(wi.y_wall)
@@ -1222,9 +1376,41 @@ class ShardedFlowSolver:
         self.wall_cell_s = jnp.asarray(wc, jnp.int32)
         self.y_wall_s = jnp.asarray(yw, jnp.float32)
         self.wall_bd_s = jnp.asarray(wb, jnp.int32)
+        return int((yw > 0).sum())
+
+    def _init_keps(self, case, m, u_bcs, bglob, nu, log):
+        """Scatter k/eps/nut + build per-device wall arrays from the
+        global wall_info."""
+        from ..models import turbulence as turb
+
+        kes, k_bcs, e_bcs, wi = turb.init_from_case(case.case_dir, m)
+        self.k_s = scatter_cells(self.smesh, np.asarray(kes.k))
+        self.e_s = scatter_cells(self.smesh, np.asarray(kes.eps))
+        self.nut_s = scatter_cells(self.smesh, np.asarray(kes.nut))
+        self.k_bcs_s = shard_bcs(k_bcs, bglob)
+        self.e_bcs_s = shard_bcs(e_bcs, bglob)
+        n_wall = self._wall_arrays(m, wi, bglob)
         self._keps = make_sharded_keps(self.smesh, self.dmesh, nu)
         self._turb_on = True
-        log(f"#flow: sharded kEpsilon ({int((yw > 0).sum())} wall faces)")
+        log(f"#flow: sharded kEpsilon ({n_wall} wall faces)")
+
+    def _init_sst(self, case, m, u_bcs, bglob, nu, log):
+        """Scatter k/omega/nut + the static wall-distance field and build
+        the per-device wall arrays (same layout as kEpsilon; the PIMPLE
+        step's nutkWallFunction plumbing is shared)."""
+        from ..models import turbulence as turb
+
+        sst, k_bcs, w_bcs, wi = turb.init_from_case_sst(case.case_dir, m)
+        self.k_s = scatter_cells(self.smesh, np.asarray(sst.k))
+        self.w_s = scatter_cells(self.smesh, np.asarray(sst.omega))
+        self.nut_s = scatter_cells(self.smesh, np.asarray(sst.nut))
+        self.y_s = scatter_cells(self.smesh, np.asarray(sst.y))
+        self.k_bcs_s = shard_bcs(k_bcs, bglob)
+        self.w_bcs_s = shard_bcs(w_bcs, bglob)
+        n_wall = self._wall_arrays(m, wi, bglob)
+        self._sst = make_sharded_sst(self.smesh, self.dmesh, nu)
+        self._turb_on = True
+        log(f"#flow: sharded kOmegaSST ({n_wall} wall faces)")
 
     def _apply_p_tables(self, t: float):
         """Time-varying pressure-BC tables (uniformTotalPressure p0 ramps,
@@ -1265,11 +1451,18 @@ class ShardedFlowSolver:
             )
         self.u_s, self.p_s, self.flux_s, diag = self._step(*args)
         if self._turb_on:
-            self.k_s, self.e_s, self.nut_s = self._keps(
-                self.smesh, self.k_s, self.e_s, self.nut_s, self.u_s,
-                self.flux_s, self.u_bcs_s, self.k_bcs_s, self.e_bcs_s,
-                self.wall_cell_s, self.y_wall_s, dt_e,
-            )
+            if self.turb_model == "kOmegaSST":
+                self.k_s, self.w_s, self.nut_s = self._sst(
+                    self.smesh, self.k_s, self.w_s, self.nut_s, self.y_s,
+                    self.u_s, self.flux_s, self.u_bcs_s, self.k_bcs_s,
+                    self.w_bcs_s, self.wall_cell_s, self.y_wall_s, dt_e,
+                )
+            else:
+                self.k_s, self.e_s, self.nut_s = self._keps(
+                    self.smesh, self.k_s, self.e_s, self.nut_s, self.u_s,
+                    self.flux_s, self.u_bcs_s, self.k_bcs_s, self.e_bcs_s,
+                    self.wall_cell_s, self.y_wall_s, dt_e,
+                )
         res = {
             "u_res": float(np.asarray(diag["u_res"])[0]),
             "p_res": float(np.asarray(diag["p_res"])[0]),
@@ -1286,9 +1479,18 @@ class ShardedFlowSolver:
     @property
     def kes(self):
         """Gathered closure state (None when laminar) — the coupled
-        driver writes .k/.eps restart fields from this."""
+        driver writes .k/.eps (or .k/.omega) restart fields from this."""
         if not self._turb_on:
             return None
+        if self.turb_model == "kOmegaSST":
+            from ..models.turbulence import KOmegaSSTState
+
+            return KOmegaSSTState(
+                k=jnp.asarray(gather_cells(self.smesh, self.k_s)),
+                omega=jnp.asarray(gather_cells(self.smesh, self.w_s)),
+                nut=jnp.asarray(gather_cells(self.smesh, self.nut_s)),
+                y=jnp.asarray(gather_cells(self.smesh, self.y_s)),
+            )
         from ..models.turbulence import KEpsilonState
 
         return KEpsilonState(

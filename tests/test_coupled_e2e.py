@@ -251,3 +251,47 @@ def test_tjunction_sharded_flow_kepsilon_parity(tmp_path):
     m = single.m
     div = np.asarray(fvlib.surface_sum(m, b.flux))
     assert np.abs(div).max() < 1e-4
+
+
+def test_tjunction_sharded_flow_komegasst_parity(tmp_path):
+    """kOmegaSST on the sharded PIMPLE path: switch the shrunk TJunction
+    to the SST closure (omega seeded from the case's epsilon via
+    init_from_case_sst) and require field-for-field agreement with the
+    single-device solver, same structure as the kEpsilon parity test."""
+    import jax
+
+    if len(jax.devices("cpu")) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from cudaparticlesfoam_tpu.models import case as caselib
+    from cudaparticlesfoam_tpu.models.pimple import FlowSolver
+    from cudaparticlesfoam_tpu.parallel.flowshard import ShardedFlowSolver
+
+    case_dir = shrink_tjunction(tmp_path, num_particles=10)
+    tp = os.path.join(case_dir, "constant", "turbulenceProperties")
+    s = open(tp).read()
+    assert "kEpsilon" in s
+    open(tp, "w").write(s.replace("kEpsilon", "kOmegaSST"))
+    pm = blockmesh.generate(os.path.join(case_dir, "system", "blockMeshDict"))
+    polymesh.write_polymesh(pm, os.path.join(case_dir, "constant", "polyMesh"))
+    case = caselib.load_case(case_dir, log=lambda *a: None)
+
+    single = FlowSolver.from_case(case, log=lambda *a: None)
+    sharded = ShardedFlowSolver(case, 4, log=lambda *a: None)
+    assert sharded._turb_on and sharded.turb_model == "kOmegaSST"
+
+    for _ in range(3):
+        single.advance(0.005)
+        sharded.advance(0.005)
+
+    a, b = single.state, sharded.state
+    for name, xa, xb in (
+        ("U", a.u, b.u), ("p", a.p, b.p),
+        ("k", single.kes.k, sharded.kes.k),
+        ("omega", single.kes.omega, sharded.kes.omega),
+        ("nut", single.kes.nut, sharded.kes.nut),
+    ):
+        xa, xb = np.asarray(xa), np.asarray(xb)
+        rms = np.sqrt(((xa - xb) ** 2).mean()) / (
+            np.sqrt((xa ** 2).mean()) + 1e-12
+        )
+        assert rms < 5e-3, f"{name} rel-rms mismatch {rms:.2e}"

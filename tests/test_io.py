@@ -126,6 +126,22 @@ def test_tjunction_counts(tjunction_mesh):
     assert "inlet" in names and any("outlet" in n for n in names)
 
 
+def test_tjunction_default_faces_are_walls(tjunction_mesh):
+    """blockMesh default-patch semantics: a boundary entry declared with
+    ``faces ()`` (TJunction's ``defaultFaces {type wall;}``,
+    ``system/blockMeshDict:116-120``) must RECEIVE the unassigned faces
+    and keep its declared type — 0/k applies kqRWallFunction there, so an
+    empty-typed duplicate silently disabled every wall function."""
+    pm = tjunction_mesh
+    dfl = [p for p in pm.patches if p[0] == "defaultFaces"]
+    assert len(dfl) == 1
+    name, ptype, start, cnt = dfl[0]
+    assert ptype == "wall"
+    assert cnt > 0
+    # every boundary face is in exactly one patch
+    assert sum(p[3] for p in pm.patches) == len(pm.face_offsets) - 1 - pm.n_internal_faces
+
+
 def test_owner_neighbour_invariants(pitz_mesh):
     pm = pitz_mesh
     assert (pm.owner[: pm.n_internal_faces] < pm.neighbour).all()
