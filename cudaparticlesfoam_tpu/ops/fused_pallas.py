@@ -316,9 +316,37 @@ def _b_compute(scal_ref, rows_ref, head_ref):
     refetches their own — bit-identical bytes).  Only dead lanes (tet<0,
     fill index 0) get tet-0's row, and a dead lane's row cache is
     semantically unused (revival re-packs the mega from the table)."""
+    mv = head_ref[HMV, :] > 0.5
+    rows = [rows_ref[k, :] for k in range(LAYOUT_TET.row_w)]
+    return _b_core(scal_ref, rows, head_ref, mv, None)
+
+
+def _b_compute_c(scal_ref, mb, rg, head_ref):
+    """:_b_compute: for the block-compacted hop gather: ``rg`` holds the
+    scattered [4x32]-group rows (col 20 = gathered flag, zeros for blocks
+    the compaction skipped), ``mb`` the unpacked OLD mega rows.  Crossers
+    in gathered blocks merge the fresh neighbor row; everyone else keeps
+    the mega's cached row (bit-identical to a refetch — the table is
+    loop-invariant within run_cycles); crossers the capacity skipped go
+    pending with their pre-hop tet/row, which the rare arena walks to the
+    same endpoint (the walk re-derives the hop chain from the position)."""
+    mv = head_ref[HMV, :] > 0.5
+    gfl = rg[LAYOUT_TET.row_w] > 0.5
+    mv_eff = mv & gfl
+    rows = [
+        jnp.where(mv_eff, rg[k], mb[ROW + k])
+        for k in range(LAYOUT_TET.row_w)
+    ]
+    return _b_core(scal_ref, rows, head_ref, mv_eff, mv & ~gfl)
+
+
+def _b_core(scal_ref, rows, head_ref, mv, extra_pend):
+    """Shared kernel-B tail: re-test the selected row at the moved point,
+    inline single bounce, mega re-assembly.  ``mv`` = lanes whose row in
+    ``rows`` is the (gathered) NEIGHBOR row; ``extra_pend`` = lanes that
+    must go to the rare arena regardless (compaction overflow)."""
     do_bounce = scal_ref[0] > 0.5
 
-    mv = head_ref[HMV, :] > 0.5
     wall0 = head_ref[HWALL, :] > 0.5
     px = head_ref[HPX, :]
     py = head_ref[HPY, :]
@@ -330,7 +358,6 @@ def _b_compute(scal_ref, rows_ref, head_ref):
     s0 = head_ref[HSLOT, :].astype(jnp.int32)
     tet0 = head_ref[HTET, :]
 
-    rows = [rows_ref[k, :] for k in range(LAYOUT_TET.row_w)]
     cur_tet = jnp.where(mv, head_ref[HIDX, :], tet0)
 
     # re-test the (possibly new) row at the moved point
@@ -385,6 +412,8 @@ def _b_compute(scal_ref, rows_ref, head_ref):
     for k in range(ROW + LAYOUT_TET.row_w, LAYOUT_TET.width):
         mrows[k] = jnp.zeros_like(px)
     pend = unresolved | wall_out
+    if extra_pend is not None:
+        pend = pend | extra_pend
     return mrows, pend
 
 
@@ -402,6 +431,21 @@ def _kernel_b_packed(scal_ref, rows_ref, head_ref, out_ref, pend_ref):
     grouped pack); ``rows_ref``/``head_ref``/``pend_ref`` are in grouped
     lane order (the caller un-permutes pend with :func:`from_grouped`)."""
     mrows, pend = _b_compute(scal_ref, rows_ref, head_ref)
+    out_ref[:] = _pack_grouped(mrows)
+    pend_ref[0, :] = pend.astype(jnp.float32)
+    for r in range(1, 8):
+        pend_ref[r, :] = jnp.zeros_like(mrows[0])
+
+
+def _kernel_b_packed_c(scal_ref, m_ref, rows4_ref, head_ref, out_ref,
+                       pend_ref):
+    """:_kernel_b_packed: for the block-compacted hop gather: reads the
+    OLD packed mega block (row source for lanes the compaction skipped)
+    plus the [bn4, 128] scattered row-group buffer (natural lane 4i+q's
+    row at packed row i, cols 32q..32q+19, gathered flag at 32q+20)."""
+    mb = _unpack_grouped(m_ref, LAYOUT_TET.width)
+    rg = _unpack_grouped(rows4_ref, LAYOUT_TET.width)
+    mrows, pend = _b_compute_c(scal_ref, mb, rg, head_ref)
     out_ref[:] = _pack_grouped(mrows)
     pend_ref[0, :] = pend.astype(jnp.float32)
     for r in range(1, 8):
@@ -534,6 +578,81 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
                     (HEAD_W, BN_B), lambda i: (0, i), memory_space=vm
                 ),
             )(scal, m_rm, xiT)
+        if getattr(cfg, "hop_compact", 0) == 4:
+            # block-compacted hop gather: fetch neighbor rows only for
+            # 4-lane packed groups containing a crosser (~42% of groups
+            # at the headline's 12.8% crossing rate) instead of
+            # refetching every lane's row — the full-batch gather is the
+            # measured per-INDEX wall (8.0 of 13.1 ms at 1M lanes), and
+            # masking indices to a hot fill set gathers 2x SLOWER
+            # (PERF_NOTES tenth pass), so issuing fewer indices is the
+            # only lever.  Groups the capacity misses overflow to the
+            # rare arena (same endpoint; never wrong).
+            # All staging stays rank-2 with a dense 128 minor: narrow or
+            # rank-3 intermediates tile-pad 4-8x and cost ~12 ms/cycle in
+            # relayout DUS (measured).  A 4-lane group j holds natural
+            # lanes 4j+q, which live at grouped position q*(BN_B/4)+i of
+            # pallas block b (j = b*(BN_B/4)+i) — so the per-slot index
+            # vectors are strided views of the GROUPED head, no
+            # from_grouped permute needed, and lax.sort carries them as
+            # payloads (no compacted-index gather).
+            rw = LAYOUT_TET.row_w
+            Wm = LAYOUT_TET.width
+            nblk = n // BN_B
+            g4 = BN_B // 4
+            nb4 = n // 4
+            hid3 = head[HIDX, :].reshape(nblk, 4, g4)
+            mv3 = head[HMV, :].reshape(nblk, 4, g4)
+            bpend = (jnp.max(mv3, axis=1) > 0.5).reshape(nb4)
+            blk_iota = jax.lax.broadcasted_iota(jnp.int32, (nb4, 1), 0)[:, 0]
+            keys = jnp.where(bpend, blk_iota, nb4)
+            frac = float(getattr(cfg, "hop_compact_frac", 0.5))
+            capb = min(max(int(nb4 * frac), 256), nb4)
+            cq = [
+                hid3[:, q, :].reshape(nb4).astype(jnp.int32) for q in range(4)
+            ]
+            skey, d0, d1, d2, d3 = jax.lax.sort((keys, *cq), num_keys=1)
+            bidx = skey[:capb]
+            one = jnp.ones((capb, 1), m_rm.dtype)
+            zpad = jnp.zeros((capb, Wm - rw - 1), m_rm.dtype)
+            parts = []
+            for dq in (d0, d1, d2, d3):
+                gq = jax.lax.optimization_barrier(
+                    tab[jax.lax.optimization_barrier(dq[:capb])]
+                )
+                parts += [gq, one, zpad]
+            src = jnp.concatenate(parts, axis=1)          # [capb, 4*Wm]
+            rows4 = jnp.zeros((nb4, 4 * Wm), m_rm.dtype).at[bidx].set(
+                src, mode="drop"
+            )
+            m_rm_new, pendT = pl.pallas_call(
+                _kernel_b_packed_c,
+                out_shape=(
+                    jax.ShapeDtypeStruct((n4, W4), m_rm.dtype),
+                    jax.ShapeDtypeStruct((8, n), m_rm.dtype),
+                ),
+                grid=(pl.cdiv(n, BN_B),),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(
+                        (BN_B // 4, W4), lambda i: (i, 0), memory_space=vm
+                    ),
+                    pl.BlockSpec(
+                        (BN_B // 4, 4 * Wm), lambda i: (i, 0),
+                        memory_space=vm,
+                    ),
+                    pl.BlockSpec(
+                        (HEAD_W, BN_B), lambda i: (0, i), memory_space=vm
+                    ),
+                ],
+                out_specs=(
+                    pl.BlockSpec(
+                        (BN_B // 4, W4), lambda i: (i, 0), memory_space=vm
+                    ),
+                    pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=vm),
+                ),
+            )(scal_b, m_rm, rows4, head)
+            return m_rm_new, from_grouped(pendT[0, :] > 0.5)
         rows_g = jax.lax.optimization_barrier(
             tab[jax.lax.optimization_barrier(head[HIDX, :].astype(jnp.int32))]
         )

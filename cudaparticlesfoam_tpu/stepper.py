@@ -82,6 +82,18 @@ class StepConfig:
     # gather's per-index cost grows with outstanding HBM loads; chunking
     # restores the small-batch rate; bit-identical results)
     cycle_chunks: int = 1
+    # block-compacted inline-hop gather (packed pallas path, hops=1):
+    # gather neighbor rows only for 4-lane packed groups containing a
+    # crosser, instead of refetching every lane's row cache.  0 = off
+    # (full-batch masked gather), 4 = 4-lane groups.  Crossers in groups
+    # beyond the capacity overflow to the rare arena — never wrong, only
+    # slower; results are bit-identical either way (the arena walk
+    # re-derives the same hop endpoint).
+    hop_compact: int = 0
+    # gathered-group capacity as a fraction of n/4 (static shape); size
+    # it above the expected block-pending rate 1-(1-c)^4 for crossing
+    # fraction c (the headline's c=0.128 -> 0.42)
+    hop_compact_frac: float = 0.5
     # set by the case drivers when absorbing (escape) patches exist so the
     # inline bounce checks bd_escape; the rare-stage reflector always does
     escape_faces: bool = False
