@@ -125,7 +125,7 @@ def from_grouped(x, bn: int = PACK_LANES):
     )
 
 
-def _inkernel_noise(iscal_ref, bn):
+def _inkernel_noise(iscal_ref, bn, j: int = 0, off_slot: int = 1):
     """In-kernel Brownian normals (jnp [3, bn]) from the TPU hardware
     PRNG — ``brownian_rng="rbg_kernel"`` (opt-in): removes the XLA-side
     bit generation + Box-Muller stream and (on the packed path) the xi
@@ -137,9 +137,14 @@ def _inkernel_noise(iscal_ref, bn):
     (mix(key, step), global lane offset of the block) so sub-batch
     chunks stay decorrelated; NOT safe under replicated-key particle-DP
     (each shard would repeat the stream) — ParticleEngine downgrades it
-    to "rbg" there."""
+    to "rbg" there.
+
+    ``j``/``off_slot``: which SMEM slots hold the step mix and the lane
+    offset — the macro kernel packs k per-sub-step mixes ahead of the
+    offset (:func:`_noise_iscal_k`) and re-seeds per sub-step, which
+    reproduces the per-cycle streams EXACTLY (same (mix, lane) pairs)."""
     pltpu.prng_seed(
-        iscal_ref[0], iscal_ref[1] + pl.program_id(0) * jnp.int32(bn)
+        iscal_ref[j], iscal_ref[off_slot] + pl.program_id(0) * jnp.int32(bn)
     )
     bits = pltpu.prng_random_bits((4, bn))          # int32 semantics
     # signed bits * 2^-32 + (0.5 + 2^-33) covers (0, 1) exactly like the
@@ -164,6 +169,26 @@ def _noise_iscal(rng_key, step, lane_offset):
     )
     return jax.lax.bitcast_convert_type(
         jnp.stack([mix, jnp.uint32(lane_offset)]), jnp.int32
+    )
+
+
+def _noise_iscal_k(rng_key, step0, lane_offset, k: int):
+    """SMEM int32 [mix(key, step0), ..., mix(key, step0+k-1), lane_offset]
+    for the macro kernel's per-sub-step re-seeding — slot j is EXACTLY
+    :func:`_noise_iscal`'s mix for step0+j, so macro streams match the
+    per-cycle streams bit-for-bit."""
+    kk = jnp.asarray(rng_key, jnp.uint32).reshape(-1)[:2]
+    steps = jnp.asarray(step0, jnp.uint32) + jnp.arange(k, dtype=jnp.uint32)
+    mixes = (
+        kk[0] * jnp.uint32(2654435761)
+        + kk[1] * jnp.uint32(40503)
+        + steps * jnp.uint32(2246822519)
+    )
+    return jax.lax.bitcast_convert_type(
+        jnp.concatenate(
+            [mixes, jnp.asarray(lane_offset, jnp.uint32).reshape(1)]
+        ),
+        jnp.int32,
     )
 
 
@@ -323,13 +348,22 @@ def _b_compute(scal_ref, rows_ref, head_ref):
 
 def _b_compute_c(scal_ref, mb, rg, head_ref):
     """:_b_compute: for the block-compacted hop gather: ``rg`` holds the
-    scattered [4x32]-group rows (col 20 = gathered flag, zeros for blocks
-    the compaction skipped), ``mb`` the unpacked OLD mega rows.  Crossers
-    in gathered blocks merge the fresh neighbor row; everyone else keeps
-    the mega's cached row (bit-identical to a refetch — the table is
-    loop-invariant within run_cycles); crossers the capacity skipped go
-    pending with their pre-hop tet/row, which the rare arena walks to the
-    same endpoint (the walk re-derives the hop chain from the position)."""
+    scattered [4x32]-group rows (col 20 = per-slot valid flag: 1 when the
+    slot's neighbor row was fetched this cycle, 0 for rank-overflow slots
+    and for groups the compaction skipped), ``mb`` the unpacked OLD mega
+    rows.  Crossers in gathered groups merge the fresh neighbor row;
+    everyone else keeps the mega's cached row (bit-identical to a refetch
+    — the table is loop-invariant within run_cycles); crossers the
+    capacity (or per-group rank) skipped go pending with their pre-hop
+    tet/row, which the rare arena walks to the same endpoint (the walk
+    re-derives the hop chain from the position).
+
+    Raw-byte caveat: DEAD lanes (tet < 0) keep their stale cached row
+    here, whereas the non-compact path overwrites them with tab[0]'s row
+    (fill index 0).  Simulation state is still bit-identical — a dead
+    lane's row cache is semantically unused and revival re-packs the mega
+    from the table — but parity tests must compare simulation results
+    (pos/vel/tet/active), not raw mega bytes."""
     mv = head_ref[HMV, :] > 0.5
     gfl = rg[LAYOUT_TET.row_w] > 0.5
     mv_eff = mv & gfl
@@ -442,7 +476,7 @@ def _kernel_b_packed_c(scal_ref, m_ref, rows4_ref, head_ref, out_ref,
     """:_kernel_b_packed: for the block-compacted hop gather: reads the
     OLD packed mega block (row source for lanes the compaction skipped)
     plus the [bn4, 128] scattered row-group buffer (natural lane 4i+q's
-    row at packed row i, cols 32q..32q+19, gathered flag at 32q+20)."""
+    row at packed row i, cols 32q..32q+19, valid flag at 32q+20)."""
     mb = _unpack_grouped(m_ref, LAYOUT_TET.width)
     rg = _unpack_grouped(rows4_ref, LAYOUT_TET.width)
     mrows, pend = _b_compute_c(scal_ref, mb, rg, head_ref)
@@ -450,6 +484,72 @@ def _kernel_b_packed_c(scal_ref, m_ref, rows4_ref, head_ref, out_ref,
     pend_ref[0, :] = pend.astype(jnp.float32)
     for r in range(1, 8):
         pend_ref[r, :] = jnp.zeros_like(mrows[0])
+
+
+def _compact_hop_rows(tab, head, n, frac):
+    """Rank-2 block-compacted hop-gather staging: returns the [n/4, 128]
+    scattered row-group buffer for :func:`_kernel_b_packed_c`.
+
+    Gathers TWO table rows per crosser-containing 4-lane packed group
+    (mean crossers per pending group ~1.2 at headline rates) and
+    duplicates them into the crossing slots' 32-col blocks with rank
+    selects; col 32q+20 is the per-slot valid flag (0 for rank-overflow
+    slots — third+ crossers — and unscattered groups, which kernel B
+    routes to the rare arena).  The rank selectors ride the compaction
+    sort as one bit-packed payload.  All staging stays rank-2 with a
+    dense 128 minor (narrow / rank-3 intermediates tile-pad 4-8x).  A
+    4-lane group j holds natural lanes 4j+q at grouped position
+    q*(BN_B/4)+i of pallas block b (j = b*(BN_B/4)+i), so the per-slot
+    index/flag vectors are strided views of the GROUPED head."""
+    rw = LAYOUT_TET.row_w
+    Wm = LAYOUT_TET.width
+    nblk = n // BN_B
+    g4 = BN_B // 4
+    nb4 = n // 4
+    dtype = head.dtype
+    hid3 = head[HIDX, :].reshape(nblk, 4, g4)
+    mv3 = head[HMV, :].reshape(nblk, 4, g4)
+    hq = [hid3[:, q, :].reshape(nb4).astype(jnp.int32) for q in range(4)]
+    mq = [mv3[:, q, :].reshape(nb4) > 0.5 for q in range(4)]
+    bpend = mq[0] | mq[1] | mq[2] | mq[3]
+    # first/second crossing slot's gather index (fallbacks are
+    # always-valid tet ids: non-crossers' hid is their own tet)
+    i0 = jnp.where(
+        mq[0], hq[0],
+        jnp.where(mq[1], hq[1], jnp.where(mq[2], hq[2], hq[3])),
+    )
+    after0 = jnp.where(mq[1], hq[1], jnp.where(mq[2], hq[2], hq[3]))
+    after1 = jnp.where(mq[2], hq[2], hq[3])
+    i1 = jnp.where(mq[0], after0, jnp.where(mq[1], after1, hq[3]))
+    # per-slot rank selector: 0 -> row0, 1 -> row1, 2 -> overflow
+    # (third+ crosser; goes to the rare arena via flag 0)
+    sel = []
+    rank = jnp.zeros(nb4, jnp.int32)
+    for q in range(4):
+        sel.append(jnp.where(mq[q], jnp.minimum(rank, 2), 3))
+        rank = rank + mq[q].astype(jnp.int32)
+    rqpack = sel[0] | (sel[1] << 2) | (sel[2] << 4) | (sel[3] << 6)
+    blk_iota = jax.lax.broadcasted_iota(jnp.int32, (nb4, 1), 0)[:, 0]
+    keys = jnp.where(bpend, blk_iota, nb4)
+    capb = min(max(int(nb4 * frac), 256), nb4)
+    skey, d0, d1, drq = jax.lax.sort((keys, i0, i1, rqpack), num_keys=1)
+    bidx = skey[:capb]
+    g0 = jax.lax.optimization_barrier(
+        tab[jax.lax.optimization_barrier(d0[:capb])]
+    )
+    g1 = jax.lax.optimization_barrier(
+        tab[jax.lax.optimization_barrier(d1[:capb])]
+    )
+    rqc = drq[:capb]
+    zpad = jnp.zeros((capb, Wm - rw - 1), dtype)
+    parts = []
+    for q in range(4):
+        sq = (rqc >> (2 * q)) & 3
+        rows_q = jnp.where((sq == 1)[:, None], g1, g0)
+        flag_q = (sq <= 1).astype(dtype)[:, None]
+        parts += [rows_q, flag_q, zpad]
+    src = jnp.concatenate(parts, axis=1)          # [capb, 4*Wm]
+    return jnp.zeros((nb4, 4 * Wm), dtype).at[bidx].set(src, mode="drop")
 
 
 def supported(mesh, cfg, n_hops: int) -> bool:
@@ -585,45 +685,30 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
             # refetching every lane's row — the full-batch gather is the
             # measured per-INDEX wall (8.0 of 13.1 ms at 1M lanes), and
             # masking indices to a hot fill set gathers 2x SLOWER
-            # (PERF_NOTES tenth pass), so issuing fewer indices is the
-            # only lever.  Groups the capacity misses overflow to the
-            # rare arena (same endpoint; never wrong).
-            # All staging stays rank-2 with a dense 128 minor: narrow or
-            # rank-3 intermediates tile-pad 4-8x and cost ~12 ms/cycle in
-            # relayout DUS (measured).  A 4-lane group j holds natural
-            # lanes 4j+q, which live at grouped position q*(BN_B/4)+i of
-            # pallas block b (j = b*(BN_B/4)+i) — so the per-slot index
-            # vectors are strided views of the GROUPED head, no
-            # from_grouped permute needed, and lax.sort carries them as
-            # payloads (no compacted-index gather).
-            rw = LAYOUT_TET.row_w
-            Wm = LAYOUT_TET.width
-            nblk = n // BN_B
-            g4 = BN_B // 4
-            nb4 = n // 4
-            hid3 = head[HIDX, :].reshape(nblk, 4, g4)
-            mv3 = head[HMV, :].reshape(nblk, 4, g4)
-            bpend = (jnp.max(mv3, axis=1) > 0.5).reshape(nb4)
-            blk_iota = jax.lax.broadcasted_iota(jnp.int32, (nb4, 1), 0)[:, 0]
-            keys = jnp.where(bpend, blk_iota, nb4)
-            frac = float(getattr(cfg, "hop_compact_frac", 0.5))
-            capb = min(max(int(nb4 * frac), 256), nb4)
-            cq = [
-                hid3[:, q, :].reshape(nb4).astype(jnp.int32) for q in range(4)
-            ]
-            skey, d0, d1, d2, d3 = jax.lax.sort((keys, *cq), num_keys=1)
-            bidx = skey[:capb]
-            one = jnp.ones((capb, 1), m_rm.dtype)
-            zpad = jnp.zeros((capb, Wm - rw - 1), m_rm.dtype)
-            parts = []
-            for dq in (d0, d1, d2, d3):
-                gq = jax.lax.optimization_barrier(
-                    tab[jax.lax.optimization_barrier(dq[:capb])]
-                )
-                parts += [gq, one, zpad]
-            src = jnp.concatenate(parts, axis=1)          # [capb, 4*Wm]
-            rows4 = jnp.zeros((nb4, 4 * Wm), m_rm.dtype).at[bidx].set(
-                src, mode="drop"
+            # (round-3 dead end), so issuing fewer indices is the only
+            # lever.  Groups the capacity misses — and third/fourth
+            # crossers within one group — overflow to the rare arena
+            # (same endpoint; never wrong; P(>=3 crossers | pending
+            # group) ~2% at the headline's rate).
+            # Staging (v3, profile-tuned): gather TWO rows per pending
+            # group (mean crossers per pending group is ~1.2) and
+            # duplicate them into the crossing slots' columns with
+            # rank selects — the gather is per-INDEX cost, so 2 indices
+            # beat 4 (v1) and SMALL index gathers are NOT cheaper (v2
+            # measured [capb] gathers from 1 MB arrays at the same
+            # ~8 ns/idx as 80 MB-table row gathers, and a rows4 loop
+            # carry scattered IN PLACE at 1.44 ms vs 1.29 for
+            # zeros+scatter — both reverted).  The per-slot rank
+            # selectors ride the compaction sort as ONE bit-packed
+            # payload.  All staging stays rank-2 with a dense 128 minor:
+            # narrow or rank-3 intermediates tile-pad 4-8x and cost
+            # ~12 ms/cycle in relayout DUS (measured).  A 4-lane group j
+            # holds natural lanes 4j+q at grouped position q*(BN_B/4)+i
+            # of pallas block b (j = b*(BN_B/4)+i) — the per-slot index
+            # vectors are strided views of the GROUPED head.
+            rows4 = _compact_hop_rows(
+                tab, head, n,
+                float(getattr(cfg, "hop_compact_frac", 0.5)),
             )
             m_rm_new, pendT = pl.pallas_call(
                 _kernel_b_packed_c,
@@ -638,7 +723,7 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
                         (BN_B // 4, W4), lambda i: (i, 0), memory_space=vm
                     ),
                     pl.BlockSpec(
-                        (BN_B // 4, 4 * Wm), lambda i: (i, 0),
+                        (BN_B // 4, 4 * LAYOUT_TET.width), lambda i: (i, 0),
                         memory_space=vm,
                     ),
                     pl.BlockSpec(
@@ -1177,6 +1262,333 @@ def pre_rare_cycle(mesh, tab, m, rng_key, step, cfg, dt, noise=None,
     idx = jax.lax.optimization_barrier(head[HIDX, :].astype(jnp.int32))
     rows_g = jax.lax.optimization_barrier(tab[idx])   # the per-index wall
     return stream_post_hop(m, rows_g, head, cfg)
+
+
+# ---------------------------------------------------------------------------
+# macro-cycle fusion (cfg.macro_cycles = k > 1): k Lagrangian sub-steps per
+# mega round-trip.  The per-cycle engine pays one full-batch row gather
+# (~8 ms at 1M lanes — the per-index wall) EVERY sub-step even though only
+# ~13% of lanes cross a face; within one tet the TetVelocity field is
+# constant, so a lane's trajectory between crossings depends only on its
+# cached row and the per-(lane, step) noise stream.  Kernel A_k advances
+# every lane until its FIRST face crossing or k completed sub-steps (phase
+# carried per lane), so the expensive resolution machinery runs once per
+# CROSSING instead of once per sub-step:
+#
+#   trip 0:  A_k -> full-batch hop gather -> B_k -> rare arena
+#   trip t:  A_k (resume resolved lanes) -> rank-2 compacted gather
+#            (_compact_hop_rows; pending rates fall geometrically) -> B_k
+#            -> rare arena
+#
+# k trips resolve every lane (each trip completes >= 1 sub-step per
+# unfinished lane: the crossing that stopped it is resolved by B or the
+# arena the same trip).  Per-lane phase rides pend row 1 between kernels.
+# Bit-parity with k per-cycle cycles holds exactly: the same FMA-free
+# expressions run per sub-step, noise is re-seeded per sub-step with the
+# per-cycle mixes (:func:`_noise_iscal_k`), and resolution reuses the
+# per-cycle kernels' code paths verbatim.
+# ---------------------------------------------------------------------------
+
+HPH = 12                     # head row: sub-steps fully completed (phase)
+
+
+def _ak_compute(scal_ref, mrow, ph_in, k: int, xi_fn):
+    """Multi-sub-step kernel A core: advance lanes from their phase until
+    the first face crossing or phase k.  ``xi_fn(j)`` -> 3 noise rows for
+    sub-step j.  Expressions mirror :func:`_a_compute` per sub-step
+    exactly (masked with where, never arithmetic, to preserve bits)."""
+    dt = scal_ref[0]
+    sigma = scal_ref[1]
+    use_adv = scal_ref[2] > 0.5
+    use_brown = scal_ref[3] > 0.5
+
+    tetf = mrow(TET)
+    act = mrow(ACT) > 0.5
+    alive = act & (tetf >= 0.0)
+    alf = jnp.where(use_adv, alive.astype(jnp.float32), 0.0)
+    adv_live = use_adv & alive
+    balf = jnp.where(use_adv, alf, act.astype(jnp.float32))
+    bmask = jnp.where(use_brown, balf, 0.0)
+    actf = jnp.where(use_adv, alf, mrow(ACT))
+
+    ux = mrow(ROW + 12)
+    uy = mrow(ROW + 13)
+    uz = mrow(ROW + 14)
+    px, py, pz = mrow(P0), mrow(P0 + 1), mrow(P0 + 2)
+    vx, vy, vz = mrow(V0), mrow(V0 + 1), mrow(V0 + 2)
+    a0, a1, a2 = mrow(RA), mrow(RA + 1), mrow(RA + 2)
+    t = tuple(mrow(RA + 3 + i) for i in range(9))
+    rn = ROW + LAYOUT_TET.nbr
+    nbr = tuple(mrow(rn + i) for i in range(4))
+
+    ph = ph_in
+    stopped = ph >= float(k)          # already-finished lanes
+    mv = jnp.zeros(px.shape, bool)
+    wall = jnp.zeros(px.shape, bool)
+    slot = jnp.zeros(px.shape, jnp.int32)
+    idxf = jnp.maximum(tetf, 0.0)
+
+    for j in range(k):
+        xi0, xi1, xi2 = xi_fn(j)
+        execm = (~stopped) & (ph == float(j))
+        dx = alf * ux * dt + bmask * sigma * xi0
+        dy = alf * uy * dt + bmask * sigma * xi1
+        dz = alf * uz * dt + bmask * sigma * xi2
+        px = jnp.where(execm, px + dx, px)
+        py = jnp.where(execm, py + dy, py)
+        pz = jnp.where(execm, pz + dz, pz)
+        vx = jnp.where(execm & adv_live, ux, vx)
+        vy = jnp.where(execm & adv_live, uy, vy)
+        vz = jnp.where(execm & adv_live, uz, vz)
+        wa, wb, wc, wd = _bary_rows(a0, a1, a2, t, px, py, pz)
+        s0, wmin = _argmin4(wa, wb, wc, wd)
+        need = execm & (wmin < 0.0) & (tetf >= 0.0)
+        code = _pick4(nbr[0], nbr[1], nbr[2], nbr[3], s0)
+        new_mv = need & (code >= 0.0)
+        mv = mv | new_mv
+        wall = wall | (need & (code < 0.0))
+        slot = jnp.where(need, s0, slot)
+        idxf = jnp.where(new_mv, code, idxf)
+        stopped = stopped | need
+        ph = jnp.where(execm & ~need, float(j + 1), ph)
+
+    out = [None] * HEAD_W
+    out[HPX], out[HPY], out[HPZ] = px, py, pz
+    out[HVX], out[HVY], out[HVZ] = vx, vy, vz
+    out[HACT] = actf
+    out[HIDX] = idxf
+    out[HMV] = mv.astype(jnp.float32)
+    out[HWALL] = wall.astype(jnp.float32)
+    out[HSLOT] = slot.astype(jnp.float32)
+    out[HTET] = tetf
+    out[HPH] = ph
+    for r in range(HPH + 1, HEAD_W):
+        out[r] = jnp.zeros_like(px)
+    return out
+
+
+def _kernel_ak_packed_k(scal_ref, iscal_ref, m_ref, ph_ref, out_ref):
+    """Macro kernel A, packed carry, in-kernel hardware-PRNG noise
+    (re-seeded per sub-step from iscal slot j; lane offset in the last
+    slot)."""
+    k = iscal_ref.shape[0] - 1
+    mb = _unpack_grouped(m_ref, LAYOUT_TET.width)
+    bn = m_ref.shape[0] * 4
+
+    def xi_fn(j):
+        xi = _inkernel_noise(iscal_ref, bn, j=j, off_slot=k)
+        return xi[0], xi[1], xi[2]
+
+    out = _ak_compute(scal_ref, lambda r: mb[r], ph_ref[1, :], k, xi_fn)
+    for r in range(HEAD_W):
+        out_ref[r, :] = out[r]
+
+
+def _kernel_ak_packed(scal_ref, m_ref, ph_ref, xi_ref, out_ref):
+    """Macro kernel A, packed carry, XLA-side noise rows ([3k, bn]
+    grouped; sub-step j at rows 3j..3j+2)."""
+    k = xi_ref.shape[0] // 3
+    mb = _unpack_grouped(m_ref, LAYOUT_TET.width)
+
+    def xi_fn(j):
+        return xi_ref[3 * j, :], xi_ref[3 * j + 1, :], xi_ref[3 * j + 2, :]
+
+    out = _ak_compute(scal_ref, lambda r: mb[r], ph_ref[1, :], k, xi_fn)
+    for r in range(HEAD_W):
+        out_ref[r, :] = out[r]
+
+
+def _phase_rows(head_ref, pend, pend_ref):
+    """Shared macro kernel-B tail: pend row 0 + advanced phase row 1."""
+    pend_ref[0, :] = pend.astype(jnp.float32)
+    stopped = (head_ref[HMV, :] > 0.5) | (head_ref[HWALL, :] > 0.5)
+    ph = head_ref[HPH, :]
+    pend_ref[1, :] = jnp.where(stopped, ph + 1.0, ph)
+    for r in range(2, 8):
+        pend_ref[r, :] = jnp.zeros_like(ph)
+
+
+def _kernel_bk_packed(scal_ref, rows_ref, head_ref, out_ref, pend_ref):
+    """Macro kernel B, full-batch rows (trip 0): _b_compute + phase."""
+    mrows, pend = _b_compute(scal_ref, rows_ref, head_ref)
+    out_ref[:] = _pack_grouped(mrows)
+    _phase_rows(head_ref, pend, pend_ref)
+
+
+def _kernel_bk_packed_c(scal_ref, m_ref, rows4_ref, head_ref, out_ref,
+                        pend_ref):
+    """Macro kernel B, rank-2 compacted rows (trips >= 1): _b_compute_c +
+    phase."""
+    mb = _unpack_grouped(m_ref, LAYOUT_TET.width)
+    rg = _unpack_grouped(rows4_ref, LAYOUT_TET.width)
+    mrows, pend = _b_compute_c(scal_ref, mb, rg, head_ref)
+    out_ref[:] = _pack_grouped(mrows)
+    _phase_rows(head_ref, pend, pend_ref)
+
+
+def macro_supported(mesh, cfg, k: int) -> bool:
+    """Envelope for the macro-cycle path: the packed envelope plus
+    2 <= k <= 8 (phases ride f32 rows; trips are unrolled)."""
+    if not (2 <= int(k) <= 8):
+        return False
+    return packed_supported(mesh, cfg, 1)
+
+
+def macro_trip(mesh, tab, m_rm, head, cfg, frac):
+    """One resolution trip: hop gather (full-batch when ``frac`` is None,
+    rank-2 compacted otherwise) + macro kernel B.  Returns
+    (m_rm', pend8) — pend8 row 0 = rare-arena pending (grouped), row 1 =
+    advanced per-lane phase."""
+    n4, W4 = m_rm.shape
+    n = n4 * 4
+    vm = pltpu.VMEM
+    scal_b = jnp.asarray(
+        [1.0 if (cfg.reflect_wall and getattr(cfg, "inline_bounce", True))
+         else 0.0],
+        m_rm.dtype,
+    )
+    if frac is None:
+        rows_g = jax.lax.optimization_barrier(
+            tab[jax.lax.optimization_barrier(head[HIDX, :].astype(jnp.int32))]
+        )
+        return pl.pallas_call(
+            _kernel_bk_packed,
+            out_shape=(
+                jax.ShapeDtypeStruct((n4, W4), m_rm.dtype),
+                jax.ShapeDtypeStruct((8, n), m_rm.dtype),
+            ),
+            grid=(pl.cdiv(n, BN_B),),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (LAYOUT_TET.row_w, BN_B), lambda i: (0, i),
+                    memory_space=vm,
+                ),
+                pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i),
+                             memory_space=vm),
+            ],
+            out_specs=(
+                pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0),
+                             memory_space=vm),
+                pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=vm),
+            ),
+        )(scal_b, rows_g.T, head)
+    rows4 = _compact_hop_rows(tab, head, n, frac)
+    return pl.pallas_call(
+        _kernel_bk_packed_c,
+        out_shape=(
+            jax.ShapeDtypeStruct((n4, W4), m_rm.dtype),
+            jax.ShapeDtypeStruct((8, n), m_rm.dtype),
+        ),
+        grid=(pl.cdiv(n, BN_B),),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec(
+                (BN_B // 4, 4 * LAYOUT_TET.width), lambda i: (i, 0),
+                memory_space=vm,
+            ),
+            pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
+        ],
+        out_specs=(
+            pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=vm),
+        ),
+    )(scal_b, m_rm, rows4, head)
+
+
+def macro_ak(mesh, m_rm, ph8, cfg, dt, iscal=None, xiT=None):
+    """Macro kernel A dispatch (in-kernel vs XLA noise)."""
+    n4, W4 = m_rm.shape
+    n = n4 * 4
+    vm = pltpu.VMEM
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    scal = jnp.asarray(
+        [
+            dt,
+            jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(m_rm.dtype),
+            1.0 if cfg.use_advection else 0.0,
+            1.0 if (cfg.use_brownian and (xiT is not None or iscal is not None))
+            else 0.0,
+        ],
+        m_rm.dtype,
+    )
+    out_spec = pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm)
+    out_shape = jax.ShapeDtypeStruct((HEAD_W, n), m_rm.dtype)
+    if iscal is not None:
+        return pl.pallas_call(
+            _kernel_ak_packed_k,
+            out_shape=out_shape,
+            grid=(pl.cdiv(n, BN_B),),
+            in_specs=[
+                smem,
+                smem,
+                pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0),
+                             memory_space=vm),
+                pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=vm),
+            ],
+            out_specs=out_spec,
+        )(scal, iscal, m_rm, ph8)
+    return pl.pallas_call(
+        _kernel_ak_packed,
+        out_shape=out_shape,
+        grid=(pl.cdiv(n, BN_B),),
+        in_specs=[
+            smem,
+            pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=vm),
+            pl.BlockSpec(
+                (xiT.shape[0], BN_B), lambda i: (0, i), memory_space=vm
+            ),
+        ],
+        out_specs=out_spec,
+    )(scal, m_rm, ph8, xiT)
+
+
+def macro_cycle_packed(mesh, tab, m_rm, rng_key, step0, cfg, dt, k: int,
+                       rare_stage, noise=None, lane_offset=0):
+    """k sub-steps on the packed carry (see the section comment).
+
+    ``rare_stage(m_rm, pending) -> m_rm`` is fused._rare_stage_packed
+    bound to this chunk's geometry (passed in to avoid a circular
+    import).  ``noise``: optional pre-drawn [3k, n] natural-order noise
+    rows (sub-step j at rows 3j..3j+2) for the XLA-noise modes."""
+    n4, W4 = m_rm.shape
+    n = n4 * 4
+    iscal = None
+    xiT = None
+    if _use_inkernel_noise(cfg):
+        iscal = _noise_iscal_k(rng_key, step0, lane_offset, k)
+    else:
+        if cfg.use_brownian:
+            if noise is None:
+                from .fused import _brownian_noise as _bn
+
+                noise = jnp.concatenate(
+                    [
+                        _bn(rng_key, step0 + j, n, m_rm.dtype, cfg).T
+                        for j in range(k)
+                    ],
+                    axis=0,
+                )
+            xiT = to_grouped(noise)
+        else:
+            xiT = to_grouped(jnp.zeros((3 * k, n), m_rm.dtype))
+    # trip-0 gather is full-batch: ~1-(1-c)^k of lanes stop in trip 0, so
+    # group compaction saves little there and rank-2 overflow would flood
+    # the arena; later trips' pending rates fall geometrically
+    frac0 = float(getattr(cfg, "hop_compact_frac", 0.5))
+    fracs = [None] + [
+        min(max(frac0 / (2 ** (t - 1)), 0.05), 1.0) for t in range(1, k)
+    ]
+    ph8 = jnp.zeros((8, n), m_rm.dtype)
+    for trip in range(k):
+        head = macro_ak(mesh, m_rm, ph8, cfg, dt, iscal=iscal, xiT=xiT)
+        m_rm, pend8 = macro_trip(mesh, tab, m_rm, head, cfg, fracs[trip])
+        pending = from_grouped(pend8[0, :] > 0.5)
+        ph8 = pend8
+        m_rm = rare_stage(m_rm, pending)
+    return m_rm
 
 
 # ---------------------------------------------------------------------------

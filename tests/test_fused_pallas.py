@@ -290,6 +290,56 @@ def test_packed_bit_parity_with_jnp():
 
 
 @pytest.mark.skipif(not _on_tpu(), reason="pallas kernels need a TPU backend")
+def test_hop_compact_bit_parity_on_tpu():
+    """On-TPU: the block-compacted hop gather (hop_compact=4) must
+    reproduce the default full-batch path's SIMULATION state bit-for-bit
+    over several cycles — at a generous group capacity and at a starved
+    one (hop_compact_frac=0.02) that forces crossers to overflow into the
+    rare arena.  Raw mega bytes are NOT compared: dead lanes keep stale
+    row-cache bytes on the compact path (see _b_compute_c)."""
+    import dataclasses as dc
+
+    from cudaparticlesfoam_tpu.ops import locate as locate_ops
+
+    mesh = box_mesh(10, 10, 10)
+    n = 8 * 8192
+    rng = np.random.default_rng(17)
+    pos = jnp.asarray(rng.uniform(0.6, 9.4, (n, 3)), mesh.dtype)
+    st = statelib.make_state(pos)
+    loc = locate_ops.build_grid_locator(mesh)
+    st = dataclasses.replace(
+        st, tet_id=locate_ops.locate_seeds(mesh, loc, st.pos)
+    )
+    # dt large enough that a healthy fraction of lanes cross per cycle
+    cfg = StepConfig(dt=0.15, diffusion_coeff=2e-3, inline_hops=1,
+                     walk_capacity_frac=0.25, brownian_rng="rbg",
+                     engine_impl="pallas_packed")
+    out_0 = run_cycles(mesh, st, cfg, 8)
+    for frac in (0.5, 0.02):
+        out_c = run_cycles(
+            mesh, st,
+            dc.replace(cfg, hop_compact=4, hop_compact_frac=frac), 8)
+        np.testing.assert_array_equal(
+            np.asarray(out_0.pos), np.asarray(out_c.pos))
+        np.testing.assert_array_equal(
+            np.asarray(out_0.vel), np.asarray(out_c.vel))
+        np.testing.assert_array_equal(
+            np.asarray(out_0.tet_id), np.asarray(out_c.tet_id))
+        np.testing.assert_array_equal(
+            np.asarray(out_0.active), np.asarray(out_c.active))
+
+
+def test_hop_compact_value_validated():
+    """StepConfig rejects hop_compact values other than 0 and 4 (any other
+    int silently behaved as off before)."""
+    with pytest.raises(ValueError):
+        StepConfig(hop_compact=1)
+    with pytest.raises(ValueError):
+        StepConfig(hop_compact=8)
+    StepConfig(hop_compact=4)  # ok
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="pallas kernels need a TPU backend")
 def test_pallas_bit_parity_with_jnp():
     """10 cycles, same seed state: the pallas stream path must reproduce
     the jnp engine bit-for-bit (positions, velocities, tet ids) —

@@ -137,12 +137,25 @@ def main():
     cfg = StepConfig(dt=dt, diffusion_coeff=1e-3, walk_capacity_frac=frac,
                      brownian_rng=rng)
     if len(sys.argv) > 7:
+        import dataclasses
+
         if sys.argv[7] == "auto":
             from cudaparticlesfoam_tpu.stepper import suggest_tuning
             cfg = suggest_tuning(mesh, cfg)
-        else:
-            import dataclasses
+        elif "=" not in sys.argv[7]:
             cfg = dataclasses.replace(cfg, inline_hops=int(sys.argv[7]))
+        for kv in sys.argv[7:]:
+            if "=" not in kv:
+                continue
+            k, v = kv.split("=", 1)
+            cur = getattr(cfg, k)
+            if isinstance(cur, bool):
+                v = v.lower() in ("1", "true", "yes")
+            elif isinstance(cur, int):
+                v = int(v)
+            elif isinstance(cur, float):
+                v = float(v)
+            cfg = dataclasses.replace(cfg, **{k: v})
     print("cfg:", cfg.inline_hops, "hops, frac", cfg.walk_capacity_frac,
           file=sys.stderr)
 

@@ -1,6 +1,10 @@
 """time_cycle with an engine_impl override: measure auto vs pallas_packed.
 
 Usage: python tools/time_cycle_impl.py [impl] [n_side] [n_particles] [n_cycles]
+                                       [cycle_chunks] [key=value ...]
+
+Trailing key=value pairs override any StepConfig field (ints/floats/str
+auto-coerced), e.g. ``hop_compact=4 brownian_rng=rbg_kernel``.
 """
 
 import dataclasses
@@ -32,12 +36,25 @@ def main():
         0.05, n_particles=n_particles,
     )
     cfg = dataclasses.replace(cfg, engine_impl=impl)
-    if len(sys.argv) > 5:
+    if len(sys.argv) > 5 and "=" not in sys.argv[5]:
         cfg = dataclasses.replace(cfg, cycle_chunks=int(sys.argv[5]))
+    for kv in sys.argv[5:]:
+        if "=" not in kv:
+            continue
+        k, v = kv.split("=", 1)
+        cur = getattr(cfg, k)
+        if isinstance(cur, bool):
+            v = v.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            v = int(v)
+        elif isinstance(cur, float):
+            v = float(v)
+        cfg = dataclasses.replace(cfg, **{k: v})
     print(
         f"impl={impl} inline_hops={cfg.inline_hops} "
         f"walk_capacity_frac={cfg.walk_capacity_frac} "
-        f"cycle_chunks={cfg.cycle_chunks}", file=sys.stderr,
+        f"cycle_chunks={cfg.cycle_chunks} hop_compact={cfg.hop_compact} "
+        f"rng={cfg.brownian_rng}", file=sys.stderr,
     )
     t0 = time.perf_counter()
     out = run_cycles(mesh, st, cfg, n_cycles)
