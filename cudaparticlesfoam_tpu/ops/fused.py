@@ -153,7 +153,7 @@ def _bary4_rows(rows, px, py, pz):
     return wa, wb, wc, wd
 
 
-def _brownian_noise(rng_key, step, n, dtype, cfg):
+def _brownian_noise(rng_key, step, n, dtype, cfg, lane_offset=0):
     """Per-cycle standard-normal noise [n,3].
 
     "threefry" (default): counter-based jax.random — bit-identical to the
@@ -162,6 +162,14 @@ def _brownian_noise(rng_key, step, n, dtype, cfg):
     needs curand-quality normals, ``particles.cu:551-599``) and several
     VPU passes cheaper per cycle; keyed by (rng_key, step) so runs stay
     reproducible on the same backend.
+
+    ``lane_offset``: global index of lane 0 — multi-device shards pass
+    their shard offset so per-shard rbg streams are decorrelated under a
+    replicated key (0 leaves the seed bit-identical to the historical
+    single-device stream).  Only the rbg branch uses it; the threefry
+    branch is counter-based per (key, step) and is only ever called with
+    offset 0 (the DP wrapper routes threefry through GSPMD, where the
+    noise is ONE logical sharded array).
     """
     # "rbg_kernel" (in-kernel hardware PRNG, fused_pallas._inkernel_noise)
     # only exists on the pallas paths; everywhere else it degrades to the
@@ -170,7 +178,8 @@ def _brownian_noise(rng_key, step, n, dtype, cfg):
         k4 = jnp.concatenate(
             [
                 jnp.asarray(rng_key, jnp.uint32).reshape(-1)[:2],
-                jnp.asarray([0x9E3779B9], jnp.uint32),
+                jnp.asarray(0x9E3779B9, jnp.uint32).reshape(1)
+                ^ jnp.asarray(lane_offset, jnp.uint32).reshape(1),
                 jnp.asarray(step, jnp.uint32).reshape(1),
             ]
         )
@@ -442,7 +451,7 @@ def _reflect_mega(mesh: TetMesh, tab, mc, px, py, pz, code, slot, act,
     return mc, px, py, pz, tet_bd
 
 
-def mega_cycle(mesh: TetMesh, m, rng_key, step, cfg, dt):
+def mega_cycle(mesh: TetMesh, m, rng_key, step, cfg, dt, lane_offset0=0):
     """One sub-step over the mega-row state (see module docstring).
 
     ``cfg.cycle_chunks > 1`` processes the batch as that many sub-batches
@@ -450,21 +459,26 @@ def mega_cycle(mesh: TetMesh, m, rng_key, step, cfg, dt):
     cost roughly doubles (HBM queue pressure), and sub-batching restores
     the 1M-scale rate.  Bit-identical to unchunked: the Brownian noise is
     drawn once for the full batch and sliced.
+
+    ``lane_offset0``: global index of lane 0 (multi-device shards; see
+    :func:`_brownian_noise`).
     """
     n = m.shape[0]
     if n % BLOCK:
         pad = BLOCK - n % BLOCK
         mp = jnp.pad(m, ((0, pad), (0, 0)))
-        return mega_cycle(mesh, mp, rng_key, step, cfg, dt)[:n]
+        return mega_cycle(mesh, mp, rng_key, step, cfg, dt, lane_offset0)[:n]
     chunks = max(int(getattr(cfg, "cycle_chunks", 1)), 1)
     per = -(-(n // BLOCK) // chunks) * BLOCK
     if chunks <= 1 or per >= n or per < 64 * BLOCK:
-        return _mega_cycle_aligned(mesh, m, rng_key, step, cfg, dt)
+        return _mega_cycle_aligned(mesh, m, rng_key, step, cfg, dt,
+                                   lane_offset=lane_offset0)
     from . import fused_pallas
 
     inoise = fused_pallas._use_inkernel_noise(cfg)
     noise = (
-        _brownian_noise(rng_key, step, n, m.dtype, cfg)
+        _brownian_noise(rng_key, step, n, m.dtype, cfg,
+                        lane_offset=lane_offset0)
         if (cfg.use_brownian and not inoise) else None
     )
     outs = []
@@ -477,7 +491,7 @@ def mega_cycle(mesh: TetMesh, m, rng_key, step, cfg, dt):
             _mega_cycle_aligned(
                 mesh, m[lo:hi], rng_key, step, cfg, dt,
                 noise=None if noise is None else noise[lo:hi],
-                lane_offset=lo,
+                lane_offset=lane_offset0 + lo,
             )
         )
     return jnp.concatenate(outs, axis=0)
@@ -538,7 +552,7 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt, noise=None,
     if cfg.use_brownian:
         sigma = jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(m.dtype)
         xi = noise if noise is not None else _brownian_noise(
-            rng_key, step, n, m.dtype, cfg
+            rng_key, step, n, m.dtype, cfg, lane_offset=lane_offset
         )
         dx = dx + alf * sigma * xi[:, 0]
         dy = dy + alf * sigma * xi[:, 1]
@@ -840,10 +854,93 @@ def _rare_stage_packed(mesh: TetMesh, tab, m_rm, pending, cfg, ly: Layout,
     return m_rm
 
 
-def mega_cycle_packed(mesh: TetMesh, m_rm, rng_key, step, cfg, dt):
+def mega_macro_packed(mesh: TetMesh, m_rm, rng_key, step, cfg, dt,
+                      lane_offset0=0):
+    """``cfg.macro_cycles`` sub-steps on the packed carry as ONE macro
+    cycle (fused_pallas.macro_cycle_packed) — bit-identical to that many
+    :func:`mega_cycle_packed` calls; caller guarantees the envelope via
+    fused_pallas.macro_supported.  Handles ``cycle_chunks`` like
+    :func:`mega_cycle_packed` (each chunk runs its k sub-steps before the
+    next chunk starts — lanes are independent, so trajectories are
+    unchanged by the reordering)."""
+    from . import fused_pallas
+
+    k = int(getattr(cfg, "macro_cycles", 1))
+    n = m_rm.shape[0] * 4
+    ly = LAYOUT_TET
+    tab = row_table(mesh, ly)
+    chunks = max(int(getattr(cfg, "cycle_chunks", 1)), 1)
+    pk = fused_pallas.PACK_LANES
+    per = -(-(n // pk) // chunks) * pk
+
+    def run_chunk(m_rm_c, off, nl, noise_c=None):
+        def rare(mc, pend, cfg_t):
+            return _rare_stage_packed(
+                mesh, tab, mc, pend, cfg_t, ly, nl, nl // BLOCK, ly.width
+            )
+
+        return fused_pallas.macro_cycle_packed(
+            mesh, tab, m_rm_c, rng_key, step, cfg, dt, k, rare,
+            noise=noise_c, lane_offset=off,
+        )
+
+    if chunks > 1 and per < n and per >= pk:
+        inoise = fused_pallas._use_inkernel_noise(cfg)
+        noise = None
+        if cfg.use_brownian and not inoise:
+            noise = jnp.concatenate(
+                [
+                    _brownian_noise(rng_key, step + j, n, m_rm.dtype, cfg,
+                                    lane_offset=lane_offset0).T
+                    for j in range(k)
+                ],
+                axis=0,
+            )                                    # [3k, n] natural order
+        k_full = n // per
+        rem = n - k_full * per
+        m_full = m_rm[: k_full * per // 4].reshape(
+            k_full, per // 4, m_rm.shape[1]
+        )
+        offs = jnp.arange(k_full, dtype=jnp.int32) * per + lane_offset0
+        if noise is not None:
+            nz_full = (
+                noise[:, : k_full * per]
+                .reshape(3 * k, k_full, per)
+                .transpose(1, 0, 2)
+            )
+
+            def body(_, x):
+                mi, oi, ni = x
+                return None, run_chunk(mi, oi, per, ni)
+
+            _, out = lax.scan(body, None, (m_full, offs, nz_full))
+        else:
+
+            def body(_, x):
+                mi, oi = x
+                return None, run_chunk(mi, oi, per)
+
+            _, out = lax.scan(body, None, (m_full, offs))
+        out = out.reshape(k_full * per // 4, m_rm.shape[1])
+        if rem:
+            tail = run_chunk(
+                m_rm[k_full * per // 4 :],
+                jnp.int32(k_full * per) + lane_offset0,
+                rem,
+                None if noise is None else noise[:, k_full * per :],
+            )
+            out = jnp.concatenate([out, tail], axis=0)
+        return out
+    return run_chunk(m_rm, lane_offset0, n)
+
+
+def mega_cycle_packed(mesh: TetMesh, m_rm, rng_key, step, cfg, dt,
+                      lane_offset0=0):
     """One sub-step on the packed [n/4, 128] carry (pallas fast path;
     caller guarantees the envelope via fused_pallas.packed_supported and
-    n % 8 == 0)."""
+    n % 8 == 0).  ``lane_offset0``: global index of lane 0 (multi-device
+    shards pass their shard offset so in-kernel PRNG streams stay
+    disjoint; see fused_pallas._inkernel_noise)."""
     from . import fused_pallas
 
     n = m_rm.shape[0] * 4
@@ -862,7 +959,8 @@ def mega_cycle_packed(mesh: TetMesh, m_rm, rng_key, step, cfg, dt):
         # tail chunk gets its own sized call
         inoise = fused_pallas._use_inkernel_noise(cfg)
         noise = (
-            _brownian_noise(rng_key, step, n, m_rm.dtype, cfg)
+            _brownian_noise(rng_key, step, n, m_rm.dtype, cfg,
+                            lane_offset=lane_offset0)
             if (cfg.use_brownian and not inoise) else None
         )
 
@@ -880,7 +978,7 @@ def mega_cycle_packed(mesh: TetMesh, m_rm, rng_key, step, cfg, dt):
         m_full = m_rm[: k_full * per // 4].reshape(
             k_full, per // 4, m_rm.shape[1]
         )
-        offs = jnp.arange(k_full, dtype=jnp.int32) * per
+        offs = jnp.arange(k_full, dtype=jnp.int32) * per + lane_offset0
         if noise is not None:
             nz_full = noise[: k_full * per].reshape(k_full, per, 3)
 
@@ -900,14 +998,15 @@ def mega_cycle_packed(mesh: TetMesh, m_rm, rng_key, step, cfg, dt):
         if rem:
             tail = chunk_cycle(
                 m_rm[k_full * per // 4 :],
-                jnp.int32(k_full * per),
+                jnp.int32(k_full * per) + lane_offset0,
                 None if noise is None else noise[k_full * per :],
                 rem,
             )
             out = jnp.concatenate([out, tail], axis=0)
         return out
     m_rm, pending = fused_pallas.pre_rare_cycle_packed(
-        mesh, tab, m_rm, rng_key, step, cfg, dt, n_hops=n_hops
+        mesh, tab, m_rm, rng_key, step, cfg, dt, n_hops=n_hops,
+        lane_offset=lane_offset0,
     )
     return _rare_stage_packed(mesh, tab, m_rm, pending, cfg, ly, n, nb,
                               ly.width)

@@ -486,6 +486,31 @@ def _kernel_b_packed_c(scal_ref, m_ref, rows4_ref, head_ref, out_ref,
         pend_ref[r, :] = jnp.zeros_like(mrows[0])
 
 
+CB_SRC = 1024       # src-builder kernel: group-rows per grid block
+
+
+def _kernel_src_c(g0t_ref, g1t_ref, rq_ref, out_ref):
+    """Assemble the compacted hop-row scatter source [CB, 128] from the
+    two transposed gathered rows + the bit-packed rank selectors: slot q
+    of group row i gets (g1 if its rank select == 1 else g0) at cols
+    32q..32q+19 and the valid flag (rank <= 1) at 32q+20.  Replaces the
+    XLA-side select fusion + 12-piece concatenate + four 1-col layout
+    copies (~1.7 ms/cycle at 1M lanes) with one VPU pass at HBM speed."""
+    rw = LAYOUT_TET.row_w
+    cb = out_ref.shape[0]
+    rq = rq_ref[0, :]
+    g0 = g0t_ref[:, :]
+    g1 = g1t_ref[:, :]
+    zpad = jnp.zeros((LAYOUT_TET.width - rw - 1, cb), out_ref.dtype)
+    parts = []
+    for q in range(4):
+        sq = (rq >> (2 * q)) & 3
+        rows_q = jnp.where((sq == 1)[None, :], g1, g0)
+        flag_q = (sq <= 1).astype(out_ref.dtype)[None, :]
+        parts += [rows_q, flag_q, zpad]
+    out_ref[:, :] = jnp.concatenate(parts, axis=0).T
+
+
 def _compact_hop_rows(tab, head, n, frac):
     """Rank-2 block-compacted hop-gather staging: returns the [n/4, 128]
     scattered row-group buffer for :func:`_kernel_b_packed_c`.
@@ -531,24 +556,42 @@ def _compact_hop_rows(tab, head, n, frac):
     rqpack = sel[0] | (sel[1] << 2) | (sel[2] << 4) | (sel[3] << 6)
     blk_iota = jax.lax.broadcasted_iota(jnp.int32, (nb4, 1), 0)[:, 0]
     keys = jnp.where(bpend, blk_iota, nb4)
-    capb = min(max(int(nb4 * frac), 256), nb4)
-    skey, d0, d1, drq = jax.lax.sort((keys, i0, i1, rqpack), num_keys=1)
+    capb = min(max(-(-int(nb4 * frac) // CB_SRC) * CB_SRC, CB_SRC), nb4)
+    # ride rqpack on the i0 payload when tet ids fit 23 bits (8.4M tets)
+    # — one fewer sort column
+    pack_rq = tab.shape[0] < (1 << 23)
+    if pack_rq:
+        skey, d0, d1 = jax.lax.sort(
+            (keys, i0 | (rqpack << 23), i1), num_keys=1
+        )
+        rqc = (d0[:capb] >> 23) & 0xFF
+        i0c = d0[:capb] & ((1 << 23) - 1)
+    else:
+        skey, d0, d1, drq = jax.lax.sort((keys, i0, i1, rqpack), num_keys=1)
+        rqc = drq[:capb]
+        i0c = d0[:capb]
     bidx = skey[:capb]
     g0 = jax.lax.optimization_barrier(
-        tab[jax.lax.optimization_barrier(d0[:capb])]
+        tab[jax.lax.optimization_barrier(i0c)]
     )
     g1 = jax.lax.optimization_barrier(
         tab[jax.lax.optimization_barrier(d1[:capb])]
     )
-    rqc = drq[:capb]
-    zpad = jnp.zeros((capb, Wm - rw - 1), dtype)
-    parts = []
-    for q in range(4):
-        sq = (rqc >> (2 * q)) & 3
-        rows_q = jnp.where((sq == 1)[:, None], g1, g0)
-        flag_q = (sq <= 1).astype(dtype)[:, None]
-        parts += [rows_q, flag_q, zpad]
-    src = jnp.concatenate(parts, axis=1)          # [capb, 4*Wm]
+    src = pl.pallas_call(
+        _kernel_src_c,
+        out_shape=jax.ShapeDtypeStruct((capb, 4 * Wm), dtype),
+        grid=(capb // CB_SRC,),
+        in_specs=[
+            pl.BlockSpec((rw, CB_SRC), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rw, CB_SRC), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CB_SRC), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((CB_SRC, 4 * Wm), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(g0.T, g1.T, rqc.reshape(1, capb))
     return jnp.zeros((nb4, 4 * Wm), dtype).at[bidx].set(src, mode="drop")
 
 
@@ -623,7 +666,7 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
     else:
         if cfg.use_brownian:
             xi = noise if noise is not None else _brownian_noise(
-                rng_key, step, n, m_rm.dtype, cfg
+                rng_key, step, n, m_rm.dtype, cfg, lane_offset=lane_offset
             )
         xiT = to_grouped(
             xi.T if xi is not None else jnp.zeros((3, n), m_rm.dtype)
@@ -716,6 +759,12 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
                     jax.ShapeDtypeStruct((n4, W4), m_rm.dtype),
                     jax.ShapeDtypeStruct((8, n), m_rm.dtype),
                 ),
+                # the mega is updated IN PLACE (block i is read before
+                # block i is written; kernel A's read strictly precedes
+                # via the head dependency) — without the alias XLA keeps
+                # a second 128 MB loop-carry buffer and copies into it
+                # every cycle (copy.390, 0.39 ms at 1M lanes)
+                input_output_aliases={1: 0},
                 grid=(pl.cdiv(n, BN_B),),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1141,7 +1190,7 @@ def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
         iscal = _noise_iscal(rng_key, step, lane_offset)
     elif cfg.use_brownian:
         xi = noise if noise is not None else _brownian_noise(
-            rng_key, step, n, m.dtype, cfg
+            rng_key, step, n, m.dtype, cfg, lane_offset=lane_offset
         )
     mT = m.T
     scal = jnp.asarray(
@@ -1253,7 +1302,7 @@ def pre_rare_cycle(mesh, tab, m, rng_key, step, cfg, dt, noise=None,
         iscal = _noise_iscal(rng_key, step, lane_offset)
     elif cfg.use_brownian:
         xi = noise if noise is not None else _brownian_noise(
-            rng_key, step, n, m.dtype, cfg
+            rng_key, step, n, m.dtype, cfg, lane_offset=lane_offset
         )
     head = stream_pre_hop(m, xi, cfg, dt, iscal=iscal)
     # barrier: keep the index vector a materialized dense array — fusing
@@ -1367,16 +1416,23 @@ def _ak_compute(scal_ref, mrow, ph_in, k: int, xi_fn):
     return out
 
 
-def _kernel_ak_packed_k(scal_ref, iscal_ref, m_ref, ph_ref, out_ref):
+def _kernel_ak_packed_k(scal_ref, iscal_ref, m_ref, ph_ref, out_ref,
+                        xi_out_ref):
     """Macro kernel A, packed carry, in-kernel hardware-PRNG noise
     (re-seeded per sub-step from iscal slot j; lane offset in the last
-    slot)."""
+    slot).  Writes the drawn noise planes ([3k, bn]) so later trips read
+    them instead of re-drawing (the Box-Muller transcendentals cost
+    ~0.5 ms per full sweep at 1M lanes; the planes are a 48 MB
+    streaming read)."""
     k = iscal_ref.shape[0] - 1
     mb = _unpack_grouped(m_ref, LAYOUT_TET.width)
     bn = m_ref.shape[0] * 4
 
     def xi_fn(j):
         xi = _inkernel_noise(iscal_ref, bn, j=j, off_slot=k)
+        xi_out_ref[3 * j, :] = xi[0]
+        xi_out_ref[3 * j + 1, :] = xi[1]
+        xi_out_ref[3 * j + 2, :] = xi[2]
         return xi[0], xi[1], xi[2]
 
     out = _ak_compute(scal_ref, lambda r: mb[r], ph_ref[1, :], k, xi_fn)
@@ -1480,6 +1536,7 @@ def macro_trip(mesh, tab, m_rm, head, cfg, frac):
             jax.ShapeDtypeStruct((n4, W4), m_rm.dtype),
             jax.ShapeDtypeStruct((8, n), m_rm.dtype),
         ),
+        input_output_aliases={1: 0},     # in-place mega (see kernel B)
         grid=(pl.cdiv(n, BN_B),),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1497,8 +1554,10 @@ def macro_trip(mesh, tab, m_rm, head, cfg, frac):
     )(scal_b, m_rm, rows4, head)
 
 
-def macro_ak(mesh, m_rm, ph8, cfg, dt, iscal=None, xiT=None):
-    """Macro kernel A dispatch (in-kernel vs XLA noise)."""
+def macro_ak(mesh, m_rm, ph8, cfg, dt, k, iscal=None, xiT=None):
+    """Macro kernel A dispatch.  Trip 0 of the in-kernel-noise mode draws
+    the noise AND writes the [3k, n] planes; every other invocation reads
+    planes (``xiT``).  Returns (head, xiT)."""
     n4, W4 = m_rm.shape
     n = n4 * 4
     vm = pltpu.VMEM
@@ -1513,12 +1572,15 @@ def macro_ak(mesh, m_rm, ph8, cfg, dt, iscal=None, xiT=None):
         ],
         m_rm.dtype,
     )
-    out_spec = pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm)
-    out_shape = jax.ShapeDtypeStruct((HEAD_W, n), m_rm.dtype)
+    head_spec = pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm)
+    head_shape = jax.ShapeDtypeStruct((HEAD_W, n), m_rm.dtype)
     if iscal is not None:
-        return pl.pallas_call(
+        head, xiT = pl.pallas_call(
             _kernel_ak_packed_k,
-            out_shape=out_shape,
+            out_shape=(
+                head_shape,
+                jax.ShapeDtypeStruct((3 * k, n), m_rm.dtype),
+            ),
             grid=(pl.cdiv(n, BN_B),),
             in_specs=[
                 smem,
@@ -1527,11 +1589,16 @@ def macro_ak(mesh, m_rm, ph8, cfg, dt, iscal=None, xiT=None):
                              memory_space=vm),
                 pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=vm),
             ],
-            out_specs=out_spec,
+            out_specs=(
+                head_spec,
+                pl.BlockSpec((3 * k, BN_B), lambda i: (0, i),
+                             memory_space=vm),
+            ),
         )(scal, iscal, m_rm, ph8)
-    return pl.pallas_call(
+        return head, xiT
+    head = pl.pallas_call(
         _kernel_ak_packed,
-        out_shape=out_shape,
+        out_shape=head_shape,
         grid=(pl.cdiv(n, BN_B),),
         in_specs=[
             smem,
@@ -1541,18 +1608,25 @@ def macro_ak(mesh, m_rm, ph8, cfg, dt, iscal=None, xiT=None):
                 (xiT.shape[0], BN_B), lambda i: (0, i), memory_space=vm
             ),
         ],
-        out_specs=out_spec,
+        out_specs=head_spec,
     )(scal, m_rm, ph8, xiT)
+    return head, xiT
 
 
 def macro_cycle_packed(mesh, tab, m_rm, rng_key, step0, cfg, dt, k: int,
                        rare_stage, noise=None, lane_offset=0):
     """k sub-steps on the packed carry (see the section comment).
 
-    ``rare_stage(m_rm, pending) -> m_rm`` is fused._rare_stage_packed
+    ``rare_stage(m_rm, pending, cfg) -> m_rm`` is fused._rare_stage_packed
     bound to this chunk's geometry (passed in to avoid a circular
-    import).  ``noise``: optional pre-drawn [3k, n] natural-order noise
-    rows (sub-step j at rows 3j..3j+2) for the XLA-noise modes."""
+    import); the cfg argument lets trips size the arena independently —
+    trip 0 resolves ~1-(1-c)^k of all lanes' first crossing, so its
+    pending spike wants a much larger (static-shaped) round buffer than
+    the later trips' tails.  ``noise``: optional pre-drawn [3k, n]
+    natural-order noise rows (sub-step j at rows 3j..3j+2) for the
+    XLA-noise modes."""
+    import dataclasses as _dc
+
     n4, W4 = m_rm.shape
     n = n4 * 4
     iscal = None
@@ -1581,13 +1655,20 @@ def macro_cycle_packed(mesh, tab, m_rm, rng_key, step0, cfg, dt, k: int,
     fracs = [None] + [
         min(max(frac0 / (2 ** (t - 1)), 0.05), 1.0) for t in range(1, k)
     ]
+    # arena sizing per trip: trip 0 carries ~k cycles' worth of pend
+    wf = float(cfg.walk_capacity_frac)
+    wfracs = [min(wf * k, 0.5)] + [wf] * (k - 1)
     ph8 = jnp.zeros((8, n), m_rm.dtype)
     for trip in range(k):
-        head = macro_ak(mesh, m_rm, ph8, cfg, dt, iscal=iscal, xiT=xiT)
+        head, xiT = macro_ak(mesh, m_rm, ph8, cfg, dt, k,
+                             iscal=iscal if trip == 0 else None, xiT=xiT)
         m_rm, pend8 = macro_trip(mesh, tab, m_rm, head, cfg, fracs[trip])
         pending = from_grouped(pend8[0, :] > 0.5)
         ph8 = pend8
-        m_rm = rare_stage(m_rm, pending)
+        m_rm = rare_stage(
+            m_rm, pending,
+            _dc.replace(cfg, walk_capacity_frac=wfracs[trip]),
+        )
     return m_rm
 
 
@@ -1844,7 +1925,7 @@ def convex_pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
     else:
         if cfg.use_brownian:
             xi = noise if noise is not None else _brownian_noise(
-                rng_key, step, n, m_rm.dtype, cfg
+                rng_key, step, n, m_rm.dtype, cfg, lane_offset=lane_offset
             )
         xiT = to_grouped(
             xi.T if xi is not None else jnp.zeros((3, n), m_rm.dtype)

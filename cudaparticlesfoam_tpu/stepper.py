@@ -94,6 +94,12 @@ class StepConfig:
     # it above the expected block-pending rate 1-(1-c)^4 for crossing
     # fraction c (the headline's c=0.128 -> 0.42)
     hop_compact_frac: float = 0.5
+    # macro-cycle fusion (packed pallas path): k sub-steps per mega
+    # round-trip — non-crossing lanes advance k steps entirely in VMEM
+    # and the hop-resolution machinery runs once per CROSSING instead of
+    # once per sub-step (fused_pallas.macro_cycle_packed).  1 = off;
+    # bit-identical to k per-cycle sub-steps.
+    macro_cycles: int = 1
     # set by the case drivers when absorbing (escape) patches exist so the
     # inline bounce checks bd_escape; the rare-stage reflector always does
     escape_faces: bool = False
@@ -117,6 +123,11 @@ class StepConfig:
                 f"hop_compact must be 0 (off) or 4 (4-lane groups), got "
                 f"{self.hop_compact!r} — other group widths are not "
                 f"implemented (the packed carry holds 4 lanes per row)"
+            )
+        if not 1 <= self.macro_cycles <= 8:
+            raise ValueError(
+                f"macro_cycles must be in 1..8 (phases ride f32 head rows"
+                f" and trips are unrolled), got {self.macro_cycles!r}"
             )
 
     def resolved_engine(self) -> str:
@@ -207,7 +218,8 @@ def cycle(mesh: TetMesh, state: ParticleState, cfg: StepConfig, dt) -> ParticleS
 
 
 def _run_cycles_impl(
-    mesh: TetMesh, state: ParticleState, cfg: StepConfig, n_cycles: int, dt
+    mesh: TetMesh, state: ParticleState, cfg: StepConfig, n_cycles: int, dt,
+    lane_offset0=0,
 ) -> ParticleState:
     dt = jnp.asarray(cfg.dt if dt is None else dt, dtype=state.dtype)
 
@@ -249,7 +261,8 @@ def _run_cycles_impl(
                 def body_cp(i, carry):
                     m_rm, step = carry
                     m_rm = fused_convex.mega_cycle_packed(
-                        mesh, tab, m_rm, state.rng_key, step, cfg, dt
+                        mesh, tab, m_rm, state.rng_key, step, cfg, dt,
+                        lane_offset0=lane_offset0,
                     )
                     return m_rm, step + 1
 
@@ -267,7 +280,8 @@ def _run_cycles_impl(
             def body(i, carry):
                 m, step = carry
                 m = fused_convex.mega_cycle(
-                    mesh, tab, m, state.rng_key, step, cfg, dt
+                    mesh, tab, m, state.rng_key, step, cfg, dt,
+                    lane_offset0=lane_offset0,
                 )
                 return m, step + 1
 
@@ -317,13 +331,35 @@ def _run_cycles_impl(
             def body_p(i, carry):
                 m_rm, step = carry
                 m_rm = fused.mega_cycle_packed(
-                    mesh, m_rm, state.rng_key, step, cfg, dt
+                    mesh, m_rm, state.rng_key, step, cfg, dt,
+                    lane_offset0=lane_offset0,
                 )
                 return m_rm, step + 1
 
-            m_rm, step = lax.fori_loop(
-                0, n_cycles, body_p, (m_rm0, state.step)
-            )
+            k_m = int(getattr(cfg, "macro_cycles", 1))
+            if k_m > 1 and fused_pallas.macro_supported(mesh, cfg, k_m):
+                # macro-cycle fusion: k sub-steps per mega round-trip;
+                # leftover cycles (n_cycles % k) run per-cycle
+                n_mac = n_cycles // k_m
+
+                def body_m(i, carry):
+                    m_rm, step = carry
+                    m_rm = fused.mega_macro_packed(
+                        mesh, m_rm, state.rng_key, step, cfg, dt,
+                        lane_offset0=lane_offset0,
+                    )
+                    return m_rm, step + k_m
+
+                m_rm, step = lax.fori_loop(
+                    0, n_mac, body_m, (m_rm0, state.step)
+                )
+                m_rm, step = lax.fori_loop(
+                    0, n_cycles - n_mac * k_m, body_p, (m_rm, step)
+                )
+            else:
+                m_rm, step = lax.fori_loop(
+                    0, n_cycles, body_p, (m_rm0, state.step)
+                )
             m = m_rm.reshape(-1, ly.width)[:n0]
             pos, vel, tet, act = fused.unpack_state(m)
             return dataclasses.replace(
@@ -333,7 +369,8 @@ def _run_cycles_impl(
 
         def body(i, carry):
             m, step = carry
-            m = fused.mega_cycle(mesh, m, state.rng_key, step, cfg, dt)
+            m = fused.mega_cycle(mesh, m, state.rng_key, step, cfg, dt,
+                                 lane_offset0=lane_offset0)
             return m, step + 1
 
         m, step = lax.fori_loop(0, n_cycles, body, (m0, state.step))
@@ -356,7 +393,8 @@ def _run_cycles_impl(
 
 @partial(jax.jit, static_argnames=("cfg", "n_cycles"))
 def run_cycles(
-    mesh: TetMesh, state: ParticleState, cfg: StepConfig, n_cycles: int, dt=None
+    mesh: TetMesh, state: ParticleState, cfg: StepConfig, n_cycles: int,
+    dt=None, lane_offset0=0,
 ) -> ParticleState:
     """``n_cycles`` sub-steps as one compiled program.
 
@@ -367,19 +405,20 @@ def run_cycles(
     cache through the loop — one gather builds it, only face-crossers touch
     it after (see :mod:`.ops.fused`).
     """
-    return _run_cycles_impl(mesh, state, cfg, n_cycles, dt)
+    return _run_cycles_impl(mesh, state, cfg, n_cycles, dt, lane_offset0)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_cycles"), donate_argnums=(1,))
 def run_cycles_donated(
-    mesh: TetMesh, state: ParticleState, cfg: StepConfig, n_cycles: int, dt=None
+    mesh: TetMesh, state: ParticleState, cfg: StepConfig, n_cycles: int,
+    dt=None, lane_offset0=0,
 ) -> ParticleState:
     """:func:`run_cycles` with the input state DONATED: its buffers are
     reused for the outputs, halving the particle-state HBM footprint.  Use
     on hot paths that never touch the old state again (the case drivers,
     bench); tests that re-run from one seed state need :func:`run_cycles`.
     """
-    return _run_cycles_impl(mesh, state, cfg, n_cycles, dt)
+    return _run_cycles_impl(mesh, state, cfg, n_cycles, dt, lane_offset0)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -496,10 +535,18 @@ def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None,
         )
         else 0
     )
+    # gathered-group capacity: the measured optimum sits just ABOVE the
+    # actual pending-group rate and the cliff below it is steep (1M
+    # headline, rate ~0.42: frac 0.45 -> 9.03 ms, 0.42 -> 8.72, but
+    # 0.40 -> 12.12 — sub-capacity overflow floods the rare arena every
+    # cycle).  The crossing estimator is only good to ~2x, so pick 0.45
+    # (worst case vs a perfectly tuned frac is ~4%; worst case of
+    # guessing low is ~40%).
+    hc_frac = 0.45 if hop_compact else cfg.hop_compact_frac
     return dataclasses.replace(
         cfg, inline_hops=hops, walk_capacity_frac=frac,
         inline_bounce=inline_bounce, cycle_chunks=chunks,
-        hop_compact=hop_compact,
+        hop_compact=hop_compact, hop_compact_frac=hc_frac,
     )
 
 

@@ -364,3 +364,97 @@ def test_pallas_bit_parity_with_jnp():
         np.testing.assert_array_equal(
             np.asarray(out_j.tet_id), np.asarray(out_p.tet_id)
         )
+
+
+def test_macro_cycles_validated_and_enveloped():
+    """StepConfig bounds macro_cycles to 1..8; macro_supported requires
+    the packed envelope."""
+    with pytest.raises(ValueError):
+        StepConfig(macro_cycles=0)
+    with pytest.raises(ValueError):
+        StepConfig(macro_cycles=9)
+    mesh = box_mesh(3, 3, 3)
+    assert not fused_pallas.macro_supported(mesh, StepConfig(), 1)
+    # CPU session: packed envelope is off, so macro is too
+    assert not fused_pallas.macro_supported(mesh, StepConfig(), 4)
+
+
+def test_macro_cycles_logic_matches_percycle_interpret():
+    """Interpret-mode check of macro-cycle fusion (k sub-steps per mega
+    round-trip): k macro'd sub-steps must match k per-cycle packed
+    sub-steps — discrete state exact, floats to fusion ulps (the on-TPU
+    test below is the strong bit-parity check)."""
+    import dataclasses as dc
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cudaparticlesfoam_tpu.ops import locate as locate_ops
+
+    if jax.config.read("jax_enable_x64"):
+        jax.config.update("jax_enable_x64", False)
+        try:
+            return test_macro_cycles_logic_matches_percycle_interpret()
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    mesh = box_mesh(8, 8, 8)
+    n = fused_pallas.PACK_LANES
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(rng.uniform(0.5, 7.5, (n, 3)), jnp.float32)
+    loc = locate_ops.build_grid_locator(mesh)
+    tet = locate_ops.locate_seeds(mesh, loc, pos)
+    m0 = fused.pack_state(mesh, pos, jnp.zeros((n, 3), jnp.float32), tet,
+                          jnp.ones(n, bool))
+    key = jax.random.PRNGKey(7)
+    k = 2
+    cfg = StepConfig(dt=0.15, diffusion_coeff=5e-3, inline_hops=1,
+                     walk_capacity_frac=0.25, brownian_rng="rbg",
+                     engine_impl="pallas_packed")
+    m_rm0 = m0.reshape(-1, 4 * fused.LAYOUT_TET.width)
+    with pltpu.force_tpu_interpret_mode():
+        m_pc = m_rm0
+        for j in range(k):
+            m_pc = fused.mega_cycle_packed(mesh, m_pc, key, 3 + j, cfg, 0.15)
+        m_mc = fused.mega_macro_packed(
+            mesh, m_rm0, key, 3, dc.replace(cfg, macro_cycles=k), 0.15
+        )
+    a = np.asarray(m_pc).reshape(-1, fused.LAYOUT_TET.width)
+    b = np.asarray(m_mc).reshape(-1, fused.LAYOUT_TET.width)
+    np.testing.assert_array_equal(a[:, 6], b[:, 6])   # tet ids
+    np.testing.assert_array_equal(a[:, 7], b[:, 7])   # active
+    np.testing.assert_allclose(a[:, :6], b[:, :6], atol=2e-6)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="pallas kernels need a TPU backend")
+def test_macro_cycles_bit_parity_on_tpu():
+    """On-TPU: macro_cycles=k must reproduce the per-cycle packed path
+    bit-for-bit over several cycles, under both the XLA 'rbg' noise and
+    the in-kernel 'rbg_kernel' stream, including a ragged n_cycles (the
+    leftover cycles run per-cycle)."""
+    import dataclasses as dc
+
+    from cudaparticlesfoam_tpu.ops import locate as locate_ops
+
+    mesh = box_mesh(10, 10, 10)
+    n = 8 * 8192
+    rng = np.random.default_rng(23)
+    pos = jnp.asarray(rng.uniform(0.6, 9.4, (n, 3)), mesh.dtype)
+    st = statelib.make_state(pos)
+    loc = locate_ops.build_grid_locator(mesh)
+    st = dataclasses.replace(
+        st, tet_id=locate_ops.locate_seeds(mesh, loc, st.pos)
+    )
+    for rng_mode in ("rbg", "rbg_kernel"):
+        cfg = StepConfig(dt=0.15, diffusion_coeff=2e-3, inline_hops=1,
+                         walk_capacity_frac=0.25, brownian_rng=rng_mode,
+                         engine_impl="pallas_packed")
+        out_0 = run_cycles(mesh, st, cfg, 7)
+        for k in (2, 4):
+            out_m = run_cycles(mesh, st, dc.replace(cfg, macro_cycles=k), 7)
+            np.testing.assert_array_equal(
+                np.asarray(out_0.pos), np.asarray(out_m.pos))
+            np.testing.assert_array_equal(
+                np.asarray(out_0.vel), np.asarray(out_m.vel))
+            np.testing.assert_array_equal(
+                np.asarray(out_0.tet_id), np.asarray(out_m.tet_id))
+            np.testing.assert_array_equal(
+                np.asarray(out_0.active), np.asarray(out_m.active))

@@ -90,9 +90,14 @@ def parse_trace(tdir):
     # complete events nest: compute SELF time (duration minus children) per
     # op name, per thread, via a stack sweep
     lanes = defaultdict(list)
+    meta = {}
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in tpu_pids:
             lanes[(e["pid"], e.get("tid"))].append(e)
+            a = e.get("args", {})
+            ln = a.get("long_name") or a.get("source") or ""
+            if ln and e.get("name") not in meta:
+                meta[e.get("name")] = ln
     by_op = defaultdict(float)
     cnt = defaultdict(int)
     total = 0.0
@@ -117,6 +122,9 @@ def parse_trace(tdir):
     print(f"\ndevice total (top-level): {total/1e3:.1f} ms; self-time by op:")
     for name, us in sorted(by_op.items(), key=lambda kv: -kv[1])[:40]:
         print(f"  {us/1e3:9.2f} ms  x{cnt[name]:<5d} {name[:110]}")
+        ln = meta.get(name, "")
+        if ln:
+            print(f"               {ln[:200]}")
 
 
 def main():
@@ -141,7 +149,7 @@ def main():
 
         if sys.argv[7] == "auto":
             from cudaparticlesfoam_tpu.stepper import suggest_tuning
-            cfg = suggest_tuning(mesh, cfg)
+            cfg = suggest_tuning(mesh, cfg, dt, n_particles=n_particles)
         elif "=" not in sys.argv[7]:
             cfg = dataclasses.replace(cfg, inline_hops=int(sys.argv[7]))
         for kv in sys.argv[7:]:
