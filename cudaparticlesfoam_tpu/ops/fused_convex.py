@@ -96,7 +96,8 @@ def _row_tables(rows):
 _NO_INLET = -(2 ** 30)
 
 
-def mega_cycle(mesh: TetMesh, tab, m, rng_key, step, cfg, dt):
+def mega_cycle(mesh: TetMesh, tab, m, rng_key, step, cfg, dt,
+               lane_offset0=0):
     n = m.shape[0]
     if n % BLOCK:
         pad = BLOCK - n % BLOCK
@@ -125,7 +126,8 @@ def _cycle_aligned(mesh: TetMesh, tab, m, rng_key, step, cfg, dt):
         vx, vy, vz = m[:, V0], m[:, V0 + 1], m[:, V0 + 2]
     if cfg.use_brownian:
         sigma = jnp.sqrt(2.0 * cfg.diffusion_coeff * dt).astype(m.dtype)
-        xi = _brownian_noise(rng_key, step, n, m.dtype, cfg)
+        xi = _brownian_noise(rng_key, step, n, m.dtype, cfg,
+                             lane_offset=lane_offset0)
         dx = dx + alf * sigma * xi[:, 0]
         dy = dy + alf * sigma * xi[:, 1]
         dz = dz + alf * sigma * xi[:, 2]
@@ -358,7 +360,8 @@ def _rare_stage_packed(mesh, tab, m_rm, disp, pending, cfg, n, nb):
     return m_rm
 
 
-def mega_cycle_packed(mesh: TetMesh, tab, m_rm, rng_key, step, cfg, dt):
+def mega_cycle_packed(mesh: TetMesh, tab, m_rm, rng_key, step, cfg, dt,
+                      lane_offset0=0):
     """One convex sub-step on the packed [n/4, 128] carry (pallas fast
     path; caller guarantees the envelope via
     fused_pallas.convex_packed_supported and n % PACK_LANES == 0).
@@ -380,7 +383,8 @@ def mega_cycle_packed(mesh: TetMesh, tab, m_rm, rng_key, step, cfg, dt):
     if chunks > 1 and per < n and per >= pk:
         inoise = fused_pallas._use_inkernel_noise(cfg)
         noise = (
-            _brownian_noise(rng_key, step, n, m_rm.dtype, cfg)
+            _brownian_noise(rng_key, step, n, m_rm.dtype, cfg,
+                            lane_offset=lane_offset0)
             if (cfg.use_brownian and not inoise) else None
         )
 
@@ -398,7 +402,7 @@ def mega_cycle_packed(mesh: TetMesh, tab, m_rm, rng_key, step, cfg, dt):
         m_full = m_rm[: k_full * per // 4].reshape(
             k_full, per // 4, m_rm.shape[1]
         )
-        offs = jnp.arange(k_full, dtype=jnp.int32) * per
+        offs = jnp.arange(k_full, dtype=jnp.int32) * per + lane_offset0
         if noise is not None:
             nz_full = noise[: k_full * per].reshape(k_full, per, 3)
 
@@ -418,13 +422,13 @@ def mega_cycle_packed(mesh: TetMesh, tab, m_rm, rng_key, step, cfg, dt):
         if rem:
             tail = chunk_cycle(
                 m_rm[k_full * per // 4 :],
-                jnp.int32(k_full * per),
+                jnp.int32(k_full * per) + lane_offset0,
                 None if noise is None else noise[k_full * per :],
                 rem,
             )
             out = jnp.concatenate([out, tail], axis=0)
         return out
     m_rm, disp, pending = fused_pallas.convex_pre_rare_cycle_packed(
-        mesh, tab, m_rm, rng_key, step, cfg, dt
+        mesh, tab, m_rm, rng_key, step, cfg, dt, lane_offset=lane_offset0
     )
     return _rare_stage_packed(mesh, tab, m_rm, disp, pending, cfg, n, nb)

@@ -103,12 +103,17 @@ class ParticleEngine:
         if strategy == "dp" and n_dev <= 1:
             strategy = "single"
         if (
-            strategy != "single"
+            strategy == "partitioned"
             and getattr(cfg, "brownian_rng", "threefry") == "rbg_kernel"
         ):
-            # the in-kernel hardware PRNG seeds by (key, step, block) with
-            # a replicated key — per-shard streams would repeat under DP /
-            # partitioned execution; the XLA "rbg" stream shards correctly
+            # the partitioned cycle draws noise keyed by GLOBAL particle
+            # id (migration-stable; partition.py) and has no pallas path,
+            # so the in-kernel mode does not exist there — degrade to the
+            # XLA "rbg" stream.  DP keeps rbg_kernel: advance() routes it
+            # through sharding.run_cycles_dp_shardmap, which seeds each
+            # shard's in-kernel PRNG with its global lane offset (disjoint
+            # streams; single-device trajectory parity when the per-shard
+            # lane count tiles whole pallas blocks).
             import dataclasses as _dc
 
             cfg = _dc.replace(cfg, brownian_rng="rbg")
@@ -239,9 +244,19 @@ class ParticleEngine:
         if self.strategy == "dp":
             from . import sharding
 
-            self.state = sharding.run_cycles_sharded(
-                self.mesh, self.state, self.cfg, n_cycles, dt
-            )
+            if getattr(self.cfg, "brownian_rng", "threefry") == "rbg_kernel":
+                # shard_map route: per-shard global lane offsets keep the
+                # in-kernel PRNG streams disjoint (and guarantee the
+                # pallas kernels run per-device — GSPMD cannot partition
+                # custom calls)
+                self.state = sharding.run_cycles_dp_shardmap(
+                    self.dmesh, self.mesh, self.state, self.cfg, n_cycles,
+                    dt,
+                )
+            else:
+                self.state = sharding.run_cycles_sharded(
+                    self.mesh, self.state, self.cfg, n_cycles, dt
+                )
             return
         self.state = run_cycles(self.mesh, self.state, self.cfg, n_cycles, dt)
 

@@ -113,6 +113,59 @@ def run_cycles_sharded(
     return _run_cycles_impl(tet_mesh, state, cfg, n_cycles, dt)
 
 
+def run_cycles_dp_shardmap(
+    dmesh: Mesh, tet_mesh: TetMesh, state: ParticleState, cfg: StepConfig,
+    n_cycles: int, dt=None, axis: str = "p",
+) -> ParticleState:
+    """:func:`run_cycles_sharded` via ``shard_map`` instead of GSPMD
+    propagation — the multi-device route for ``brownian_rng="rbg_kernel"``:
+    each shard calls the full stepper on its local slice with
+    ``lane_offset0 = shard_index * padded_local_n``, so the in-kernel
+    hardware-PRNG streams (and the XLA "rbg" fallback off the pallas
+    paths) are disjoint across shards under the replicated key.  When the
+    local lane count is already a multiple of ``fused_pallas.PACK_LANES``
+    the seed offsets coincide with a single-device run's block offsets,
+    so trajectories match single-device rbg_kernel runs bit-for-bit;
+    otherwise streams are merely disjoint (per-shard padding shifts the
+    offsets).  Explicit shard_map also guarantees the pallas kernels run
+    per-device (GSPMD has no partitioning rule for custom calls)."""
+    from jax import shard_map
+
+    from ..ops import fused_pallas
+    from ..stepper import _run_cycles_impl
+
+    ndev = dmesh.devices.size
+    n_local = -(-state.n_particles // ndev)
+    pad = (-n_local) % fused_pallas.PACK_LANES
+    n_pad = n_local + pad
+
+    state_specs = ParticleState(
+        pos=P(axis), vel=P(axis), disp=P(axis), tet_id=P(axis),
+        active=P(axis), rng_key=P(), step=P(),
+        n_particles=state.n_particles,
+    )
+    mesh_specs = jax.tree_util.tree_map(lambda _: P(), tet_mesh)
+
+    @partial(jax.jit, static_argnames=("cfg", "n_cycles"), donate_argnums=(1,))
+    def _run(tm, st, cfg, n_cycles, dt):
+        def body(tm_l, st_l):
+            st_l = dataclasses.replace(st_l, n_particles=n_local)
+            idx = jax.lax.axis_index(axis)
+            out = _run_cycles_impl(
+                tm_l, st_l, cfg, n_cycles, dt,
+                lane_offset0=idx.astype(jnp.int32) * jnp.int32(n_pad),
+            )
+            return dataclasses.replace(out, n_particles=state.n_particles)
+
+        return shard_map(
+            body, mesh=dmesh,
+            in_specs=(mesh_specs, state_specs),
+            out_specs=state_specs,
+        )(tm, st)
+
+    return _run(tet_mesh, state, cfg, n_cycles, dt)
+
+
 @jax.jit
 def global_diagnostics(state: ParticleState) -> dict:
     """Cross-chip reductions (the psum analogue of the reference's

@@ -277,3 +277,37 @@ def test_partitioned_convex_matches_single(circulating):
     np.testing.assert_allclose(pos, np.asarray(ref.pos), atol=1e-9)
     np.testing.assert_array_equal(act, np.asarray(ref.active))
     np.testing.assert_array_equal(tet, np.asarray(ref.tet_id))
+
+
+@pytest.mark.skipif(n_cpu_devices() < S, reason="needs 8 virtual devices")
+def test_dp_rbg_kernel_not_downgraded_and_disjoint(circulating):
+    """DP keeps brownian_rng='rbg_kernel' (no silent downgrade): the
+    shard_map route seeds each shard's stream with its global lane
+    offset, so per-shard noise is disjoint under the replicated key.  On
+    this CPU session the jnp fallback draws the XLA 'rbg' stream with the
+    same offset mixing, which is what we can assert here; the on-TPU
+    in-kernel seeding shares the (key, step, offset) construction."""
+    from cudaparticlesfoam_tpu.parallel.auto import ParticleEngine
+
+    mesh, st = circulating
+    cfg = StepConfig(dt=0.05, diffusion_coeff=1e-3, use_advection=False,
+                     reflect_wall=True, brownian_rng="rbg_kernel")
+    eng = ParticleEngine(mesh, st, cfg, devices=S, strategy="dp",
+                         log=lambda *a, **k: None)
+    assert eng.cfg.brownian_rng == "rbg_kernel"
+    eng.advance(5, 0.05)
+    out = eng.snapshot()
+    act = np.asarray(out.active)
+    assert act.all()
+    assert (np.asarray(out.tet_id) >= 0).all()
+    # disjoint per-shard streams: shard 0 and shard 1 lanes moved
+    # differently (the pre-fix replicated-seed bug made them identical
+    # when shards drew the same lane count)
+    disp = np.asarray(out.pos) - np.asarray(st.pos)
+    per = st.n_particles // S
+    assert not np.allclose(disp[:per], disp[per : 2 * per])
+    # and the kick magnitude is statistically sane: per-axis variance of
+    # the 5-cycle displacement ~ 2*D*dt*5 (reflections only shrink it)
+    var = disp.var(axis=0).mean()
+    expect = 2.0 * 1e-3 * 0.05 * 5
+    assert 0.5 * expect < var < 1.5 * expect
