@@ -80,6 +80,17 @@ def run_config(name, n_side, n_particles, dt, n_cycles, diffusion=1e-3,
     from cudaparticlesfoam_tpu.stepper import suggest_tuning
 
     mesh, st = workload or build_workload(n_side, n_particles, diffusion)
+    if st.n_particles != n_particles:
+        # same mesh, different particle count: reseed
+        from cudaparticlesfoam_tpu import (
+            build_grid_locator, locate_seeds, seed_in_box,
+        )
+        from cudaparticlesfoam_tpu.state import replace as replace_state
+
+        loc = build_grid_locator(mesh)
+        lo, hi = 0.05 * n_side, 0.95 * n_side
+        st = seed_in_box(n_particles, (lo,) * 3, (hi,) * 3, method="threefry")
+        st = replace_state(st, tet_id=locate_seeds(mesh, loc, st.pos))
     if locate_mode == "convex" and mesh.tet_row_cx is None:
         from cudaparticlesfoam_tpu.mesh import with_convex_rows
 
@@ -145,6 +156,14 @@ def main():
         locate_mode="convex", workload=wl,
     )
     tutorial, _ = run_config("tutorial-scale", 29, 100_000, 1.0, max(n_cycles, 200))
+    # scale config (BASELINE config 4's particle count): 10M particles on
+    # the same 1M-tet mesh — catches large-batch gather regressions that
+    # the 1M number cannot see (HBM load-queue pressure; PERF_NOTES
+    # seventh pass).  Reuses the headline mesh; 10x lanes, fewer cycles.
+    scale_10m, _ = run_config(
+        "scale-10m", n_side, 10_000_000, 0.05, max(n_cycles // 5, 20),
+        workload=wl,
+    )
 
     north_star = 100e6  # BASELINE.json: >=100M particle-steps/sec/chip
     print(
@@ -156,6 +175,7 @@ def main():
                 "vs_baseline": round(headline / north_star, 4),
                 "tutorial_scale_steps_per_sec": round(tutorial, 1),
                 "convex_mode_steps_per_sec": round(convex, 1),
+                "steps_per_sec_10m": round(scale_10m, 1),
             }
         )
     )
