@@ -764,16 +764,41 @@ def set_boundary_escape(mesh: TetMesh, escape_patch_ids) -> TetMesh:
     esc = jnp.isin(mesh.bd_patch, ids) if len(escape_patch_ids) else jnp.zeros(
         mesh.n_bd_faces, dtype=bool
     )
-    new = dataclasses.replace(mesh, bd_escape=esc)
+    # bake the per-tet 4-bit escape mask into tet_row col 19 (the walk
+    # row's pad column): bit s = bd_escape of slot s's boundary face.
+    # The pallas kernels' inline bounce reads it in place of the
+    # bd_escape gather (Mosaic has no in-kernel gather); the jnp engine
+    # keeps gathering bd_escape — same booleans, bit-identical results.
+    nbr = mesh.tet_nbr
+    bdi = jnp.clip(-nbr - 1, 0, max(mesh.n_bd_faces - 1, 0))
+    bits = (nbr < 0) & esc[bdi]
+    maskv = (
+        bits.astype(jnp.int32) * jnp.asarray([1, 2, 4, 8], jnp.int32)
+    ).sum(axis=1)
+    row = mesh.tet_row.at[:, 19].set(maskv.astype(mesh.tet_row.dtype))
+    new = dataclasses.replace(mesh, bd_escape=esc, tet_row=row)
     mirror = _mirror_of(mesh)
     updates = {}
     if mirror is not None and mirror.get("bd_patch") is not None:
-        updates["bd_escape"] = (
+        esc_np = (
             np.isin(mirror["bd_patch"], np.asarray(list(escape_patch_ids)))
             if len(escape_patch_ids)
             else np.zeros(mesh.n_bd_faces, dtype=bool)
         )
+        updates["bd_escape"] = esc_np
+        if mirror.get("tet_nbr") is not None and mirror.get("tet_row") is not None:
+            nbr_np = mirror["tet_nbr"]
+            bdi_np = np.clip(-nbr_np - 1, 0, max(mesh.n_bd_faces - 1, 0))
+            bits_np = (nbr_np < 0) & esc_np[bdi_np]
+            row_np = np.array(mirror["tet_row"], copy=True)
+            row_np[:, 19] = (
+                bits_np.astype(np.int64) * np.array([1, 2, 4, 8])
+            ).sum(axis=1)
+            updates["tet_row"] = row_np
+        else:
+            updates["tet_row"] = row                     # invalidates
     else:
         updates["bd_escape"] = esc                       # invalidates
+        updates["tet_row"] = row
     _propagate_mirror(mesh, new, updates)
     return new

@@ -378,8 +378,17 @@ def _b_core(scal_ref, rows, head_ref, mv, extra_pend):
     """Shared kernel-B tail: re-test the selected row at the moved point,
     inline single bounce, mega re-assembly.  ``mv`` = lanes whose row in
     ``rows`` is the (gathered) NEIGHBOR row; ``extra_pend`` = lanes that
-    must go to the rare arena regardless (compaction overflow)."""
+    must go to the rare arena regardless (compaction overflow).
+
+    scal = [bounce_on, escape_on]: with escape_on, wall lanes whose exit
+    slot's boundary face is absorbing (bit ``slot`` of the row's escape
+    mask, col 19 — baked by mesh.set_boundary_escape; the jnp engine
+    gathers mesh.bd_escape instead, same booleans) deactivate with
+    tet = -(tet+1) instead of reflecting — RTQuery.cu:165-166's
+    reflect-everywhere TODO done right, matching fused.py's inline
+    bounce semantics bit-for-bit."""
     do_bounce = scal_ref[0] > 0.5
+    esc_on = scal_ref[1] > 0.5
 
     wall0 = head_ref[HWALL, :] > 0.5
     px = head_ref[HPX, :]
@@ -403,9 +412,19 @@ def _b_core(scal_ref, rows, head_ref, mv, extra_pend):
     wall = wall0
     wall_slot = jnp.where(wall0, s0, jnp.zeros_like(s0))
 
-    # inline single bounce (fused.py:566-599, escape faces handled in the
-    # jnp engine only)
+    # inline single bounce (fused.py:566-599) incl. absorbing patches
     refl = wall & do_bounce
+    escm = rows[LAYOUT_TET.row_w - 1].astype(jnp.int32)
+    escb = _pick4(
+        escm & 1, (escm >> 1) & 1, (escm >> 2) & 1, (escm >> 3) & 1,
+        wall_slot,
+    ) > 0
+    code_w = _pick4(
+        rows[LAYOUT_TET.nbr], rows[LAYOUT_TET.nbr + 1],
+        rows[LAYOUT_TET.nbr + 2], rows[LAYOUT_TET.nbr + 3], wall_slot,
+    )
+    esc = refl & esc_on & (code_w < 0.0) & escb
+    refl = refl & ~esc
     rf = refl.astype(jnp.float32)
     # bary gradient of the exit slot: row (slot-1) of Tinv, -(sum) for 0
     def grad(o):
@@ -439,8 +458,8 @@ def _b_core(scal_ref, rows, head_ref, mv, extra_pend):
     mrows = [None] * LAYOUT_TET.width
     mrows[P0], mrows[P0 + 1], mrows[P0 + 2] = px, py, pz
     mrows[V0], mrows[V0 + 1], mrows[V0 + 2] = vx, vy, vz
-    mrows[TET] = cur_tet
-    mrows[ACT] = actf
+    mrows[TET] = jnp.where(esc, -(cur_tet + 1.0), cur_tet)
+    mrows[ACT] = jnp.where(esc, jnp.zeros_like(actf), actf)
     for k in range(LAYOUT_TET.row_w):
         mrows[ROW + k] = rows[k]
     for k in range(ROW + LAYOUT_TET.row_w, LAYOUT_TET.width):
@@ -490,18 +509,21 @@ CB_SRC = 1024       # src-builder kernel: group-rows per grid block
 
 
 def _kernel_src_c(g0t_ref, g1t_ref, rq_ref, out_ref):
-    """Assemble the compacted hop-row scatter source [CB, 128] from the
+    """Assemble the compacted hop-row scatter source [CB, 4*Wm] from the
     two transposed gathered rows + the bit-packed rank selectors: slot q
     of group row i gets (g1 if its rank select == 1 else g0) at cols
-    32q..32q+19 and the valid flag (rank <= 1) at 32q+20.  Replaces the
-    XLA-side select fusion + 12-piece concatenate + four 1-col layout
-    copies (~1.7 ms/cycle at 1M lanes) with one VPU pass at HBM speed."""
-    rw = LAYOUT_TET.row_w
+    Wm*q..Wm*q+rw-1 and the valid flag (rank <= 1) at Wm*q+rw.  Replaces
+    the XLA-side select fusion + 12-piece concatenate + four 1-col layout
+    copies (~1.7 ms/cycle at 1M lanes) with one VPU pass at HBM speed.
+    Row width and mega width come from the ref shapes (bary rows 20/32,
+    convex rows 24/32)."""
+    rw = g0t_ref.shape[0]
     cb = out_ref.shape[0]
+    wm = out_ref.shape[1] // 4
     rq = rq_ref[0, :]
     g0 = g0t_ref[:, :]
     g1 = g1t_ref[:, :]
-    zpad = jnp.zeros((LAYOUT_TET.width - rw - 1, cb), out_ref.dtype)
+    zpad = jnp.zeros((wm - rw - 1, cb), out_ref.dtype)
     parts = []
     for q in range(4):
         sq = (rq >> (2 * q)) & 3
@@ -511,14 +533,17 @@ def _kernel_src_c(g0t_ref, g1t_ref, rq_ref, out_ref):
     out_ref[:, :] = jnp.concatenate(parts, axis=0).T
 
 
-def _compact_hop_rows(tab, head, n, frac):
-    """Rank-2 block-compacted hop-gather staging: returns the [n/4, 128]
-    scattered row-group buffer for :func:`_kernel_b_packed_c`.
+def _compact_hop_rows(tab, head, n, frac, idx_row=HIDX, mv_row=HMV,
+                      width=None):
+    """Rank-2 block-compacted hop-gather staging: returns the [n/4, 4*Wm]
+    scattered row-group buffer for :func:`_kernel_b_packed_c` (bary) or
+    :func:`_kernel_cb_packed_c` (convex; ``idx_row``/``mv_row`` select
+    the head rows holding the gather index and the crossing flag).
 
     Gathers TWO table rows per crosser-containing 4-lane packed group
     (mean crossers per pending group ~1.2 at headline rates) and
-    duplicates them into the crossing slots' 32-col blocks with rank
-    selects; col 32q+20 is the per-slot valid flag (0 for rank-overflow
+    duplicates them into the crossing slots' Wm-col blocks with rank
+    selects; col Wm*q+rw is the per-slot valid flag (0 for rank-overflow
     slots — third+ crossers — and unscattered groups, which kernel B
     routes to the rare arena).  The rank selectors ride the compaction
     sort as one bit-packed payload.  All staging stays rank-2 with a
@@ -526,14 +551,14 @@ def _compact_hop_rows(tab, head, n, frac):
     4-lane group j holds natural lanes 4j+q at grouped position
     q*(BN_B/4)+i of pallas block b (j = b*(BN_B/4)+i), so the per-slot
     index/flag vectors are strided views of the GROUPED head."""
-    rw = LAYOUT_TET.row_w
-    Wm = LAYOUT_TET.width
+    rw = tab.shape[1]
+    Wm = width if width is not None else LAYOUT_TET.width
     nblk = n // BN_B
     g4 = BN_B // 4
     nb4 = n // 4
     dtype = head.dtype
-    hid3 = head[HIDX, :].reshape(nblk, 4, g4)
-    mv3 = head[HMV, :].reshape(nblk, 4, g4)
+    hid3 = head[idx_row, :].reshape(nblk, 4, g4)
+    mv3 = head[mv_row, :].reshape(nblk, 4, g4)
     hq = [hid3[:, q, :].reshape(nb4).astype(jnp.int32) for q in range(4)]
     mq = [mv3[:, q, :].reshape(nb4) > 0.5 for q in range(4)]
     bpend = mq[0] | mq[1] | mq[2] | mq[3]
@@ -603,8 +628,6 @@ def supported(mesh, cfg, n_hops: int) -> bool:
         return False
     if cfg.velocity_interp != TET_VELOCITY or not (1 <= n_hops <= 8):
         return False
-    if getattr(cfg, "escape_faces", False):
-        return False
     if mesh.points.dtype != jnp.float32:     # f64 = CPU parity mode
         return False
     try:
@@ -628,7 +651,7 @@ def packed_supported(mesh, cfg, n_hops: int) -> bool:
     engine_impl='pallas' forces the transposed-view kernels instead."""
     if getattr(cfg, "engine_impl", "auto") not in ("auto", "pallas_packed"):
         return False
-    if not (1 <= n_hops <= 8) or getattr(cfg, "escape_faces", False):
+    if not (1 <= n_hops <= 8):
         return False
     from .advect import TET_VELOCITY
 
@@ -684,7 +707,8 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
     vm = pltpu.VMEM
     scal_b = jnp.asarray(
         [1.0 if (cfg.reflect_wall and getattr(cfg, "inline_bounce", True))
-         else 0.0],
+         else 0.0,
+         1.0 if getattr(cfg, "escape_faces", False) else 0.0],
         m_rm.dtype,
     )
     if n_hops == 1:
@@ -953,7 +977,8 @@ def stream_post_hop(m, rows_g, head, cfg):
     rowsT = rows_g.T
     scal = jnp.asarray(
         [1.0 if (cfg.reflect_wall and getattr(cfg, "inline_bounce", True))
-         else 0.0],
+         else 0.0,
+         1.0 if getattr(cfg, "escape_faces", False) else 0.0],
         m.dtype,
     )
     mT_new, pendT = pl.pallas_call(
@@ -1090,6 +1115,18 @@ def _b2_compute(scal_ref, s_ref, rows_ref, head_ref):
     unresolved = mv & (wmin_h < 0.0)
 
     refl = wall & do_bounce
+    esc_on = scal_ref[1] > 0.5
+    escm = rows[LAYOUT_TET.row_w - 1].astype(jnp.int32)
+    escb = _pick4(
+        escm & 1, (escm >> 1) & 1, (escm >> 2) & 1, (escm >> 3) & 1,
+        wall_slot,
+    ) > 0
+    code_w = _pick4(
+        rows[LAYOUT_TET.nbr], rows[LAYOUT_TET.nbr + 1],
+        rows[LAYOUT_TET.nbr + 2], rows[LAYOUT_TET.nbr + 3], wall_slot,
+    )
+    esc = refl & esc_on & (code_w < 0.0) & escb
+    refl = refl & ~esc
     rf = refl.astype(jnp.float32)
 
     def grad(o):
@@ -1122,8 +1159,8 @@ def _b2_compute(scal_ref, s_ref, rows_ref, head_ref):
     mrows = [None] * LAYOUT_TET.width
     mrows[P0], mrows[P0 + 1], mrows[P0 + 2] = px, py, pz
     mrows[V0], mrows[V0 + 1], mrows[V0 + 2] = vx, vy, vz
-    mrows[TET] = cur_tet
-    mrows[ACT] = actf
+    mrows[TET] = jnp.where(esc, -(cur_tet + 1.0), cur_tet)
+    mrows[ACT] = jnp.where(esc, jnp.zeros_like(actf), actf)
     for k in range(LAYOUT_TET.row_w):
         mrows[ROW + k] = rows[k]
     for k in range(ROW + LAYOUT_TET.row_w, LAYOUT_TET.width):
@@ -1265,7 +1302,8 @@ def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
         )
     scal_b = jnp.asarray(
         [1.0 if (cfg.reflect_wall and getattr(cfg, "inline_bounce", True))
-         else 0.0],
+         else 0.0,
+         1.0 if getattr(cfg, "escape_faces", False) else 0.0],
         m.dtype,
     )
     mT_new, pendT = pl.pallas_call(
@@ -1500,7 +1538,8 @@ def macro_trip(mesh, tab, m_rm, head, cfg, frac):
     vm = pltpu.VMEM
     scal_b = jnp.asarray(
         [1.0 if (cfg.reflect_wall and getattr(cfg, "inline_bounce", True))
-         else 0.0],
+         else 0.0,
+         1.0 if getattr(cfg, "escape_faces", False) else 0.0],
         m_rm.dtype,
     )
     if frac is None:
@@ -1875,6 +1914,80 @@ def _kernel_cb_packed(scal_ref, rows_ref, head_ref, out_ref, pend_ref,
     disp_ref[:] = _pack_grouped([dx, dy, dz, jnp.zeros_like(dx)])
 
 
+def _kernel_cb_packed_c(scal_ref, m_ref, rows4_ref, head_ref, out_ref,
+                        pend_ref, disp_ref):
+    """:_kernel_cb_packed: for the block-compacted hop gather: reads the
+    OLD packed mega block (row source for lanes the compaction skipped)
+    plus the [bn4, 128] scattered row-group buffer (natural lane 4i+q's
+    neighbor row at packed row i, cols 32q..32q+23, valid flag at
+    32q+24).  Interior crossers whose group the capacity (or per-group
+    rank) skipped stay pending with their pre-hop tet/row — the rare
+    tracer marches them to the same endpoint.  Dead-lane raw-byte caveat
+    as in :func:`_b_compute_c` (stale cached rows; simulation state is
+    bit-identical)."""
+    tol = scal_ref[0]
+
+    mb = _unpack_grouped(m_ref, CX_W)
+    rg = _unpack_grouped(rows4_ref, CX_W)
+
+    interior = head_ref[CINT, :] > 0.5
+    crossing = head_ref[CCRS, :] > 0.5
+    dt0 = head_ref[CDT0, :]
+    dx = head_ref[CDX, :]
+    dy = head_ref[CDY, :]
+    dz = head_ref[CDZ, :]
+    tetf = head_ref[CTET, :]
+    p0x = head_ref[CP0X, :]
+    p0y = head_ref[CP0Y, :]
+    p0z = head_ref[CP0Z, :]
+    ex = p0x + dx
+    ey = p0y + dy
+    ez = p0z + dz
+    sx = ex - p0x
+    sy = ey - p0y
+    sz = ez - p0z
+
+    p1x = p0x + dt0 * sx
+    p1y = p0y + dt0 * sy
+    p1z = p0z + dt0 * sz
+    rx = ex - p1x
+    ry = ey - p1y
+    rz = ez - p1z
+
+    gfl = rg[CX_ROW_W] > 0.5
+    int_eff = interior & gfl
+    rows = [
+        jnp.where(int_eff, rg[k], mb[ROW + k]) for k in range(CX_ROW_W)
+    ]
+    sup = tuple(rows[16 + i] == tetf for i in range(4))
+    dt1, slot1 = _cx_exit_test(
+        lambda k: rows[k], 0, p1x, p1y, p1z, rx, ry, rz, sup, tol,
+    )
+    res2 = int_eff & (slot1 < 0)
+
+    pending = crossing & ~res2
+    fin = ~pending
+
+    mrows = [None] * CX_W
+    mrows[P0] = jnp.where(fin, ex, p0x)
+    mrows[P0 + 1] = jnp.where(fin, ey, p0y)
+    mrows[P0 + 2] = jnp.where(fin, ez, p0z)
+    mrows[V0] = head_ref[CVX, :]
+    mrows[V0 + 1] = head_ref[CVY, :]
+    mrows[V0 + 2] = head_ref[CVZ, :]
+    mrows[TET] = jnp.where(res2, head_ref[CIDX, :], tetf)
+    mrows[ACT] = head_ref[CACT, :]
+    for k in range(CX_ROW_W):
+        mrows[ROW + k] = rows[k]
+    for k in range(ROW + CX_ROW_W, CX_W):
+        mrows[k] = jnp.zeros_like(ex)
+    out_ref[:] = _pack_grouped(mrows)
+    pend_ref[0, :] = pending.astype(jnp.float32)
+    for r in range(1, 8):
+        pend_ref[r, :] = jnp.zeros_like(ex)
+    disp_ref[:] = _pack_grouped([dx, dy, dz, jnp.zeros_like(dx)])
+
+
 def convex_packed_supported(mesh, cfg, n_hops: int) -> bool:
     """Envelope for the packed convex streams: TPU, f32, >=1 inline hop
     (escape faces are fine — wall exits are pending lanes either way).
@@ -1975,10 +2088,47 @@ def convex_pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
                 (HEAD_W, BN_B), lambda i: (0, i), memory_space=vm
             ),
         )(scal, m_rm, xiT)
+    scal_b = jnp.asarray([TOL], m_rm.dtype)
+    if getattr(cfg, "hop_compact", 0) == 4:
+        # block-compacted hop gather (see pre_rare_cycle_packed): the
+        # full-batch cx-row gather is the convex engine's per-INDEX wall
+        # AND the trigger of the S(1) placement contest (the 96.7 MB
+        # gather output evicts the 95.8 MB table) — two rows per
+        # crosser-containing 4-lane group sidestep both
+        rows4 = _compact_hop_rows(
+            tab, head, n, float(getattr(cfg, "hop_compact_frac", 0.5)),
+            idx_row=CIDX, mv_row=CINT, width=CX_W,
+        )
+        m_rm_new, pendT, disp_pk = pl.pallas_call(
+            _kernel_cb_packed_c,
+            out_shape=(
+                jax.ShapeDtypeStruct((n4, W4), m_rm.dtype),
+                jax.ShapeDtypeStruct((8, n), m_rm.dtype),
+                jax.ShapeDtypeStruct((n4, 16), m_rm.dtype),
+            ),
+            input_output_aliases={1: 0},     # in-place mega (kernel B)
+            grid=(pl.cdiv(n, BN_B),),
+            in_specs=[
+                smem,
+                pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0),
+                             memory_space=vm),
+                pl.BlockSpec((BN_B // 4, 4 * CX_W), lambda i: (i, 0),
+                             memory_space=vm),
+                pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i),
+                             memory_space=vm),
+            ],
+            out_specs=(
+                pl.BlockSpec((BN_B // 4, W4), lambda i: (i, 0),
+                             memory_space=vm),
+                pl.BlockSpec((8, BN_B), lambda i: (0, i), memory_space=vm),
+                pl.BlockSpec((BN_B // 4, 16), lambda i: (i, 0),
+                             memory_space=vm),
+            ),
+        )(scal_b, m_rm, rows4, head)
+        return m_rm_new, disp_pk, from_grouped(pendT[0, :] > 0.5)
     rows_g = jax.lax.optimization_barrier(
         tab[jax.lax.optimization_barrier(head[CIDX, :].astype(jnp.int32))]
     )
-    scal_b = jnp.asarray([TOL], m_rm.dtype)
     m_rm_new, pendT, disp_pk = pl.pallas_call(
         _kernel_cb_packed,
         out_shape=(

@@ -33,13 +33,12 @@ def test_supported_envelope():
     assert not fused_pallas.supported(
         mesh, dataclasses.replace(cfg, engine_impl="jnp"), 1
     )
-    # outside the envelope: multi-hop, Pk, escape faces
-    assert not fused_pallas.supported(mesh, cfg, 4)
+    # outside the envelope: hops > 8, Pk (escape faces are INSIDE the
+    # envelope since round 4 — the inline bounce reads the per-tet escape
+    # mask baked into tet_row col 19)
+    assert not fused_pallas.supported(mesh, cfg, 9)
     assert not fused_pallas.supported(
         mesh, dataclasses.replace(cfg, velocity_interp="VertexVelocity"), 1
-    )
-    assert not fused_pallas.supported(
-        mesh, dataclasses.replace(cfg, escape_faces=True), 1
     )
 
 
@@ -458,3 +457,118 @@ def test_macro_cycles_bit_parity_on_tpu():
                 np.asarray(out_0.tet_id), np.asarray(out_m.tet_id))
             np.testing.assert_array_equal(
                 np.asarray(out_0.active), np.asarray(out_m.active))
+
+
+def _escape_fixture(n=None):
+    """Box with +x outlet marked absorbing + a uniform +x wind."""
+    import dataclasses as dc
+
+    from cudaparticlesfoam_tpu import replace_velocity
+    from cudaparticlesfoam_tpu.mesh import set_boundary_escape
+    from cudaparticlesfoam_tpu.ops import locate as locate_ops
+
+    mesh = box_mesh(8, 8, 8)
+    # tag +x boundary faces as patch 1, others 0, then mark patch 1
+    # absorbing.  bd_patch is derivable from the face centroids.
+    pts = np.asarray(mesh.points)
+    ctr = pts[np.asarray(mesh.bd_tris)].mean(axis=1)
+    patch = np.where(ctr[:, 0] > 7.999, 1, 0).astype(np.int32)
+    mesh = dc.replace(mesh, bd_patch=jnp.asarray(patch))
+    mesh = set_boundary_escape(mesh, [1])
+    cen = pts[np.asarray(mesh.tets)].mean(axis=1)
+    u = np.zeros_like(cen)
+    u[:, 0] = 1.5
+    mesh = replace_velocity(mesh, tet_vel=u)
+    n = n or fused_pallas.PACK_LANES
+    rng = np.random.default_rng(31)
+    pos = jnp.asarray(rng.uniform(0.5, 7.5, (n, 3)), jnp.float32)
+    st = statelib.make_state(pos)
+    loc = locate_ops.build_grid_locator(mesh)
+    st = dataclasses.replace(
+        st, tet_id=locate_ops.locate_seeds(mesh, loc, st.pos)
+    )
+    return mesh, st
+
+
+def test_escape_mask_baked_into_rows():
+    """set_boundary_escape writes the per-tet 4-bit escape mask into
+    tet_row col 19, consistent with a bd_escape gather."""
+    mesh, _ = _escape_fixture(n=8)
+    nbr = np.asarray(mesh.tet_nbr)
+    esc = np.asarray(mesh.bd_escape)
+    bd = np.clip(-nbr - 1, 0, mesh.n_bd_faces - 1)
+    want = ((nbr < 0) & esc[bd]).astype(np.int64) @ np.array([1, 2, 4, 8])
+    got = np.asarray(mesh.tet_row[:, 19]).astype(np.int64)
+    np.testing.assert_array_equal(want, got)
+    assert want.max() > 0   # the fixture really has absorbing faces
+
+
+def test_escape_faces_logic_matches_jnp_interpret():
+    """Interpret-mode: the packed pallas cycle with escape faces must
+    match the jnp engine — escaped lanes deactivate with tet=-(t+1)
+    instead of reflecting (discrete state exact, floats to fusion
+    ulps)."""
+    import dataclasses as dc
+    from jax.experimental.pallas import tpu as pltpu
+
+    if jax.config.read("jax_enable_x64"):
+        jax.config.update("jax_enable_x64", False)
+        try:
+            return test_escape_faces_logic_matches_jnp_interpret()
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    mesh, st = _escape_fixture()
+    m0 = fused.pack_state(mesh, st.pos, jnp.zeros_like(st.pos), st.tet_id,
+                          st.active)
+    key = jax.random.PRNGKey(3)
+    cfg = StepConfig(dt=0.3, diffusion_coeff=2e-3, inline_hops=1,
+                     walk_capacity_frac=0.25, brownian_rng="rbg",
+                     escape_faces=True, engine_impl="pallas_packed")
+    m = m0
+    for j in range(6):
+        m = jax.jit(
+            lambda mm, j=j: fused.mega_cycle(
+                mesh, mm, key, 3 + j, dc.replace(cfg, engine_impl="jnp"),
+                0.3,
+            )
+        )(m)
+    m_rm = m0.reshape(-1, 4 * fused.LAYOUT_TET.width)
+    with pltpu.force_tpu_interpret_mode():
+        for j in range(6):
+            m_rm = fused.mega_cycle_packed(mesh, m_rm, key, 3 + j, cfg, 0.3)
+    a = np.asarray(m)
+    b = np.asarray(m_rm).reshape(-1, fused.LAYOUT_TET.width)
+    assert (a[:, 7] < 0.5).sum() > 0        # some lanes escaped
+    np.testing.assert_array_equal(a[:, 6], b[:, 6])   # tet ids
+    np.testing.assert_array_equal(a[:, 7], b[:, 7])   # active
+    live = a[:, 7] > 0.5
+    np.testing.assert_allclose(a[live][:, :6], b[live][:, :6], atol=2e-6)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="pallas kernels need a TPU backend")
+def test_escape_faces_bit_parity_on_tpu():
+    """On-TPU: escape faces through run_cycles — pallas packed (with and
+    without hop_compact) vs the jnp engine, bit-for-bit on simulation
+    state."""
+    import dataclasses as dc
+
+    mesh, st = _escape_fixture(n=8 * 8192)
+    cfg = StepConfig(dt=0.3, diffusion_coeff=2e-3, inline_hops=1,
+                     walk_capacity_frac=0.25, brownian_rng="rbg",
+                     escape_faces=True)
+    out_j = run_cycles(mesh, st, dc.replace(cfg, engine_impl="jnp"), 8)
+    assert (~np.asarray(out_j.active)).sum() > 0
+    for impl_cfg in (
+        dc.replace(cfg, engine_impl="pallas_packed"),
+        dc.replace(cfg, engine_impl="pallas_packed", hop_compact=4),
+    ):
+        out_p = run_cycles(mesh, st, impl_cfg, 8)
+        np.testing.assert_array_equal(
+            np.asarray(out_j.tet_id), np.asarray(out_p.tet_id))
+        np.testing.assert_array_equal(
+            np.asarray(out_j.active), np.asarray(out_p.active))
+        np.testing.assert_array_equal(
+            np.asarray(out_j.pos), np.asarray(out_p.pos))
+        np.testing.assert_array_equal(
+            np.asarray(out_j.vel), np.asarray(out_p.vel))

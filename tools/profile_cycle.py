@@ -164,6 +164,10 @@ def main():
             elif isinstance(cur, float):
                 v = float(v)
             cfg = dataclasses.replace(cfg, **{k: v})
+    if cfg.locate_mode == "convex" and mesh.tet_row_cx is None:
+        from cudaparticlesfoam_tpu.mesh import with_convex_rows
+
+        mesh = with_convex_rows(mesh)
     print("cfg:", cfg.inline_hops, "hops, frac", cfg.walk_capacity_frac,
           file=sys.stderr)
 
