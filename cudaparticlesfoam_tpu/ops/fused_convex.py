@@ -102,11 +102,13 @@ def mega_cycle(mesh: TetMesh, tab, m, rng_key, step, cfg, dt,
     if n % BLOCK:
         pad = BLOCK - n % BLOCK
         mp = jnp.pad(m, ((0, pad), (0, 0)))
-        return _cycle_aligned(mesh, tab, mp, rng_key, step, cfg, dt)[:n]
-    return _cycle_aligned(mesh, tab, m, rng_key, step, cfg, dt)
+        return _cycle_aligned(mesh, tab, mp, rng_key, step, cfg, dt,
+                              lane_offset0)[:n]
+    return _cycle_aligned(mesh, tab, m, rng_key, step, cfg, dt, lane_offset0)
 
 
-def _cycle_aligned(mesh: TetMesh, tab, m, rng_key, step, cfg, dt):
+def _cycle_aligned(mesh: TetMesh, tab, m, rng_key, step, cfg, dt,
+                   lane_offset0=0):
     n = m.shape[0]
     nb = n // BLOCK
 
