@@ -509,7 +509,7 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt, noise=None,
     n_hops_cfg = max(int(getattr(cfg, "inline_hops", 1)), 0)
     from . import fused_pallas
 
-    if ly is LAYOUT_TET and fused_pallas.supported(mesh, cfg, n_hops_cfg):
+    if fused_pallas.supported(mesh, cfg, n_hops_cfg):
         # TPU fast path: the stream passes around the hop gather(s) run as
         # hand-fused pallas kernels (one read/write of the mega each)
         # instead of XLA's ~15 fragmented column fusions; the rare stage
@@ -820,9 +820,11 @@ def _rare_stage_packed(mesh: TetMesh, tab, m_rm, pending, cfg, ly: Layout,
         m_rm, pending, r = carry
         return (r < max_rounds) & jnp.any(pending)
 
+    W4 = 4 * W                               # packed row width (4 lanes/row)
+
     def rare_round(carry):
         m_rm, pending, r = carry
-        m3 = m_rm.reshape(nb, 2, 128)        # 8-lane blocks, packed
+        m3 = m_rm.reshape(nb, 2, W4)         # 8-lane blocks, packed
         pend2 = pending.reshape(nb, BLOCK)
         bpend = jnp.any(pend2, axis=1)
         nbp = jnp.sum(bpend.astype(jnp.int32))
@@ -842,11 +844,11 @@ def _rare_stage_packed(mesh: TetMesh, tab, m_rm, pending, cfg, ly: Layout,
         mb = mb.at[idxl].set(sub, mode="drop")
         thresh = skey[cap_l - 1]
         handled = lanes_act & (lane_iota <= jnp.minimum(thresh, nl - 1))
-        m3 = m3.at[bidx].set(mb.reshape(capb, 2, 128), mode="drop")
+        m3 = m3.at[bidx].set(mb.reshape(capb, 2, W4), mode="drop")
         pend2 = pend2.at[bidx].set(
             pendb & ~handled.reshape(capb, BLOCK), mode="drop"
         )
-        return m3.reshape(n // 4, 128), pend2.reshape(n), r + 1
+        return m3.reshape(n // 4, W4), pend2.reshape(n), r + 1
 
     m_rm, _, _ = lax.while_loop(
         rare_cond, rare_round, (m_rm, pending, jnp.zeros((), jnp.int32))
@@ -945,7 +947,7 @@ def mega_cycle_packed(mesh: TetMesh, m_rm, rng_key, step, cfg, dt,
 
     n = m_rm.shape[0] * 4
     nb = n // BLOCK
-    ly = LAYOUT_TET
+    ly = layout_for(cfg)
     tab = row_table(mesh, ly)
     n_hops = max(int(getattr(cfg, "inline_hops", 1)), 1)
     chunks = max(int(getattr(cfg, "cycle_chunks", 1)), 1)

@@ -26,10 +26,11 @@ The rare stage (block-compacted tet walk + multi-bounce reflection)
 stays in ``fused.py`` — it is gather/scatter-bound, which XLA already
 handles at the measured optimum.
 
-Scope: TetVelocity layout, ``inline_hops == 1``, no escape faces (the
-escape test needs a ``bd_escape`` gather).  Everything else falls back
-to the jnp engine; ``stepper.suggest_tuning`` only enables this path on
-TPU backends inside that envelope.  Arithmetic mirrors ``fused.py``
+Scope: TetVelocity and VertexVelocity (Pk) layouts, ``1 <= inline_hops
+<= 8``; escape faces ride the TetVelocity row's baked mask column (Pk
+rows have no pad column, so Pk + escape falls back to the jnp engine).
+Everything else falls back to the jnp engine; ``stepper.suggest_tuning``
+only enables this path on TPU backends inside that envelope.  Arithmetic mirrors ``fused.py``
 expression-for-expression; Mosaic may contract mul+add to FMA where XLA
 would not, so cross-engine agreement on TPU is to ~1 ulp per op (the
 parity-critical path — CPU f64 vs the reference semantics — always uses
@@ -38,6 +39,8 @@ the jnp engine; see ``tests/test_golden.py``).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -45,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused import (
     ACT,
+    LAYOUT_PK,
     LAYOUT_TET,
     P0,
     RA,
@@ -52,6 +56,7 @@ from .fused import (
     TET,
     V0,
     _brownian_noise,
+    layout_for,
 )
 
 # lanes per grid step, per kernel — sized against the ~16 MB VMEM budget
@@ -231,10 +236,15 @@ def _pick4(c0, c1, c2, c3, slot):
     )
 
 
-def _a_compute(scal_ref, mrow, xi_ref):
+def _a_compute(scal_ref, mrow, xi_ref, ly=LAYOUT_TET):
     """advect + noise + move + hop-0 classify + neighbor select, on lane
     vectors delivered by ``mrow(r)`` — shared by the transposed-view and
-    packed-carry kernel A variants."""
+    packed-carry kernel A variants.  ``ly`` selects the interpolation
+    layout: LAYOUT_TET reads the cached per-tet velocity (RT0,
+    ``particles.cu:317-373``); LAYOUT_PK blends the 4 cached vertex
+    velocities barycentrically at the CURRENT position
+    (``particles.cu:245-313``), mirroring fused.py's Pk branch
+    expression-for-expression (sum() association: ((w0v0+w1v1)+w2v2)+w3v3)."""
     dt = scal_ref[0]
     sigma = scal_ref[1]
     use_adv = scal_ref[2] > 0.5
@@ -245,9 +255,21 @@ def _a_compute(scal_ref, mrow, xi_ref):
     alive = act & (tetf >= 0.0)
     alf = jnp.where(use_adv, alive.astype(jnp.float32), 0.0)
 
-    ux = mrow(ROW + 12)
-    uy = mrow(ROW + 13)
-    uz = mrow(ROW + 14)
+    RV = ROW + ly.vel
+    if ly is LAYOUT_PK:
+        t0 = tuple(mrow(RA + 3 + k) for k in range(9))
+        w4 = _bary_rows(mrow(RA), mrow(RA + 1), mrow(RA + 2), t0,
+                        mrow(P0), mrow(P0 + 1), mrow(P0 + 2))
+        ux = w4[0] * mrow(RV) + w4[1] * mrow(RV + 3) \
+            + w4[2] * mrow(RV + 6) + w4[3] * mrow(RV + 9)
+        uy = w4[0] * mrow(RV + 1) + w4[1] * mrow(RV + 4) \
+            + w4[2] * mrow(RV + 7) + w4[3] * mrow(RV + 10)
+        uz = w4[0] * mrow(RV + 2) + w4[1] * mrow(RV + 5) \
+            + w4[2] * mrow(RV + 8) + w4[3] * mrow(RV + 11)
+    else:
+        ux = mrow(RV)
+        uy = mrow(RV + 1)
+        uz = mrow(RV + 2)
     dx = alf * ux * dt
     dy = alf * uy * dt
     dz = alf * uz * dt
@@ -274,7 +296,7 @@ def _a_compute(scal_ref, mrow, xi_ref):
     s0, wmin = _argmin4(wa, wb, wc, wd)
     need = (wmin < 0.0) & (tetf >= 0.0)
 
-    rn = ROW + LAYOUT_TET.nbr
+    rn = ROW + ly.nbr
     code = _pick4(mrow(rn), mrow(rn + 1), mrow(rn + 2), mrow(rn + 3), s0)
     mv = need & (code >= 0.0)
     wall = need & (code < 0.0)
@@ -294,45 +316,45 @@ def _a_compute(scal_ref, mrow, xi_ref):
     return out
 
 
-def _kernel_a(scal_ref, m_ref, xi_ref, out_ref):
+def _kernel_a(scal_ref, m_ref, xi_ref, out_ref, *, ly=LAYOUT_TET):
     """advect + noise + move + hop-0 classify + neighbor select."""
-    out = _a_compute(scal_ref, lambda r: m_ref[r, :], xi_ref)
+    out = _a_compute(scal_ref, lambda r: m_ref[r, :], xi_ref, ly)
     for r in range(HEAD_W):
         out_ref[r, :] = out[r]
 
 
-def _kernel_a_k(scal_ref, iscal_ref, m_ref, out_ref):
+def _kernel_a_k(scal_ref, iscal_ref, m_ref, out_ref, *, ly=LAYOUT_TET):
     """:_kernel_a: with hardware-PRNG in-kernel noise (rbg_kernel)."""
     xi = _inkernel_noise(iscal_ref, m_ref.shape[1])
-    out = _a_compute(scal_ref, lambda r: m_ref[r, :], xi)
+    out = _a_compute(scal_ref, lambda r: m_ref[r, :], xi, ly)
     for r in range(HEAD_W):
         out_ref[r, :] = out[r]
 
 
-def _kernel_a_packed(scal_ref, m_ref, xi_ref, out_ref):
-    """kernel A on a packed [BN/4, 128] mega block: in-VMEM unpack to
+def _kernel_a_packed(scal_ref, m_ref, xi_ref, out_ref, *, ly=LAYOUT_TET):
+    """kernel A on a packed [BN/4, 4W] mega block: in-VMEM unpack to
     GROUPED lane order, then the shared compute.  ``xi_ref`` and the head
     output are in the same grouped order (the caller permutes xi with
     :func:`to_grouped`)."""
-    mb = _unpack_grouped(m_ref, LAYOUT_TET.width)
-    out = _a_compute(scal_ref, lambda r: mb[r], xi_ref)
+    mb = _unpack_grouped(m_ref, ly.width)
+    out = _a_compute(scal_ref, lambda r: mb[r], xi_ref, ly)
     for r in range(HEAD_W):
         out_ref[r, :] = out[r]
 
 
-def _kernel_a_packed_k(scal_ref, iscal_ref, m_ref, out_ref):
+def _kernel_a_packed_k(scal_ref, iscal_ref, m_ref, out_ref, *, ly=LAYOUT_TET):
     """:_kernel_a_packed: with in-kernel noise — iid per lane, so no
     permute is needed at all (the grouped order IS the stream order)."""
-    mb = _unpack_grouped(m_ref, LAYOUT_TET.width)
+    mb = _unpack_grouped(m_ref, ly.width)
     xi = _inkernel_noise(iscal_ref, m_ref.shape[0] * 4)
-    out = _a_compute(scal_ref, lambda r: mb[r], xi)
+    out = _a_compute(scal_ref, lambda r: mb[r], xi, ly)
     for r in range(HEAD_W):
         out_ref[r, :] = out[r]
 
 
-def _b_compute(scal_ref, rows_ref, head_ref):
+def _b_compute(scal_ref, rows_ref, head_ref, ly=LAYOUT_TET):
     """merge gathered rows + re-test + inline single bounce; returns the
-    32 mega rows + the pending flag vector (shared by the transposed-view
+    W mega rows + the pending flag vector (shared by the transposed-view
     and packed-carry kernel B variants).
 
     No mega input: the masked gather used each lane's OWN tet as the fill
@@ -342,8 +364,8 @@ def _b_compute(scal_ref, rows_ref, head_ref):
     fill index 0) get tet-0's row, and a dead lane's row cache is
     semantically unused (revival re-packs the mega from the table)."""
     mv = head_ref[HMV, :] > 0.5
-    rows = [rows_ref[k, :] for k in range(LAYOUT_TET.row_w)]
-    return _b_core(scal_ref, rows, head_ref, mv, None)
+    rows = [rows_ref[k, :] for k in range(ly.row_w)]
+    return _b_core(scal_ref, rows, head_ref, mv, None, ly)
 
 
 def _b_compute_c(scal_ref, mb, rg, head_ref):
@@ -374,7 +396,7 @@ def _b_compute_c(scal_ref, mb, rg, head_ref):
     return _b_core(scal_ref, rows, head_ref, mv_eff, mv & ~gfl)
 
 
-def _b_core(scal_ref, rows, head_ref, mv, extra_pend):
+def _b_core(scal_ref, rows, head_ref, mv, extra_pend, ly=LAYOUT_TET):
     """Shared kernel-B tail: re-test the selected row at the moved point,
     inline single bounce, mega re-assembly.  ``mv`` = lanes whose row in
     ``rows`` is the (gathered) NEIGHBOR row; ``extra_pend`` = lanes that
@@ -386,7 +408,9 @@ def _b_core(scal_ref, rows, head_ref, mv, extra_pend):
     gathers mesh.bd_escape instead, same booleans) deactivate with
     tet = -(tet+1) instead of reflecting — RTQuery.cu:165-166's
     reflect-everywhere TODO done right, matching fused.py's inline
-    bounce semantics bit-for-bit."""
+    bounce semantics bit-for-bit.  The mask column only exists in the
+    bary LAYOUT_TET row (the Pk row has no pad col); the envelope keeps
+    Pk + escape_faces on the jnp engine."""
     do_bounce = scal_ref[0] > 0.5
     esc_on = scal_ref[1] > 0.5
 
@@ -414,16 +438,19 @@ def _b_core(scal_ref, rows, head_ref, mv, extra_pend):
 
     # inline single bounce (fused.py:566-599) incl. absorbing patches
     refl = wall & do_bounce
-    escm = rows[LAYOUT_TET.row_w - 1].astype(jnp.int32)
-    escb = _pick4(
-        escm & 1, (escm >> 1) & 1, (escm >> 2) & 1, (escm >> 3) & 1,
-        wall_slot,
-    ) > 0
-    code_w = _pick4(
-        rows[LAYOUT_TET.nbr], rows[LAYOUT_TET.nbr + 1],
-        rows[LAYOUT_TET.nbr + 2], rows[LAYOUT_TET.nbr + 3], wall_slot,
-    )
-    esc = refl & esc_on & (code_w < 0.0) & escb
+    if ly is LAYOUT_TET:
+        escm = rows[ly.row_w - 1].astype(jnp.int32)
+        escb = _pick4(
+            escm & 1, (escm >> 1) & 1, (escm >> 2) & 1, (escm >> 3) & 1,
+            wall_slot,
+        ) > 0
+        code_w = _pick4(
+            rows[ly.nbr], rows[ly.nbr + 1],
+            rows[ly.nbr + 2], rows[ly.nbr + 3], wall_slot,
+        )
+        esc = refl & esc_on & (code_w < 0.0) & escb
+    else:
+        esc = jnp.zeros_like(refl)
     refl = refl & ~esc
     rf = refl.astype(jnp.float32)
     # bary gradient of the exit slot: row (slot-1) of Tinv, -(sum) for 0
@@ -455,14 +482,14 @@ def _b_core(scal_ref, rows, head_ref, mv, extra_pend):
     # NOT jnp.where: Mosaic cannot legalize select on i1 vectors
     wall_out = (do_bounce & refl & ~landed) | (~do_bounce & wall)
 
-    mrows = [None] * LAYOUT_TET.width
+    mrows = [None] * ly.width
     mrows[P0], mrows[P0 + 1], mrows[P0 + 2] = px, py, pz
     mrows[V0], mrows[V0 + 1], mrows[V0 + 2] = vx, vy, vz
     mrows[TET] = jnp.where(esc, -(cur_tet + 1.0), cur_tet)
     mrows[ACT] = jnp.where(esc, jnp.zeros_like(actf), actf)
-    for k in range(LAYOUT_TET.row_w):
+    for k in range(ly.row_w):
         mrows[ROW + k] = rows[k]
-    for k in range(ROW + LAYOUT_TET.row_w, LAYOUT_TET.width):
+    for k in range(ROW + ly.row_w, ly.width):
         mrows[k] = jnp.zeros_like(px)
     pend = unresolved | wall_out
     if extra_pend is not None:
@@ -470,20 +497,22 @@ def _b_core(scal_ref, rows, head_ref, mv, extra_pend):
     return mrows, pend
 
 
-def _kernel_b(scal_ref, rows_ref, head_ref, out_ref, pend_ref):
-    mrows, pend = _b_compute(scal_ref, rows_ref, head_ref)
-    for k in range(LAYOUT_TET.width):
+def _kernel_b(scal_ref, rows_ref, head_ref, out_ref, pend_ref, *,
+              ly=LAYOUT_TET):
+    mrows, pend = _b_compute(scal_ref, rows_ref, head_ref, ly)
+    for k in range(ly.width):
         out_ref[k, :] = mrows[k]
     pend_ref[0, :] = pend.astype(jnp.float32)
     for r in range(1, 8):
         pend_ref[r, :] = jnp.zeros_like(mrows[0])
 
 
-def _kernel_b_packed(scal_ref, rows_ref, head_ref, out_ref, pend_ref):
-    """kernel B writing the packed [BN/4, 128] mega block (in-VMEM
+def _kernel_b_packed(scal_ref, rows_ref, head_ref, out_ref, pend_ref, *,
+                     ly=LAYOUT_TET):
+    """kernel B writing the packed [BN/4, 4W] mega block (in-VMEM
     grouped pack); ``rows_ref``/``head_ref``/``pend_ref`` are in grouped
     lane order (the caller un-permutes pend with :func:`from_grouped`)."""
-    mrows, pend = _b_compute(scal_ref, rows_ref, head_ref)
+    mrows, pend = _b_compute(scal_ref, rows_ref, head_ref, ly)
     out_ref[:] = _pack_grouped(mrows)
     pend_ref[0, :] = pend.astype(jnp.float32)
     for r in range(1, 8):
@@ -620,13 +649,28 @@ def _compact_hop_rows(tab, head, n, frac, idx_row=HIDX, mv_row=HMV,
     return jnp.zeros((nb4, 4 * Wm), dtype).at[bidx].set(src, mode="drop")
 
 
+def _interp_ok(mesh, cfg) -> bool:
+    """Interp-mode envelope shared by the pallas paths: TetVelocity
+    always; VertexVelocity (Pk) when the 28-col row table exists and no
+    escape faces are configured (the Pk row has no pad column to carry
+    the baked escape mask — Pk + escape rides the jnp engine)."""
+    from .advect import TET_VELOCITY, VERTEX_VELOCITY
+
+    if cfg.velocity_interp == TET_VELOCITY:
+        return True
+    if cfg.velocity_interp == VERTEX_VELOCITY:
+        return (
+            mesh.tet_row_pk is not None
+            and not getattr(cfg, "escape_faces", False)
+        )
+    return False
+
+
 def supported(mesh, cfg, n_hops: int) -> bool:
     """Envelope check for the pallas fast path."""
-    from .advect import TET_VELOCITY
-
     if getattr(cfg, "engine_impl", "auto") == "jnp":
         return False
-    if cfg.velocity_interp != TET_VELOCITY or not (1 <= n_hops <= 8):
+    if not _interp_ok(mesh, cfg) or not (1 <= n_hops <= 8):
         return False
     if mesh.points.dtype != jnp.float32:     # f64 = CPU parity mode
         return False
@@ -653,9 +697,7 @@ def packed_supported(mesh, cfg, n_hops: int) -> bool:
         return False
     if not (1 <= n_hops <= 8):
         return False
-    from .advect import TET_VELOCITY
-
-    if cfg.velocity_interp != TET_VELOCITY:
+    if not _interp_ok(mesh, cfg):
         return False
     if mesh.points.dtype != jnp.float32:
         return False
@@ -681,6 +723,7 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
     n4, W4 = m_rm.shape
     n = n4 * 4
     W = W4 // 4
+    ly = layout_for(cfg)
     xi = None
     iscal = None
     if _use_inkernel_noise(cfg):
@@ -715,7 +758,7 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         if iscal is not None:
             head = pl.pallas_call(
-                _kernel_a_packed_k,
+                partial(_kernel_a_packed_k, ly=ly),
                 out_shape=jax.ShapeDtypeStruct((HEAD_W, n), m_rm.dtype),
                 grid=(pl.cdiv(n, BN_B),),
                 in_specs=[
@@ -731,7 +774,7 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
             )(scal, iscal, m_rm)
         else:
             head = pl.pallas_call(
-                _kernel_a_packed,
+                partial(_kernel_a_packed, ly=ly),
                 out_shape=jax.ShapeDtypeStruct((HEAD_W, n), m_rm.dtype),
                 grid=(pl.cdiv(n, BN_B),),
                 in_specs=[
@@ -745,7 +788,7 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
                     (HEAD_W, BN_B), lambda i: (0, i), memory_space=vm
                 ),
             )(scal, m_rm, xiT)
-        if getattr(cfg, "hop_compact", 0) == 4:
+        if getattr(cfg, "hop_compact", 0) == 4 and ly is LAYOUT_TET:
             # block-compacted hop gather: fetch neighbor rows only for
             # 4-lane packed groups containing a crosser (~42% of groups
             # at the headline's 12.8% crossing rate) instead of
@@ -815,7 +858,7 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
             tab[jax.lax.optimization_barrier(head[HIDX, :].astype(jnp.int32))]
         )
         m_rm_new, pendT = pl.pallas_call(
-            _kernel_b_packed,
+            partial(_kernel_b_packed, ly=ly),
             out_shape=(
                 jax.ShapeDtypeStruct((n4, W4), m_rm.dtype),
                 jax.ShapeDtypeStruct((8, n), m_rm.dtype),
@@ -824,7 +867,7 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(
-                    (LAYOUT_TET.row_w, BN_B), lambda i: (0, i), memory_space=vm
+                    (ly.row_w, BN_B), lambda i: (0, i), memory_space=vm
                 ),
                 pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
             ],
@@ -847,7 +890,7 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
     )
     if iscal is not None:
         head, st = pl.pallas_call(
-            _kernel_a_mh_packed_k,
+            partial(_kernel_a_mh_packed_k, ly=ly),
             out_shape=out_shape_a,
             grid=(pl.cdiv(n, BN_B),),
             in_specs=[
@@ -861,7 +904,7 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
         )(scal, iscal, m_rm)
     else:
         head, st = pl.pallas_call(
-            _kernel_a_mh_packed,
+            partial(_kernel_a_mh_packed, ly=ly),
             out_shape=out_shape_a,
             grid=(pl.cdiv(n, BN_B),),
             in_specs=[
@@ -878,13 +921,13 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
             tab[jax.lax.optimization_barrier(st[S_IDX, :].astype(jnp.int32))]
         )
         st = pl.pallas_call(
-            _kernel_h,
+            partial(_kernel_h, ly=ly),
             out_shape=jax.ShapeDtypeStruct((S_W, n), m_rm.dtype),
             grid=(pl.cdiv(n, BN_B),),
             in_specs=[
                 pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
                 pl.BlockSpec(
-                    (LAYOUT_TET.row_w, BN_B), lambda i: (0, i),
+                    (ly.row_w, BN_B), lambda i: (0, i),
                     memory_space=vm,
                 ),
                 pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
@@ -897,7 +940,7 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
             tab[jax.lax.optimization_barrier(st[S_IDX, :].astype(jnp.int32))]
         )
     m_rm_new, pendT = pl.pallas_call(
-        _kernel_b2_packed,
+        partial(_kernel_b2_packed, ly=ly),
         out_shape=(
             jax.ShapeDtypeStruct((n4, W4), m_rm.dtype),
             jax.ShapeDtypeStruct((8, n), m_rm.dtype),
@@ -907,7 +950,7 @@ def pre_rare_cycle_packed(mesh, tab, m_rm, rng_key, step, cfg, dt,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
             pl.BlockSpec(
-                (LAYOUT_TET.row_w, BN_B), lambda i: (0, i), memory_space=vm
+                (ly.row_w, BN_B), lambda i: (0, i), memory_space=vm
             ),
             pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
         ],
@@ -939,9 +982,10 @@ def stream_pre_hop(m, xi, cfg, dt, iscal=None):
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmA = pltpu.VMEM
+    ly = layout_for(cfg)
     if iscal is not None:
         return pl.pallas_call(
-            _kernel_a_k,
+            partial(_kernel_a_k, ly=ly),
             out_shape=jax.ShapeDtypeStruct((HEAD_W, n), m.dtype),
             grid=(pl.cdiv(n, BN_A),),
             in_specs=[
@@ -955,7 +999,7 @@ def stream_pre_hop(m, xi, cfg, dt, iscal=None):
         )(scal, iscal, mT)
     xiT = xi.T if xi is not None else jnp.zeros((3, n), m.dtype)
     head = pl.pallas_call(
-        _kernel_a,
+        partial(_kernel_a, ly=ly),
         out_shape=jax.ShapeDtypeStruct((HEAD_W, n), m.dtype),
         grid=(pl.cdiv(n, BN_A),),
         in_specs=[
@@ -981,8 +1025,9 @@ def stream_post_hop(m, rows_g, head, cfg):
          1.0 if getattr(cfg, "escape_faces", False) else 0.0],
         m.dtype,
     )
+    ly = layout_for(cfg)
     mT_new, pendT = pl.pallas_call(
-        _kernel_b,
+        partial(_kernel_b, ly=ly),
         out_shape=(
             jax.ShapeDtypeStruct((W, n), m.dtype),
             jax.ShapeDtypeStruct((8, n), m.dtype),
@@ -991,7 +1036,7 @@ def stream_post_hop(m, rows_g, head, cfg):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (LAYOUT_TET.row_w, BN_B), lambda i: (0, i),
+                (ly.row_w, BN_B), lambda i: (0, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -1021,9 +1066,9 @@ S_TET, S_UNRES, S_WALL, S_WSLOT, S_MV, S_IDX = range(6)
 S_W = 8
 
 
-def _kernel_a_mh(scal_ref, m_ref, xi_ref, out_ref, s_ref):
+def _kernel_a_mh(scal_ref, m_ref, xi_ref, out_ref, s_ref, *, ly=LAYOUT_TET):
     """kernel A + the hop-1 state flags for the multi-hop chain."""
-    _kernel_a(scal_ref, m_ref, xi_ref, out_ref)
+    _kernel_a(scal_ref, m_ref, xi_ref, out_ref, ly=ly)
     s_ref[S_TET, :] = m_ref[TET, :]
     s_ref[S_UNRES, :] = out_ref[HMV, :]      # placeholder; H overwrites
     s_ref[S_WALL, :] = out_ref[HWALL, :]
@@ -1034,9 +1079,10 @@ def _kernel_a_mh(scal_ref, m_ref, xi_ref, out_ref, s_ref):
         s_ref[k, :] = jnp.zeros_like(s_ref[0, :])
 
 
-def _kernel_a_mh_k(scal_ref, iscal_ref, m_ref, out_ref, s_ref):
+def _kernel_a_mh_k(scal_ref, iscal_ref, m_ref, out_ref, s_ref, *,
+                   ly=LAYOUT_TET):
     """:_kernel_a_mh: with in-kernel noise."""
-    _kernel_a_k(scal_ref, iscal_ref, m_ref, out_ref)
+    _kernel_a_k(scal_ref, iscal_ref, m_ref, out_ref, ly=ly)
     s_ref[S_TET, :] = m_ref[TET, :]
     s_ref[S_UNRES, :] = out_ref[HMV, :]
     s_ref[S_WALL, :] = out_ref[HWALL, :]
@@ -1047,7 +1093,7 @@ def _kernel_a_mh_k(scal_ref, iscal_ref, m_ref, out_ref, s_ref):
         s_ref[k, :] = jnp.zeros_like(s_ref[0, :])
 
 
-def _kernel_h(s_in_ref, rows_ref, head_ref, s_out_ref):
+def _kernel_h(s_in_ref, rows_ref, head_ref, s_out_ref, *, ly=LAYOUT_TET):
     """One inline hop: re-test the gathered (= current) rows at the moved
     point, classify the next crossing (fused.py's hop-loop body).  The
     FINAL hop's re-test happens inside kernel B2 (which computes that
@@ -1058,7 +1104,7 @@ def _kernel_h(s_in_ref, rows_ref, head_ref, s_out_ref):
     py = head_ref[HPY, :]
     pz = head_ref[HPZ, :]
 
-    rows = [rows_ref[k, :] for k in range(LAYOUT_TET.row_w)]
+    rows = [rows_ref[k, :] for k in range(ly.row_w)]
     cur_tet = jnp.where(mv, s_in_ref[S_IDX, :], s_in_ref[S_TET, :])
     t = tuple(rows[3 + k] for k in range(9))
     wa, wb, wc, wd = _bary_rows(rows[0], rows[1], rows[2], t, px, py, pz)
@@ -1068,8 +1114,8 @@ def _kernel_h(s_in_ref, rows_ref, head_ref, s_out_ref):
     wall = s_in_ref[S_WALL, :] > 0.5
     wall_slot = s_in_ref[S_WSLOT, :].astype(jnp.int32)
     code = _pick4(
-        rows[LAYOUT_TET.nbr], rows[LAYOUT_TET.nbr + 1],
-        rows[LAYOUT_TET.nbr + 2], rows[LAYOUT_TET.nbr + 3], s_cur,
+        rows[ly.nbr], rows[ly.nbr + 1],
+        rows[ly.nbr + 2], rows[ly.nbr + 3], s_cur,
     )
     mv_next = unresolved & (code >= 0.0)
     new_wall = unresolved & (code < 0.0)
@@ -1088,7 +1134,7 @@ def _kernel_h(s_in_ref, rows_ref, head_ref, s_out_ref):
         s_out_ref[k, :] = jnp.zeros_like(px)
 
 
-def _b2_compute(scal_ref, s_ref, rows_ref, head_ref):
+def _b2_compute(scal_ref, s_ref, rows_ref, head_ref, ly=LAYOUT_TET):
     """Multi-hop finisher core: final re-test + inline single bounce;
     returns (mega rows, pending) — shared by the transposed-view and
     packed-carry B2 writers."""
@@ -1101,7 +1147,7 @@ def _b2_compute(scal_ref, s_ref, rows_ref, head_ref):
     vy = head_ref[HVY, :]
     vz = head_ref[HVZ, :]
     actf = head_ref[HACT, :]
-    rows = [rows_ref[k, :] for k in range(LAYOUT_TET.row_w)]
+    rows = [rows_ref[k, :] for k in range(ly.row_w)]
     mv = s_ref[S_MV, :] > 0.5
     cur_tet = jnp.where(mv, s_ref[S_IDX, :], s_ref[S_TET, :])
     wall = s_ref[S_WALL, :] > 0.5
@@ -1116,16 +1162,19 @@ def _b2_compute(scal_ref, s_ref, rows_ref, head_ref):
 
     refl = wall & do_bounce
     esc_on = scal_ref[1] > 0.5
-    escm = rows[LAYOUT_TET.row_w - 1].astype(jnp.int32)
-    escb = _pick4(
-        escm & 1, (escm >> 1) & 1, (escm >> 2) & 1, (escm >> 3) & 1,
-        wall_slot,
-    ) > 0
-    code_w = _pick4(
-        rows[LAYOUT_TET.nbr], rows[LAYOUT_TET.nbr + 1],
-        rows[LAYOUT_TET.nbr + 2], rows[LAYOUT_TET.nbr + 3], wall_slot,
-    )
-    esc = refl & esc_on & (code_w < 0.0) & escb
+    if ly is LAYOUT_TET:
+        escm = rows[ly.row_w - 1].astype(jnp.int32)
+        escb = _pick4(
+            escm & 1, (escm >> 1) & 1, (escm >> 2) & 1, (escm >> 3) & 1,
+            wall_slot,
+        ) > 0
+        code_w = _pick4(
+            rows[ly.nbr], rows[ly.nbr + 1],
+            rows[ly.nbr + 2], rows[ly.nbr + 3], wall_slot,
+        )
+        esc = refl & esc_on & (code_w < 0.0) & escb
+    else:
+        esc = jnp.zeros_like(refl)
     refl = refl & ~esc
     rf = refl.astype(jnp.float32)
 
@@ -1156,30 +1205,32 @@ def _b2_compute(scal_ref, s_ref, rows_ref, head_ref):
     landed = refl & (wmin2 >= 0.0)
     wall_out = (do_bounce & refl & ~landed) | (~do_bounce & wall)
 
-    mrows = [None] * LAYOUT_TET.width
+    mrows = [None] * ly.width
     mrows[P0], mrows[P0 + 1], mrows[P0 + 2] = px, py, pz
     mrows[V0], mrows[V0 + 1], mrows[V0 + 2] = vx, vy, vz
     mrows[TET] = jnp.where(esc, -(cur_tet + 1.0), cur_tet)
     mrows[ACT] = jnp.where(esc, jnp.zeros_like(actf), actf)
-    for k in range(LAYOUT_TET.row_w):
+    for k in range(ly.row_w):
         mrows[ROW + k] = rows[k]
-    for k in range(ROW + LAYOUT_TET.row_w, LAYOUT_TET.width):
+    for k in range(ROW + ly.row_w, ly.width):
         mrows[k] = jnp.zeros_like(px)
     pend = unresolved | wall_out
     return mrows, pend
 
 
-def _kernel_b2(scal_ref, s_ref, rows_ref, head_ref, out_ref, pend_ref):
-    mrows, pend = _b2_compute(scal_ref, s_ref, rows_ref, head_ref)
-    for k in range(LAYOUT_TET.width):
+def _kernel_b2(scal_ref, s_ref, rows_ref, head_ref, out_ref, pend_ref, *,
+               ly=LAYOUT_TET):
+    mrows, pend = _b2_compute(scal_ref, s_ref, rows_ref, head_ref, ly)
+    for k in range(ly.width):
         out_ref[k, :] = mrows[k]
     pend_ref[0, :] = pend.astype(jnp.float32)
     for r in range(1, 8):
         pend_ref[r, :] = jnp.zeros_like(mrows[0])
 
 
-def _kernel_b2_packed(scal_ref, s_ref, rows_ref, head_ref, out_ref, pend_ref):
-    mrows, pend = _b2_compute(scal_ref, s_ref, rows_ref, head_ref)
+def _kernel_b2_packed(scal_ref, s_ref, rows_ref, head_ref, out_ref, pend_ref,
+                      *, ly=LAYOUT_TET):
+    mrows, pend = _b2_compute(scal_ref, s_ref, rows_ref, head_ref, ly)
     out_ref[:] = _pack_grouped(mrows)
     pend_ref[0, :] = pend.astype(jnp.float32)
     for r in range(1, 8):
@@ -1201,18 +1252,20 @@ def _mh_flags_packed(out, mb, out_ref, s_ref):
         s_ref[k, :] = jnp.zeros_like(out[0])
 
 
-def _kernel_a_mh_packed(scal_ref, m_ref, xi_ref, out_ref, s_ref):
+def _kernel_a_mh_packed(scal_ref, m_ref, xi_ref, out_ref, s_ref, *,
+                        ly=LAYOUT_TET):
     """packed-carry kernel A + hop-1 state flags (grouped lane order)."""
-    mb = _unpack_grouped(m_ref, LAYOUT_TET.width)
-    out = _a_compute(scal_ref, lambda r: mb[r], xi_ref)
+    mb = _unpack_grouped(m_ref, ly.width)
+    out = _a_compute(scal_ref, lambda r: mb[r], xi_ref, ly)
     _mh_flags_packed(out, mb, out_ref, s_ref)
 
 
-def _kernel_a_mh_packed_k(scal_ref, iscal_ref, m_ref, out_ref, s_ref):
+def _kernel_a_mh_packed_k(scal_ref, iscal_ref, m_ref, out_ref, s_ref, *,
+                          ly=LAYOUT_TET):
     """:_kernel_a_mh_packed: with in-kernel noise."""
-    mb = _unpack_grouped(m_ref, LAYOUT_TET.width)
+    mb = _unpack_grouped(m_ref, ly.width)
     xi = _inkernel_noise(iscal_ref, m_ref.shape[0] * 4)
-    out = _a_compute(scal_ref, lambda r: mb[r], xi)
+    out = _a_compute(scal_ref, lambda r: mb[r], xi, ly)
     _mh_flags_packed(out, mb, out_ref, s_ref)
 
 
@@ -1252,9 +1305,10 @@ def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
         pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
         pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
     )
+    ly = layout_for(cfg)
     if iscal is not None:
         head, s = pl.pallas_call(
-            _kernel_a_mh_k,
+            partial(_kernel_a_mh_k, ly=ly),
             out_shape=out_shape_a,
             grid=(pl.cdiv(n, BN_B),),
             in_specs=[
@@ -1267,7 +1321,7 @@ def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
     else:
         xiT = xi.T if xi is not None else jnp.zeros((3, n), m.dtype)
         head, s = pl.pallas_call(
-            _kernel_a_mh,
+            partial(_kernel_a_mh, ly=ly),
             out_shape=out_shape_a,
             grid=(pl.cdiv(n, BN_B),),
             in_specs=[
@@ -1282,13 +1336,13 @@ def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
             tab[jax.lax.optimization_barrier(s[S_IDX, :].astype(jnp.int32))]
         )
         s = pl.pallas_call(
-            _kernel_h,
+            partial(_kernel_h, ly=ly),
             out_shape=jax.ShapeDtypeStruct((S_W, n), m.dtype),
             grid=(pl.cdiv(n, BN_B),),
             in_specs=[
                 pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
                 pl.BlockSpec(
-                    (LAYOUT_TET.row_w, BN_B), lambda i: (0, i),
+                    (ly.row_w, BN_B), lambda i: (0, i),
                     memory_space=vm,
                 ),
                 pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
@@ -1307,7 +1361,7 @@ def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
         m.dtype,
     )
     mT_new, pendT = pl.pallas_call(
-        _kernel_b2,
+        partial(_kernel_b2, ly=ly),
         out_shape=(
             jax.ShapeDtypeStruct((W, n), m.dtype),
             jax.ShapeDtypeStruct((8, n), m.dtype),
@@ -1317,7 +1371,7 @@ def pre_rare_cycle_multihop(mesh, tab, m, rng_key, step, cfg, dt, n_hops,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((S_W, BN_B), lambda i: (0, i), memory_space=vm),
             pl.BlockSpec(
-                (LAYOUT_TET.row_w, BN_B), lambda i: (0, i), memory_space=vm
+                (ly.row_w, BN_B), lambda i: (0, i), memory_space=vm
             ),
             pl.BlockSpec((HEAD_W, BN_B), lambda i: (0, i), memory_space=vm),
         ],
@@ -1522,8 +1576,15 @@ def _kernel_bk_packed_c(scal_ref, m_ref, rows4_ref, head_ref, out_ref,
 
 def macro_supported(mesh, cfg, k: int) -> bool:
     """Envelope for the macro-cycle path: the packed envelope plus
-    2 <= k <= 8 (phases ride f32 rows; trips are unrolled)."""
+    2 <= k <= 8 (phases ride f32 rows; trips are unrolled).  TetVelocity
+    only — the macro kernel advances lanes multiple sub-steps from the
+    cached row, which relies on the velocity being constant within a tet
+    (Pk's vertex blend varies with position)."""
+    from .advect import TET_VELOCITY
+
     if not (2 <= int(k) <= 8):
+        return False
+    if cfg.velocity_interp != TET_VELOCITY:
         return False
     return packed_supported(mesh, cfg, 1)
 

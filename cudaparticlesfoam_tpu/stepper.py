@@ -308,15 +308,14 @@ def _run_cycles_impl(
 
         n_hops = max(int(getattr(cfg, "inline_hops", 1)), 0)
         if (
-            ly is fused.LAYOUT_TET
-            and fused_pallas.packed_supported(mesh, cfg, n_hops)
+            fused_pallas.packed_supported(mesh, cfg, n_hops)
             and (
                 m0.shape[0] >= fused_pallas.PACK_MIN_LANES
                 or getattr(cfg, "engine_impl", "auto") == "pallas_packed"
             )
         ):
             # packed-carry fast path: the mega rides the whole sub-cycling
-            # loop as its row-major [n/4, 128] bytes — one pack/unpack per
+            # loop as its row-major [n/4, 4W] bytes — one pack/unpack per
             # run_cycles call instead of a layout copy pair per cycle.
             # Lane count padded to a full pallas block: the in-kernel
             # grouped unpack scatters a partial block's lanes out of range
@@ -543,10 +542,18 @@ def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None,
     # (worst case vs a perfectly tuned frac is ~4%; worst case of
     # guessing low is ~40%).
     hc_frac = 0.45 if hop_compact else cfg.hop_compact_frac
+    # rare-arena exact-stage capacity: the packed convex stream pends only
+    # ~0.6% of lanes (the inline hop-1 resolves ~95% of crossers, measured
+    # at the headline config), so a leaner per-round arena wins — every
+    # [cap_l,*] op inside the trace loop halves (1M: alf 0.25 -> 18.3 ms,
+    # 0.125 -> 15.9).  The bary hc=4 path KEEPS 0.25: its arena absorbs
+    # hop-compaction overflow and alf 0.125 measured 9.1 -> 11.6 ms.
+    arena_lf = 0.125 if pallas_cx else cfg.arena_lane_frac
     return dataclasses.replace(
         cfg, inline_hops=hops, walk_capacity_frac=frac,
         inline_bounce=inline_bounce, cycle_chunks=chunks,
         hop_compact=hop_compact, hop_compact_frac=hc_frac,
+        arena_lane_frac=arena_lf,
     )
 
 

@@ -572,3 +572,114 @@ def test_escape_faces_bit_parity_on_tpu():
             np.asarray(out_j.pos), np.asarray(out_p.pos))
         np.testing.assert_array_equal(
             np.asarray(out_j.vel), np.asarray(out_p.vel))
+
+
+def _pk_fixture(n=None, nside=8):
+    """Box with its native per-vertex radial velocity + pk rows."""
+    from cudaparticlesfoam_tpu.mesh import with_pk_rows
+    from cudaparticlesfoam_tpu.ops import locate as locate_ops
+
+    mesh = with_pk_rows(box_mesh(nside, nside, nside))
+    n = n or fused_pallas.PACK_LANES
+    rng = np.random.default_rng(17)
+    pos = jnp.asarray(
+        rng.uniform(0.5, nside - 0.5, (n, 3)), jnp.float32
+    )
+    st = statelib.make_state(pos)
+    loc = locate_ops.build_grid_locator(mesh)
+    return mesh, dataclasses.replace(
+        st, tet_id=locate_ops.locate_seeds(mesh, loc, st.pos)
+    )
+
+
+def test_pk_pallas_envelope():
+    """VertexVelocity joins the pallas envelope when pk rows exist and no
+    escape faces are configured; Pk + escape (or missing rows) rides jnp."""
+    import dataclasses as dc
+    from cudaparticlesfoam_tpu.mesh import with_pk_rows
+
+    mesh0 = box_mesh(4, 4, 4)
+    mesh = with_pk_rows(mesh0)
+    cfg = StepConfig(dt=0.05, velocity_interp="VertexVelocity")
+    on_tpu = _on_tpu()
+    assert fused_pallas.supported(mesh, cfg, 1) == on_tpu
+    assert fused_pallas.packed_supported(mesh, cfg, 4) == on_tpu
+    # no pk rows -> excluded
+    assert not fused_pallas.supported(mesh0, cfg, 1)
+    # Pk + escape faces -> excluded (no pad col for the baked mask)
+    assert not fused_pallas.supported(
+        mesh, dc.replace(cfg, escape_faces=True), 1
+    )
+    # macro fusion stays TetVelocity-only
+    assert not fused_pallas.macro_supported(mesh, dc.replace(cfg), 4)
+
+
+def test_pk_packed_logic_matches_jnp_interpret():
+    """Interpret-mode: the packed pallas cycle in VertexVelocity mode must
+    match the jnp Pk engine (discrete state exact, floats to fusion
+    ulps), hops=1 and hops=3."""
+    import dataclasses as dc
+    from jax.experimental.pallas import tpu as pltpu
+
+    if jax.config.read("jax_enable_x64"):
+        jax.config.update("jax_enable_x64", False)
+        try:
+            return test_pk_packed_logic_matches_jnp_interpret()
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    mesh, st = _pk_fixture()
+    ly = fused.LAYOUT_PK
+    m0 = fused.pack_state(mesh, st.pos, jnp.zeros_like(st.pos), st.tet_id,
+                          st.active, ly)
+    key = jax.random.PRNGKey(7)
+    for hops in (1, 3):
+        cfg = StepConfig(dt=0.4, diffusion_coeff=2e-3, inline_hops=hops,
+                         walk_capacity_frac=0.25, brownian_rng="rbg",
+                         velocity_interp="VertexVelocity")
+        m = m0
+        for j in range(4):
+            m = jax.jit(
+                lambda mm, j=j: fused.mega_cycle(
+                    mesh, mm, key, 5 + j,
+                    dc.replace(cfg, engine_impl="jnp"), 0.4,
+                )
+            )(m)
+        m_rm = m0.reshape(-1, 4 * ly.width)
+        with pltpu.force_tpu_interpret_mode():
+            for j in range(4):
+                m_rm = fused.mega_cycle_packed(
+                    mesh, m_rm,
+                    key, 5 + j, dc.replace(cfg, engine_impl="pallas_packed"),
+                    0.4,
+                )
+        a = np.asarray(m)
+        b = np.asarray(m_rm).reshape(-1, ly.width)
+        assert (np.asarray(st.pos) != a[:, :3]).any()   # field moved them
+        np.testing.assert_array_equal(a[:, 6], b[:, 6])   # tet ids
+        np.testing.assert_array_equal(a[:, 7], b[:, 7])   # active
+        np.testing.assert_allclose(a[:, :6], b[:, :6], atol=2e-6)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="pallas kernels need a TPU backend")
+def test_pk_bit_parity_on_tpu():
+    """On-TPU: VertexVelocity through run_cycles — packed and
+    transposed-view pallas vs the jnp engine, bit-for-bit."""
+    import dataclasses as dc
+
+    mesh, st = _pk_fixture(n=8 * 8192)
+    for hops in (1, 4):
+        cfg = StepConfig(dt=0.4, diffusion_coeff=2e-3, inline_hops=hops,
+                         walk_capacity_frac=0.25, brownian_rng="rbg",
+                         velocity_interp="VertexVelocity")
+        out_j = run_cycles(mesh, st, dc.replace(cfg, engine_impl="jnp"), 6)
+        for impl in ("pallas_packed", "pallas"):
+            out_p = run_cycles(mesh, st, dc.replace(cfg, engine_impl=impl), 6)
+            np.testing.assert_array_equal(
+                np.asarray(out_j.tet_id), np.asarray(out_p.tet_id))
+            np.testing.assert_array_equal(
+                np.asarray(out_j.active), np.asarray(out_p.active))
+            np.testing.assert_array_equal(
+                np.asarray(out_j.pos), np.asarray(out_p.pos))
+            np.testing.assert_array_equal(
+                np.asarray(out_j.vel), np.asarray(out_p.vel))
