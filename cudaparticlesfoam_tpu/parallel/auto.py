@@ -163,11 +163,14 @@ class ParticleEngine:
 
     @property
     def supports_injection(self) -> bool:
-        return self.strategy in ("single", "dp")
+        return True
 
     def set_state(self, state: ParticleState) -> None:
         """Replace the particle state (injection path): single assigns,
-        DP re-pads and re-shards over the device mesh."""
+        DP re-pads and re-shards, partitioned re-distributes the host
+        state into the existing per-shard slots (same capacity — the
+        compiled step functions survive; Brownian streams are keyed by
+        (step, global pid), so surviving particles keep their noise)."""
         if self.strategy == "single":
             self.state = state
         elif self.strategy == "dp":
@@ -175,10 +178,14 @@ class ParticleEngine:
 
             self.state = sharding.shard_state(state, self.dmesh)
         else:
-            raise NotImplementedError(
-                "set_state on the partitioned strategy (use snapshot + "
-                "a rebuilt engine)"
+            from . import partition
+
+            sp = partition.distribute_particles(
+                self._pm, state.pos, state.vel, state.tet_id, state.active,
+                rng_key=state.rng_key, capacity=self._sp.capacity,
+                step=state.step,
             )
+            _, self._sp = partition.shard_arrays(self._pm, sp, self.dmesh)
 
     def update_from_case(self, case, geometry: bool = False) -> None:
         """Refresh the engine's mesh copy after ``case.update_velocity``
@@ -204,18 +211,23 @@ class ParticleEngine:
                     else None,
                 )
         else:   # partitioned
-            if geometry:
-                raise NotImplementedError(
-                    "dynamic meshes are not supported with the partitioned "
-                    "particle strategy; use --strategy dp"
-                )
             import jax.sharding as jsh
 
             from . import partition
 
-            pm = partition.update_velocity(
-                self._pm, tm.tet_vel, vert_vel=tm.vert_vel, tets=tm.tets
-            )
+            if geometry:
+                # moving mesh (no topology changes): rebuild the per-shard
+                # geometry tables in place — the slab assignment, shapes,
+                # compiled step functions, and particle tet ids all
+                # survive (partition.refresh_geometry)
+                layout = {28: "pk", 24: "cx"}.get(
+                    int(self._pm.tet_row.shape[-1]), "tet"
+                )
+                pm = partition.refresh_geometry(self._pm, tm, layout=layout)
+            else:
+                pm = partition.update_velocity(
+                    self._pm, tm.tet_vel, vert_vel=tm.vert_vel, tets=tm.tets
+                )
             self._pm = dataclasses.replace(
                 pm,
                 tet_row=jax.device_put(
@@ -276,7 +288,11 @@ class ParticleEngine:
                 tet_id=jax.numpy.asarray(tet),
                 active=jax.numpy.asarray(act),
                 rng_key=sp.rng_key,
-                step=sp.step,
+                # the settle pass is displacement-free bookkeeping, not a
+                # simulation sub-step: report the pre-settle cycle counter
+                # (injection keys its RNG off state.step — a +1 here would
+                # diverge the injected positions from a single-device run)
+                step=self._sp.step,
                 n_particles=self._orig_n,
             )
         st = self.state

@@ -195,11 +195,74 @@ def update_velocity(
     return dataclasses.replace(pm, tet_row=row)
 
 
+def refresh_geometry(pm: PartitionedMesh, mesh: TetMesh,
+                     layout: str = "tet") -> PartitionedMesh:
+    """Rebuild the per-shard geometry tables from a MOVED mesh without
+    re-partitioning — the dynamic-mesh analog of :func:`update_velocity`.
+
+    Mesh motion (rigid / Laplacian point motion, no topology changes)
+    keeps tet ids and adjacency; the slab assignment stays pinned to the
+    original decomposition so every shape (and therefore the compiled
+    step functions and all particle tet ids) survives.  Only the row
+    CONTENTS change: A/Tinv (or convex planes/offsets) come from the new
+    point positions, velocities from the refreshed fields; neighbor codes
+    are re-embedded from the existing partition.  All device-side array
+    math — a moved mesh's tables are device-recomputed
+    (mesh.refresh_geometry) and must not be read back per Eulerian step."""
+    S, per = pm.n_shards, pm.tets_per_shard
+    nt = pm.n_tets
+    if layout == "pk":
+        if mesh.tet_row_pk is None:
+            raise ValueError("pk layout needs mesh.tet_row_pk (with_pk_rows)")
+        src = mesh.tet_row_pk
+    elif layout == "cx":
+        if mesh.tet_row_cx is None:
+            raise ValueError("cx layout needs mesh.tet_row_cx "
+                             "(with_convex_rows)")
+        cx = mesh.tet_row_cx
+        src = jnp.concatenate([
+            cx[:, 0:20],
+            mesh.tet_vel.astype(cx.dtype),
+            jnp.zeros((cx.shape[0], 1), cx.dtype),
+        ], axis=1)
+    else:
+        src = mesh.tet_row
+    w = src.shape[1]
+    if w != pm.tet_row.shape[-1]:
+        raise ValueError(
+            f"geometry refresh changed the row width ({pm.tet_row.shape[-1]}"
+            f" -> {w}); the partition layout must stay fixed"
+        )
+    row = src[pm.inv_perm]
+    pad = S * per - nt
+    if pad:
+        prow = jnp.zeros((pad, w), row.dtype)
+        prow = prow.at[:, 3].set(1.0).at[:, 7].set(1.0).at[:, 11].set(1.0)
+        row = jnp.concatenate([row, prow])
+    nbr_col = {"pk": 24, "cx": 16, "tet": 15}[layout]
+    row = row.at[:, nbr_col : nbr_col + 4].set(
+        pm.tet_nbr.reshape(-1, 4).astype(row.dtype)
+    )
+    bd_esc = mesh.bd_escape
+    if bd_esc.size == 0:
+        bd_esc = jnp.zeros(1, bool)
+    return dataclasses.replace(
+        pm,
+        tet_row=row.reshape(S, per, w),
+        bd_escape=jnp.asarray(bd_esc),
+    )
+
+
 def distribute_particles(
     pm: PartitionedMesh, pos, vel, tet_old, active, rng_key=None,
-    slack: float = 2.0,
+    slack: float = 2.0, capacity: int | None = None, step=0,
 ) -> ShardedParticles:
-    """Host-side: route particles to the shard owning their tet."""
+    """Host-side: route particles to the shard owning their tet.
+
+    ``capacity`` pins the per-shard slot count (re-distribution into an
+    existing engine must keep the compiled shapes); ``step`` carries the
+    cycle counter across a re-distribution (Brownian streams are keyed by
+    (step, global pid), so redistributed particles keep their noise)."""
     S, per = pm.n_shards, pm.tets_per_shard
     pos = np.asarray(pos)
     vel = np.asarray(vel)
@@ -213,6 +276,14 @@ def distribute_particles(
     # can land every particle in one slab) plus migration slack
     max_load = int(np.bincount(dest, minlength=S).max()) if n else 0
     cap = max(int(n / S * slack), int(max_load * 1.25) + 1, 64)
+    if capacity is not None:
+        if max_load > capacity:
+            raise ValueError(
+                f"shard capacity {capacity} exceeded at re-distribution "
+                f"(worst shard holds {max_load}); rebuild the engine with "
+                f"a larger slack"
+            )
+        cap = capacity
 
     out = ShardedParticles(
         pos=jnp.zeros((S, cap, 3), jnp.asarray(pos).dtype),
@@ -223,7 +294,7 @@ def distribute_particles(
         resident=jnp.zeros((S, cap), bool),
         pid=jnp.full((S, cap), -1, jnp.int32),
         rng_key=rng_key if rng_key is not None else jax.random.PRNGKey(0),
-        step=jnp.zeros((), jnp.int32),
+        step=jnp.asarray(step, jnp.int32),
         n_shards=S,
         capacity=cap,
     )

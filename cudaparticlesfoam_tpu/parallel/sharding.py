@@ -78,7 +78,12 @@ def pad_particles(state: ParticleState, multiple: int) -> ParticleState:
 
 
 def shard_state(state: ParticleState, mesh: Mesh, axis: str = "p") -> ParticleState:
-    """Place particle arrays sharded over the mesh axis; rng/step replicated."""
+    """Place particle arrays sharded over the mesh axis; rng/step replicated.
+
+    Replicated scalars are deep-copied, not device_put: a layout-compatible
+    device_put can ALIAS the caller's buffer, and the donated run_cycles
+    variants would then delete an array the caller still holds (seen as
+    "Array has been deleted" on a test fixture's rng_key)."""
     state = pad_particles(state, mesh.devices.size)
     sh = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
@@ -89,8 +94,8 @@ def shard_state(state: ParticleState, mesh: Mesh, axis: str = "p") -> ParticleSt
         disp=jax.device_put(state.disp, sh),
         tet_id=jax.device_put(state.tet_id, sh),
         active=jax.device_put(state.active, sh),
-        rng_key=jax.device_put(state.rng_key, rep),
-        step=jax.device_put(state.step, rep),
+        rng_key=jax.device_put(jnp.array(state.rng_key, copy=True), rep),
+        step=jax.device_put(jnp.array(state.step, copy=True), rep),
     )
 
 

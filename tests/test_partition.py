@@ -311,3 +311,90 @@ def test_dp_rbg_kernel_not_downgraded_and_disjoint(circulating):
     var = disp.var(axis=0).mean()
     expect = 2.0 * 1e-3 * 0.05 * 5
     assert 0.5 * expect < var < 1.5 * expect
+
+
+@pytest.mark.skipif(n_cpu_devices() < S, reason="needs 8 virtual devices")
+def test_partitioned_injection_via_engine(circulating):
+    """Injection on the partitioned strategy: set_state re-distributes
+    the host state into the existing per-shard slots (same capacity, no
+    engine rebuild) and the trajectory matches a single-device engine
+    running the identical inject-then-advance sequence."""
+    from cudaparticlesfoam_tpu.parallel.auto import ParticleEngine
+    from cudaparticlesfoam_tpu.state import inject, replace as _rs
+    from cudaparticlesfoam_tpu.ops import locate as locate_ops
+
+    mesh, st0 = circulating
+    loc = locate_ops.build_grid_locator(mesh)
+    # kill a third of the particles so injection has lanes to revive
+    act = np.ones(st0.n_particles, bool)
+    act[::3] = False
+    st = _rs(st0, active=jnp.asarray(act),
+             tet_id=jnp.where(jnp.asarray(act), st0.tet_id,
+                              -(st0.tet_id + 1)))
+    cfg = StepConfig(dt=0.05, use_brownian=False, engine="simple")
+
+    def drive(strategy, devices):
+        eng = ParticleEngine(mesh, st, cfg, devices=devices,
+                             strategy=strategy, log=lambda *a: None)
+        assert eng.supports_injection
+        eng.advance(10, 0.05)
+        s = eng.snapshot()
+        s, n_inj = inject(s, mesh, loc, (0.5,) * 3, (7.5,) * 3,
+                          count=200, rng_seed=9)
+        assert n_inj > 0
+        eng.set_state(s)
+        eng.advance(10, 0.05)
+        return eng.snapshot(), n_inj
+
+    ref, n_ref = drive("single", 1)
+    got, n_got = drive("partitioned", S)
+    assert n_ref == n_got
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.tet_id),
+                                  np.asarray(ref.tet_id))
+    np.testing.assert_array_equal(np.asarray(got.active),
+                                  np.asarray(ref.active))
+
+
+@pytest.mark.skipif(n_cpu_devices() < S, reason="needs 8 virtual devices")
+def test_partitioned_geometry_refresh(circulating):
+    """Dynamic-mesh geometry refresh on the partitioned strategy: after
+    rigidly translating the mesh, refresh_geometry rebuilds the per-shard
+    tables in place (same shapes, same compiled step) and stepping
+    matches the single-device engine on the moved mesh."""
+    from cudaparticlesfoam_tpu.mesh import refresh_geometry as mesh_refresh
+
+    mesh, st0 = circulating
+    cfg = StepConfig(dt=0.05, use_brownian=False, engine="simple")
+
+    # partition the ORIGINAL mesh; compiled step functions bind its shapes
+    pm = partition.partition_mesh(mesh, S)
+    dmesh = sharding.make_device_mesh(S, axis="s")
+
+    # rigid translation: particles ride along (same tets)
+    shift = jnp.asarray([0.25, -0.1, 0.05], mesh.points.dtype)
+    moved = mesh_refresh(mesh, mesh.points + shift)
+    stm = rs(st0, pos=st0.pos + shift)
+
+    ref = run_cycles(moved, stm, cfg, 30)
+
+    pm2 = partition.refresh_geometry(pm, moved)
+    assert pm2.tet_row.shape == pm.tet_row.shape
+    # the refreshed tables equal a from-scratch partition of the moved mesh
+    pm_fresh = partition.partition_mesh(moved, S)
+    np.testing.assert_allclose(np.asarray(pm2.tet_row),
+                               np.asarray(pm_fresh.tet_row), atol=1e-6)
+
+    sp = partition.distribute_particles(
+        pm2, stm.pos, stm.vel, stm.tet_id, stm.active, rng_key=stm.rng_key
+    )
+    pm2, sp = partition.shard_arrays(pm2, sp, dmesh)
+    step = partition.make_partitioned_step(pm2, cfg, dmesh)
+    settle = partition.make_settle_step(pm2, cfg, dmesh)
+    for _ in range(30):
+        sp, _stats = step(pm2, sp, 0.05)
+    sp, _ = settle(pm2, sp, 0.05)
+    pos, vel, tet, act = partition.collect_particles(pm2, sp, stm.n_particles)
+    np.testing.assert_allclose(pos, np.asarray(ref.pos), atol=1e-6)
+    np.testing.assert_array_equal(tet, np.asarray(ref.tet_id))
