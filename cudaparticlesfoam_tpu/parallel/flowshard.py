@@ -102,8 +102,33 @@ class ShardedFlowMesh:
         )
 
 
+def rcb_map(cc, n_dev: int) -> np.ndarray:
+    """Recursive coordinate bisection: split the cell set along its
+    longest-extent axis into proportionally sized halves until ``n_dev``
+    parts (any device count, not just powers of two).  The general-mesh
+    decomposition for unstructured cases where axis-aligned block grids
+    produce badly balanced or non-convex parts."""
+    cc = np.asarray(cc, np.float64)
+    dev = np.zeros(len(cc), np.int64)
+
+    def rec(idx, k, base):
+        if k == 1:
+            dev[idx] = base
+            return
+        ka = k // 2
+        ext = cc[idx].max(axis=0) - cc[idx].min(axis=0)
+        ax = int(np.argmax(ext))
+        order = idx[np.argsort(cc[idx, ax], kind="stable")]
+        cut = int(round(len(idx) * ka / k))
+        rec(order[:cut], ka, base)
+        rec(order[cut:], k - ka, base + ka)
+
+    rec(np.arange(len(cc), dtype=np.int64), n_dev, 0)
+    return dev
+
+
 def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0,
-              grid=None):
+              grid=None, cell_map=None):
     """Decompose a PolyMesh into a ShardedFlowMesh + per-device BC
     stacking helpers.  Returns (smesh, perm) where ``perm[d, i]`` is the
     global cell id of device d's owned cell i (-1 padding).
@@ -111,9 +136,16 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0,
     ``grid=(gx, gy, gz)`` (prod = n_dev) selects a multi-axis block
     decomposition — the decomposeParDict ``simple``/``hierarchical``
     method (order xyz): coordinate-rank splits along x, then y within
-    each x-block, then z.  Default is 1-D slabs along ``direction``.
-    Halos are one directed ppermute round per decomposed-axis direction
-    (2 rounds for 1-D, up to 6 for 3-D)."""
+    each x-block, then z.  ``grid="rcb"`` uses recursive coordinate
+    bisection (:func:`rcb_map`); ``cell_map`` accepts ANY explicit
+    [n_cells] cell->device assignment (the ``decomposePar`` manual-method
+    analog).  Default is 1-D slabs along ``direction``.
+
+    Halo exchange is fully general: one directed ppermute round per
+    DEVICE-ID DELTA observed across cross faces (a slab/grid map yields
+    the classic +-stride rounds; an arbitrary map yields however many
+    distinct neighbor offsets it creates — more rounds, never an
+    error)."""
     from ..io.polymesh import face_centres_areas
 
     gm = fv.fv_mesh(pm, dtype=dtype)
@@ -123,51 +155,52 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0,
     own = np.asarray(gm.owner)
     nei = np.asarray(gm.neighbour)
 
-    if grid is None:
-        grid = [1, 1, 1]
-        grid[direction] = n_dev
-    grid = tuple(int(g) for g in grid)
-    gx, gy, gz = grid
-    if gx * gy * gz != n_dev:
-        raise ValueError(f"decomposition grid {grid} != {n_dev} devices")
+    if cell_map is not None:
+        dev_of = np.asarray(cell_map, np.int64)
+        if dev_of.shape != (nc,):
+            raise ValueError(
+                f"cell_map shape {dev_of.shape} != ({nc},)"
+            )
+        if dev_of.min() < 0 or dev_of.max() >= n_dev:
+            raise ValueError(
+                f"cell_map device ids outside [0, {n_dev})"
+            )
+    elif isinstance(grid, str):
+        if grid != "rcb":
+            raise ValueError(f"unknown decomposition method {grid!r}")
+        dev_of = rcb_map(cc, n_dev)
+    else:
+        if grid is None:
+            grid = [1, 1, 1]
+            grid[direction] = n_dev
+        grid = tuple(int(g) for g in grid)
+        gx, gy, gz = grid
+        if gx * gy * gz != n_dev:
+            raise ValueError(f"decomposition grid {grid} != {n_dev} devices")
 
-    # hierarchical coordinate-rank assignment (equal cell counts per
-    # block, the decomposeParDict `simple`/`hierarchical` xyz order)
-    def _split(idx, axis_c, k):
-        order = idx[np.argsort(cc[idx, axis_c], kind="stable")]
-        bounds = np.linspace(0, len(idx), k + 1).astype(np.int64)
-        return [order[bounds[i] : bounds[i + 1]] for i in range(k)]
+        # hierarchical coordinate-rank assignment (equal cell counts per
+        # block, the decomposeParDict `simple`/`hierarchical` xyz order)
+        def _split(idx, axis_c, k):
+            order = idx[np.argsort(cc[idx, axis_c], kind="stable")]
+            bounds = np.linspace(0, len(idx), k + 1).astype(np.int64)
+            return [order[bounds[i] : bounds[i + 1]] for i in range(k)]
 
-    dev_of = np.empty(nc, np.int64)
-    for ix, sx in enumerate(_split(np.arange(nc), 0, gx)):
-        for iy, sy in enumerate(_split(sx, 1, gy)):
-            for iz, sz in enumerate(_split(sy, 2, gz)):
-                dev_of[sz] = (ix * gy + iy) * gz + iz
+        dev_of = np.empty(nc, np.int64)
+        for ix, sx in enumerate(_split(np.arange(nc), 0, gx)):
+            for iy, sy in enumerate(_split(sx, 1, gy)):
+                for iz, sz in enumerate(_split(sy, 2, gz)):
+                    dev_of[sz] = (ix * gy + iy) * gz + iz
 
-    def _coords(d):
-        return d // (gy * gz), (d // gz) % gy, d % gz
-
-    # exchange rounds: one directed ppermute per decomposed-axis direction
-    strides = (gy * gz, gz, 1)
-    dirs = []                       # (axis, sign, device-id stride)
-    for a in range(3):
-        if grid[a] > 1:
-            dirs.append((a, +1, strides[a]))
-            dirs.append((a, -1, -strides[a]))
-    n_rounds = max(len(dirs), 1)
-
-    # cross faces must connect grid-adjacent blocks (one axis, +-1)
+    # exchange rounds: one directed ppermute per distinct device-id delta
+    # across cross faces (generic — no adjacency requirement on the map)
     do, dn = dev_of[own[:n_int]], dev_of[nei]
     cross = do != dn
-    dstep = {st for _, _, st in dirs}
-    for f in np.where(cross)[0]:
-        ca, cb = _coords(do[f]), _coords(dn[f])
-        diff = [abs(ca[i] - cb[i]) for i in range(3)]
-        if sorted(diff) != [0, 0, 1] or (dn[f] - do[f]) not in dstep:
-            raise ValueError(
-                f"decomposition grid {grid} produced non-adjacent cross "
-                "faces; use fewer devices or a different grid"
-            )
+    deltas = sorted(
+        {int(v) for v in np.unique(dn[cross] - do[cross])}
+        | {int(v) for v in np.unique(do[cross] - dn[cross])}
+    )
+    dirs = [d for d in deltas if d != 0]
+    n_rounds = max(len(dirs), 1)
 
     # local numbering per device
     loc_id = np.empty(nc, np.int64)
@@ -179,16 +212,16 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0,
     n_loc = int(n_owned.max())
 
     # send lists per device per round: cells with a cross face whose other
-    # cell sits one step along that round's direction
+    # cell sits delta_r device-ids away
     send = [[[] for _ in range(n_rounds)] for _ in range(n_dev)]
     for f in np.where(cross)[0]:
         a, b = own[f], nei[f]
         da, db = dev_of[a], dev_of[b]
-        for r, (_, _, st) in enumerate(dirs):
+        for r, st in enumerate(dirs):
             if db - da == st:
                 send[da][r].append(a)
-                # the reverse round exists for every direction (dirs come
-                # in +/- pairs), so b's contribution lands there
+                # the reverse round exists for every delta (deltas come in
+                # +/- pairs), so b's contribution lands there
             if da - db == st:
                 send[db][r].append(b)
     send = [[np.unique(np.array(s, np.int64)) if len(s) else
@@ -199,26 +232,27 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0,
     c_ext = n_loc + n_rounds * n_halo + 1
     dummy = c_ext - 1
 
-    # per-round ppermute pairs (static) — round r: every device sends to
-    # its +step neighbor; receivers fill ghost block r
+    # per-round ppermute pairs (static) — round r: every device with a
+    # nonempty send list ships to d + delta_r; receivers fill ghost
+    # block r (a fixed delta keeps sources and destinations distinct, so
+    # each round is a valid partial permutation)
     halo_perms = tuple(
         tuple(
             (d, d + st) for d in range(n_dev)
-            if 0 <= _coords(d)[ax] + sg < grid[ax]
+            if 0 <= d + st < n_dev and len(send[d][r])
         )
-        for ax, sg, st in dirs
+        for r, st in enumerate(dirs)
     ) or ((),)
 
     # ghost slot lookup: device d, global cell g on a neighbor -> slot.
-    # Round r's ghosts on device d come from sender d - step_r.
+    # Round r's ghosts on device d come from sender d - delta_r.
     ghost_slot = [dict() for _ in range(n_dev)]
-    for r, (ax, sg, st) in enumerate(dirs):
+    for r, st in enumerate(dirs):
         g0 = n_loc + r * n_halo
         for d in range(n_dev):
-            cs = _coords(d)
-            if not (0 <= cs[ax] - sg < grid[ax]):
-                continue
             sender = d - st
+            if not (0 <= sender < n_dev):
+                continue
             for i, g in enumerate(send[sender][r]):
                 ghost_slot[d][g] = g0 + i
 
@@ -315,9 +349,8 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0,
         # d_up and limitedLinear's d read remote upwind centres)
         ccv = np.zeros((c_ext, 3))
         ccv[: len(cells_d)] = cc[cells_d]
-        for r, (ax, sg, st) in enumerate(dirs):
-            cs = _coords(d)
-            if 0 <= cs[ax] - sg < grid[ax]:
+        for r, st in enumerate(dirs):
+            if 0 <= d - st < n_dev:
                 sl = send[d - st][r]
                 ccv[n_loc + r * n_halo : n_loc + r * n_halo + len(sl)] = cc[sl]
         cc_s.append(ccv)
@@ -360,31 +393,36 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0,
 
 def shard_bcs(bc: fv.BoundaryCoeffs, bglob, dtype=None):
     """Stack per-device BoundaryCoeffs by the device boundary-face lists
-    (padded faces get a=1, b=0: zeroGradient into the dummy cell)."""
-    if bc.slip_mask is not None:
-        raise NotImplementedError(
-            "slip/symmetry vector BCs are not supported by the sharded "
-            "flow solver yet; run single-device"
-        )
+    (padded faces get a=1, b=0: zeroGradient into the dummy cell).
+
+    ``slip_mask`` (slip/symmetry vector BCs: tangential projection in
+    fv.boundary_value, a per-face LOCAL operation using the device's own
+    boundary normals) is always emitted — all-False when the case has no
+    slip patches — so the shard_map BC specs stay shape-static."""
     a = np.asarray(bc.a)
     b = np.asarray(bc.b)
     io = np.asarray(bc.io_mask) if bc.io_mask is not None else None
     iov = np.asarray(bc.io_value) if bc.io_value is not None else None
+    sm = np.asarray(bc.slip_mask) if bc.slip_mask is not None else None
     bg = np.asarray(bglob)
     D, B = bg.shape
     a_s = np.ones((D, B), a.dtype)
     b_s = np.zeros((D, B, b.shape[1]), b.dtype)
     io_s = np.zeros((D, B), bool)
     iov_s = np.zeros((D, B, b.shape[1]), b.dtype)
+    sm_s = np.zeros((D, B), bool)
     valid = bg >= 0
     a_s[valid] = a[bg[valid]]
     b_s[valid] = b[bg[valid]]
     if io is not None:
         io_s[valid] = io[bg[valid]]
         iov_s[valid] = iov[bg[valid]]
+    if sm is not None:
+        sm_s[valid] = sm[bg[valid]]
     return fv.BoundaryCoeffs(
         a=jnp.asarray(a_s), b=jnp.asarray(b_s),
         io_mask=jnp.asarray(io_s), io_value=jnp.asarray(iov_s),
+        slip_mask=jnp.asarray(sm_s),
     )
 
 
@@ -447,7 +485,8 @@ def make_flux_init(smesh: ShardedFlowMesh, device_mesh: Mesh):
 
     specs = _mesh_specs(smesh, axis)
     bc_spec = fv.BoundaryCoeffs(a=P(axis), b=P(axis),
-                                io_mask=P(axis), io_value=P(axis))
+                                io_mask=P(axis), io_value=P(axis),
+                                slip_mask=P(axis))
     return jax.jit(shard_map(
         local, mesh=device_mesh,
         in_specs=(specs, P(axis), bc_spec), out_specs=P(axis),
@@ -712,7 +751,8 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
 
     specs = _mesh_specs(smesh, axis)
     bc_spec = fv.BoundaryCoeffs(a=P(axis), b=P(axis),
-                                io_mask=P(axis), io_value=P(axis))
+                                io_mask=P(axis), io_value=P(axis),
+                                slip_mask=P(axis))
 
     n_turb = 5 if with_turb else 0
     n_mrf = 2 if with_mrf else 0
@@ -1026,7 +1066,8 @@ def make_sharded_keps(smesh: ShardedFlowMesh, device_mesh: Mesh,
 
     specs = _mesh_specs(smesh, axis)
     bc_spec = fv.BoundaryCoeffs(a=P(axis), b=P(axis),
-                                io_mask=P(axis), io_value=P(axis))
+                                io_mask=P(axis), io_value=P(axis),
+                                slip_mask=P(axis))
     return jax.jit(shard_map(
         local, mesh=device_mesh,
         in_specs=(specs,) + (P(axis),) * 5 + (bc_spec,) * 3
@@ -1187,7 +1228,8 @@ def make_sharded_sst(smesh: ShardedFlowMesh, device_mesh: Mesh,
 
     specs = _mesh_specs(smesh, axis)
     bc_spec = fv.BoundaryCoeffs(a=P(axis), b=P(axis),
-                                io_mask=P(axis), io_value=P(axis))
+                                io_mask=P(axis), io_value=P(axis),
+                                slip_mask=P(axis))
     return jax.jit(shard_map(
         local, mesh=device_mesh,
         in_specs=(specs,) + (P(axis),) * 6 + (bc_spec,) * 3
@@ -1239,6 +1281,17 @@ def read_decompose_par(case_dir, n_dev: int, log=print):
     coeffs = d.get("coeffs") or d.get(f"{method}Coeffs") or {}
     n = coeffs.get("n") if isinstance(coeffs, dict) else None
     nsub = d.get("numberOfSubdomains")
+    if method == "rcb":
+        log("#flow: decomposition by recursive coordinate bisection")
+        return "rcb"
+    if method in ("scotch", "metis", "kahip"):
+        # graph partitioners are out of scope on-device; RCB is the
+        # closest load-balanced stand-in for unstructured meshes (the
+        # generic per-delta halo exchange handles its irregular
+        # neighborhoods)
+        log(f"#flow: decomposeParDict method {method!r} mapped to "
+            "recursive coordinate bisection")
+        return "rcb"
     if method not in ("simple", "hierarchical") or n is None:
         if method:
             log(f"#flow: decomposeParDict method {method!r} not supported "

@@ -301,3 +301,122 @@ def test_local_amg_preconditioner_cuts_iterations(tmp_path):
     # both converge to the same pressure field (same tolerance)
     scale = np.abs(p_cg).max() + 1e-12
     assert np.abs(p_amg - p_cg).max() / scale < 5e-3
+
+
+def test_sharded_pimple_slip_bcs_match_single():
+    """Slip/symmetry vector BCs on the sharded solver: the tangential
+    projection is per-face local (fv.boundary_value on each device's own
+    boundary normals), so a duct with slip side walls must match the
+    single-device solver exactly (VERDICT r3 next-round item 6)."""
+    n_dev = 8
+    try:
+        if len(jax.devices("cpu")) < n_dev:
+            pytest.skip("needs 8 virtual devices")
+    except RuntimeError:
+        pytest.skip("no CPU backend")
+    pm = duct_pm()
+    m = fv.fv_mesh(pm, dtype=jnp.float64)
+    u_bcs = fv.make_bcs(
+        m, {"inlet": ("fixedValue", [1.0, 0.0, 0.0]),
+            "walls": ("slip", 0.0)}, 3
+    )
+    assert u_bcs.slip_mask is not None
+    p_bcs = fv.make_bcs(m, {"outlet": ("fixedValue", 0.0)}, 1)
+    u0 = jnp.tile(jnp.asarray([1.0, 0.0, 0.0]), (m.n_cells, 1))
+    st = FlowState(u=u0, p=jnp.zeros(m.n_cells, jnp.float64),
+                   flux=fv.flux_of(m, u0, u_bcs))
+    cfg = PimpleConfig(nu=1e-3, n_outer=1, n_correctors=2, n_jacobi=8,
+                       p_tol=1e-12, p_max_iter=600)
+    dt = 0.02
+    n_steps = 3
+    for _ in range(n_steps):
+        st, res = pimple_step(m, st, u_bcs, p_bcs, cfg, dt)
+
+    smesh, bglob = flowshard.decompose(pm, n_dev, dtype=jnp.float64)
+    dmesh = sharding.make_device_mesh(n_dev, axis="f")
+    u_bcs_s = flowshard.shard_bcs(u_bcs, bglob)
+    assert bool(np.asarray(u_bcs_s.slip_mask).any())
+    p_bcs_s = flowshard.shard_bcs(p_bcs, bglob)
+    u_s = flowshard.scatter_cells(smesh, np.asarray(u0))
+    p_s = flowshard.scatter_cells(smesh, np.zeros(m.n_cells))
+    flux_s = flowshard.make_flux_init(smesh, dmesh)(smesh, u_s, u_bcs_s)
+    step = flowshard.make_sharded_pimple(smesh, cfg, dmesh)
+    for _ in range(n_steps):
+        u_s, p_s, flux_s, diag = step(
+            smesh, u_s, p_s, flux_s, u_bcs_s, p_bcs_s, dt
+        )
+    u_g = flowshard.gather_cells(smesh, u_s)
+    p_g = flowshard.gather_cells(smesh, p_s)
+    du = np.abs(u_g - np.asarray(st.u)).max()
+    dp = np.abs(p_g - np.asarray(st.p)).max()
+    assert du < 1e-8, du
+    assert dp < 1e-6, dp
+    # the slip walls really did something: tangential flow survives at the
+    # walls (a noSlip duct would drag it toward zero)
+    assert np.abs(u_g[:, 0]).min() > 0.5
+
+
+@pytest.mark.parametrize("decomp", ["rcb", "strided"])
+def test_sharded_pimple_general_decomposition(decomp):
+    """General (non-axis-adjacent) decompositions: recursive coordinate
+    bisection and a deliberately pathological strided cell->device map
+    must both run the sharded PIMPLE to single-device parity — the halo
+    exchange is one directed ppermute round per observed device-id delta,
+    never an adjacency error (VERDICT r3 next-round item 8)."""
+    n_dev = 8
+    try:
+        if len(jax.devices("cpu")) < n_dev:
+            pytest.skip("needs 8 virtual devices")
+    except RuntimeError:
+        pytest.skip("no CPU backend")
+    pm = duct_pm()
+    m = fv.fv_mesh(pm, dtype=jnp.float64)
+    u_bcs = fv.make_bcs(
+        m, {"inlet": ("fixedValue", [1.0, 0.0, 0.0]), "walls": ("noSlip", 0.0)}, 3
+    )
+    p_bcs = fv.make_bcs(m, {"outlet": ("fixedValue", 0.0)}, 1)
+    u0 = jnp.tile(jnp.asarray([1.0, 0.0, 0.0]), (m.n_cells, 1))
+    st = FlowState(u=u0, p=jnp.zeros(m.n_cells, jnp.float64),
+                   flux=fv.flux_of(m, u0, u_bcs))
+    cfg = PimpleConfig(nu=1e-3, n_outer=1, n_correctors=2, n_jacobi=8,
+                       p_tol=1e-12, p_max_iter=600)
+    dt = 0.02
+    n_steps = 3
+    for _ in range(n_steps):
+        st, res = pimple_step(m, st, u_bcs, p_bcs, cfg, dt)
+
+    if decomp == "rcb":
+        kw = dict(grid="rcb")
+    else:
+        # stride cells round-robin over devices: EVERY internal face is a
+        # cross face and the delta set is large — worst case for the
+        # generic halo machinery, still correct
+        kw = dict(cell_map=np.arange(m.n_cells) % n_dev)
+    smesh, bglob = flowshard.decompose(pm, n_dev, dtype=jnp.float64, **kw)
+    dmesh = sharding.make_device_mesh(n_dev, axis="f")
+    u_bcs_s = flowshard.shard_bcs(u_bcs, bglob)
+    p_bcs_s = flowshard.shard_bcs(p_bcs, bglob)
+    u_s = flowshard.scatter_cells(smesh, np.asarray(u0))
+    p_s = flowshard.scatter_cells(smesh, np.zeros(m.n_cells))
+    flux_s = flowshard.make_flux_init(smesh, dmesh)(smesh, u_s, u_bcs_s)
+    step = flowshard.make_sharded_pimple(smesh, cfg, dmesh)
+    for _ in range(n_steps):
+        u_s, p_s, flux_s, diag = step(
+            smesh, u_s, p_s, flux_s, u_bcs_s, p_bcs_s, dt
+        )
+    u_g = flowshard.gather_cells(smesh, u_s)
+    p_g = flowshard.gather_cells(smesh, p_s)
+    du = np.abs(u_g - np.asarray(st.u)).max()
+    dp = np.abs(p_g - np.asarray(st.p)).max()
+    assert du < 1e-8, du
+    assert dp < 1e-6, dp
+    assert float(np.asarray(diag["continuity"])[0]) < 1e-8
+
+
+def test_rcb_map_balances_cells():
+    pm = duct_pm()
+    m = fv.fv_mesh(pm, dtype=jnp.float64)
+    dev = flowshard.rcb_map(np.asarray(m.cc), 6)   # non-power-of-two too
+    counts = np.bincount(dev, minlength=6)
+    assert counts.sum() == m.n_cells
+    assert counts.max() - counts.min() <= 1
