@@ -124,11 +124,6 @@ def run(
             case.tet_mesh, state, cfg, devices=n_dev, strategy=strategy,
             log=log,
         )
-        if pcfg.injection_interval > 0 and not engine.supports_injection:
-            log(
-                "#adv: WARNING injection not supported on strategy "
-                f"{engine.strategy}; disabled"
-            )
 
     wall0 = time.perf_counter()
     with device_trace(profile_dir):

@@ -436,6 +436,94 @@ def scatter_cells(smesh: ShardedFlowMesh, x_global, fill=0.0):
     return jnp.asarray(out)
 
 
+def scatter_faces(smesh: ShardedFlowMesh, x_global):
+    """Global per-face array -> stacked per-device face arrays via the
+    signed global-face map (flipped cross faces negate; padded slots 0)."""
+    fg = np.asarray(smesh.fglob)
+    x = np.asarray(x_global)
+    out = np.zeros(fg.shape + x.shape[1:], x.dtype)
+    pos = fg > 0
+    neg = fg < 0
+    out[pos] = x[fg[pos] - 1]
+    out[neg] = -x[-fg[neg] - 1]
+    return jnp.asarray(out)
+
+
+def refresh_sharded_geometry(smesh: ShardedFlowMesh, m_new: fv.FvMesh
+                             ) -> ShardedFlowMesh:
+    """Re-scatter the per-device FV geometry from a MOVED global mesh
+    (same topology — the sharded ``mesh.controlledUpdate()``,
+    ``cudaParticlesPimpleFoam.C:144-170``).  The decomposition (cell/face
+    assignment, halo rounds, shapes) is pinned, so every compiled sharded
+    step survives; only array CONTENTS change."""
+    fg = np.asarray(smesh.fglob)
+    nf_int_l = smesh.fv_meta[2]
+    n_int_g = int(np.asarray(m_new.neighbour).shape[0])
+    sf_g = np.asarray(m_new.sf, np.float64)
+    mag_g = np.asarray(m_new.mag_sf, np.float64)
+    cf_g = np.asarray(m_new.cf, np.float64)
+    w_g = np.asarray(m_new.w, np.float64)
+    delta_g = np.asarray(m_new.delta, np.float64)
+    nonor_g = np.asarray(m_new.nonortho, np.float64)
+    bd_delta_g = np.asarray(m_new.bd_delta, np.float64)
+    vol_g = np.asarray(m_new.vol, np.float64)
+    cc_g = np.asarray(m_new.cc, np.float64)
+
+    D, NF = fg.shape
+    gid = np.abs(fg) - 1
+    valid = fg != 0
+    sign = np.sign(fg).astype(np.float64)
+    sf = np.zeros((D, NF, 3))
+    sf[valid] = sign[valid, None] * sf_g[np.clip(gid[valid], 0, None)]
+    mag = np.zeros((D, NF))
+    mag[valid] = mag_g[gid[valid]]
+    cfv = np.zeros((D, NF, 3))
+    cfv[valid] = cf_g[gid[valid]]
+
+    fgi = fg[:, :nf_int_l]
+    vi = fgi != 0
+    gii = np.abs(fgi) - 1
+    w = np.full((D, nf_int_l), 0.5)
+    w[vi] = np.where(fgi[vi] > 0, w_g[gii[vi]], 1.0 - w_g[gii[vi]])
+    delta = np.zeros((D, nf_int_l))
+    delta[vi] = delta_g[gii[vi]]
+    nonor = np.zeros((D, nf_int_l, 3))
+    nonor[vi] = (np.sign(fgi[vi]).astype(np.float64)[:, None]
+                 * nonor_g[gii[vi]])
+
+    fgb = fg[:, nf_int_l:]
+    vb = fgb != 0
+    bd_delta = np.zeros((D, NF - nf_int_l))
+    bd_delta[vb] = bd_delta_g[np.abs(fgb[vb]) - 1 - n_int_g]
+
+    gl = np.asarray(smesh.glob_cell)
+    vol = np.ones(gl.shape)
+    vol[gl >= 0] = vol_g[gl[gl >= 0]]
+    cc = np.zeros(gl.shape + (3,))
+    cc[gl >= 0] = cc_g[gl[gl >= 0]]
+    # ghost cell centres: round r on device dst come from sender src per
+    # the static halo pairs; send lists hold SENDER-local cell ids
+    send = np.asarray(smesh.send)
+    n_halo = send.shape[2]
+    n_loc = smesh.n_loc
+    for r, pairs in enumerate(smesh.halo_perms):
+        for src, dst in pairs:
+            gsend = gl[src, send[src, r]]
+            cc[dst, n_loc + r * n_halo : n_loc + (r + 1) * n_halo] = (
+                cc_g[np.clip(gsend, 0, None)]
+            )
+
+    dt = smesh.sf.dtype
+    return dataclasses.replace(
+        smesh,
+        sf=jnp.asarray(sf, dt), mag_sf=jnp.asarray(mag, dt),
+        cf=jnp.asarray(cfv, dt), cc=jnp.asarray(cc, dt),
+        vol=jnp.asarray(vol, dt), w=jnp.asarray(w, dt),
+        delta=jnp.asarray(delta, dt), bd_delta=jnp.asarray(bd_delta, dt),
+        nonortho=jnp.asarray(nonor, dt),
+    )
+
+
 def gather_cells(smesh: ShardedFlowMesh, x_stacked):
     """Stacked per-device extended arrays -> global per-cell array."""
     gl = np.asarray(smesh.glob_cell)
@@ -490,6 +578,88 @@ def make_flux_init(smesh: ShardedFlowMesh, device_mesh: Mesh):
     return jax.jit(shard_map(
         local, mesh=device_mesh,
         in_specs=(specs, P(axis), bc_spec), out_specs=P(axis),
+        check_rep=False,
+    ))
+
+
+def make_sharded_correct_flux(smesh: ShardedFlowMesh, device_mesh: Mesh,
+                              pin: bool = False, tol: float = 1e-8,
+                              max_iter: int = 500):
+    """``CorrectPhi`` on the decomposed mesh (``correctPhi.H:1-11``):
+    project the stacked face flux divergence-free by solving
+    ``laplacian(1, pcorr) == div(phi)`` with a psum-global CG — the
+    sharded analog of models.pimple.correct_flux, used after restarts
+    and mesh changes (``cudaParticlesPimpleFoam.C:153-163``)."""
+    axis = device_mesh.axis_names[0]
+    refresh = make_halo_refresh(smesh, axis)
+    from ..models.simple import _pressure_matrix
+
+    def local(m_s, flux, p_bcs):
+        lm = m_s.local_fv()
+        flux = flux[0]
+        p_bcs = jax.tree.map(lambda x: x[0], p_bcs)
+        mask = m_s.cell_mask[0]
+        n_int = lm.n_internal
+
+        def hx(x):
+            return refresh(m_s, x)
+
+        def psum_dot(a, b):
+            return lax.psum(jnp.sum(jnp.where(mask, a * b, 0.0)), axis)
+
+        safe_diag = lambda d: jnp.where(mask, d, 1.0)
+        # pcorr BCs: fixed 0 where p is fixed, zeroGradient elsewhere
+        bc0 = dataclasses.replace(p_bcs, b=jnp.zeros_like(p_bcs.b))
+        Ap, _ = _pressure_matrix(lm, jnp.ones_like(flux), bc0, False)
+        if pin:
+            did = lax.axis_index(axis)
+            Ap = dataclasses.replace(
+                Ap, diag=Ap.diag.at[0].add(jnp.where(did == 0, 1.0, 0.0))
+            )
+        rhs = jnp.where(mask, -fv.surface_sum(lm, flux), 0.0)
+        inv_d = 1.0 / safe_diag(Ap.diag)
+
+        def mv(x):
+            y = fv.matvec(lm, Ap, hx(x))
+            return jnp.where(mask, y, 0.0)
+
+        x0 = jnp.zeros_like(rhs)
+        r0 = rhs - mv(x0)
+        z0 = inv_d * r0
+        rz0 = psum_dot(r0, z0)
+        nb = jnp.sqrt(psum_dot(rhs, rhs)) + 1e-300
+
+        def cond(st):
+            x, r, pp, rz, it = st
+            return (jnp.sqrt(psum_dot(r, r)) / nb > tol) & (it < max_iter)
+
+        def body(st):
+            x, r, pp, rz, it = st
+            ap = mv(pp)
+            alpha = rz / (psum_dot(pp, ap) + 1e-300)
+            x = x + alpha * pp
+            r = r - alpha * ap
+            z = inv_d * r
+            rzn = psum_dot(r, z)
+            beta = rzn / (rz + 1e-300)
+            return x, r, z + beta * pp, rzn, it + 1
+
+        pc, r, _, _, _ = lax.while_loop(cond, body, (x0, r0, z0, rz0, 0))
+        res = jnp.sqrt(psum_dot(r, r)) / nb
+        pch = hx(pc)
+        dp = pch[lm.neighbour] - pch[lm.owner[:n_int]]
+        flux_i = flux[:n_int] - lm.delta * dp
+        dp_b = (bc0.a - 1.0) * pch[lm.owner[n_int:]]
+        flux_b = flux[n_int:] - lm.bd_delta * dp_b
+        return jnp.concatenate([flux_i, flux_b])[None], res[None]
+
+    specs = _mesh_specs(smesh, axis)
+    bc_spec = fv.BoundaryCoeffs(a=P(axis), b=P(axis),
+                                io_mask=P(axis), io_value=P(axis),
+                                slip_mask=P(axis))
+    return jax.jit(shard_map(
+        local, mesh=device_mesh,
+        in_specs=(specs, P(axis), bc_spec), out_specs=(P(axis), P(axis)),
         check_rep=False,
     ))
 
@@ -1316,8 +1486,9 @@ class ShardedFlowSolver:
     (the reference's ``Allrun-parallel`` analog).  Supports the laminar,
     kEpsilon (the reference's parallel tutorial closure,
     ``TJunction/constant/turbulenceProperties:21-27``) and kOmegaSST
-    closures plus MRF zones; dynamic-mesh cases stay on the
-    single-device flow path (loud error)."""
+    closures, MRF zones, and solid-body/Laplacian dynamic meshes (the
+    motion solver runs host-side, per-shard geometry re-scatters in
+    place, correctPhi runs as a psum-global CG)."""
 
     def __init__(self, case, n_dev: int, log=print, **cfg_kw):
         from ..models.pimple import PimpleConfig
@@ -1369,17 +1540,35 @@ class ShardedFlowSolver:
             # convective flux stored RELATIVE to the frame (pimple.py:215-217)
             self.flux_s = self.flux_s - self.mrf_flux_s
 
-        # configurations the sharded step does not implement must fail
-        # loudly, not silently drop physics (moving meshes)
+        # dynamic mesh (constant/dynamicMeshDict): the sharded analog of
+        # mesh.controlledUpdate() — the motion solver runs host-side (as
+        # single-device), per-shard geometry re-scatters in place
+        # (refresh_sharded_geometry; shapes pinned, compiled steps
+        # survive), and the flux is rebuilt + projected divergence-free
+        # by the psum-global CorrectPhi, then made relative to meshPhi
         import os as _os
 
-        from ..models.dynamicmesh import read_dynamic_mesh
+        from ..models import dynamicmesh as dyn_mod
 
-        if read_dynamic_mesh(case.case_dir) is not None:
-            raise NotImplementedError(
-                "dynamic meshes are not supported by the sharded flow "
-                "solver; run the flow single-device (omit --flow-devices)"
+        self.dyn = None
+        self.moving_patches = ()
+        motion = dyn_mod.read_dynamic_mesh(case.case_dir)
+        if motion is not None:
+            from ..io import polymesh as polymesh_io
+
+            self.dyn = dyn_mod.DynamicMesh(motion, case.poly, dtype=jnp.float32)
+            u0 = _os.path.join(case.case_dir, "0", "U")
+            bcs0 = (polymesh_io.read_field_bcs(u0)
+                    if _os.path.exists(u0) else {})
+            self.moving_patches = tuple(
+                k for k, e in bcs0.items() if e[0] == "movingWallVelocity"
             )
+            self._flux_init = make_flux_init(self.smesh, self.dmesh)
+            self._correct_flux = make_sharded_correct_flux(
+                self.smesh, self.dmesh, pin=self.cfg.pin_pressure
+            )
+            log(f"#flow: sharded dynamic mesh: {motion.kind} "
+                f"(moving walls: {self.moving_patches})")
 
         self.turb_model = turbulence_model(case.case_dir)
         self._turb_on = False
@@ -1489,6 +1678,46 @@ class ShardedFlowSolver:
     def advance(self, dt_e: float):
         self.time += dt_e
         self._apply_p_tables(self.time)
+        if getattr(self, "dyn", None) is not None:
+            # sharded mesh.controlledUpdate() + correctPhi + makeRelative
+            # (cudaParticlesPimpleFoam.C:144-166, mirroring the
+            # single-device FlowSolver.advance): host-side motion solve,
+            # in-place per-shard geometry re-scatter, flux rebuilt on the
+            # new metrics, projected conservative by the psum CG, then
+            # made relative to the swept mesh flux.  The local-AMG
+            # preconditioner keeps its initial-geometry hierarchy (same
+            # contract as single-device: pairing is topological, only
+            # preconditioning quality drifts with deformation).
+            from ..models import dynamicmesh as dyn_mod
+
+            m_new, mesh_phi, bd_vel = self.dyn.update(self.time, dt_e)
+            self.m = m_new
+            self.u_bcs = dyn_mod.update_moving_wall_bcs(
+                m_new, self.u_bcs, bd_vel, self.moving_patches
+            )
+            self.u_bcs_s = shard_bcs(self.u_bcs, self.bglob)
+            self.smesh = refresh_sharded_geometry(self.smesh, m_new)
+            nf_int_l = self.smesh.fv_meta[2]
+            # effective_bcs on the STACKED [D, B] coefficients (the fv
+            # helper assumes per-device [B] shapes)
+            inflow = self.u_bcs_s.io_mask & (
+                self.flux_s[:, nf_int_l:] < 0.0
+            )
+            u_bcs_e_s = dataclasses.replace(
+                self.u_bcs_s,
+                a=jnp.where(inflow, 0.0, self.u_bcs_s.a),
+                b=jnp.where(inflow[..., None], self.u_bcs_s.io_value,
+                            self.u_bcs_s.b),
+            )
+            phi_abs = self._flux_init(self.smesh, self.u_s, u_bcs_e_s)
+            phi_abs, res_c = self._correct_flux(
+                self.smesh, phi_abs, self.p_bcs_s
+            )
+            self.log(
+                f"#flow: sharded correctPhi residual="
+                f"{float(np.asarray(res_c)[0]):.3e}"
+            )
+            self.flux_s = phi_abs - scatter_faces(self.smesh, mesh_phi)
         args = (
             self.smesh, self.u_s, self.p_s, self.flux_s,
             self.u_bcs_s, self.p_bcs_s, dt_e,
