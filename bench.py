@@ -71,8 +71,49 @@ def build_workload(n_side, n_particles, diffusion=1e-3):
     return mesh, st
 
 
+def build_unstructured_workload(n_side, n_particles, diffusion=1e-3,
+                                jitter=0.18, seed=11):
+    """BASELINE config-4 representative: IRREGULAR tetrahedra (interior
+    vertices jittered by ``jitter`` of the spacing — non-uniform shapes,
+    volumes, and face orientations; topology intact) with an absorbing
+    outflow patch at +x (escape faces ON, exercising the outflow path)
+    and the confined vortex so the bulk recirculates while Brownian
+    contact feeds a realistic trickle of escapes."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from cudaparticlesfoam_tpu.mesh import (
+        host_np, refresh_geometry, set_boundary_escape,
+    )
+
+    mesh, st = build_workload(n_side, n_particles, diffusion)
+    pts = host_np(mesh, "points", np.float64)
+    rng = np.random.default_rng(seed)
+    inner = np.all((pts > 1e-9) & (pts < n_side - 1e-9), axis=1)
+    jit = np.where(
+        inner[:, None], rng.uniform(-jitter, jitter, pts.shape), 0.0
+    )
+    # +x boundary faces become an absorbing outflow patch (classified on
+    # the PRE-jitter points — boundary vertices are pinned, and reading
+    # points back after refresh_geometry would be a device readback)
+    tri = host_np(mesh, "bd_tris")
+    ctr = pts[tri].mean(axis=1)
+    mesh = refresh_geometry(mesh, jnp.asarray(pts + jit, mesh.points.dtype))
+    patch = (ctr[:, 0] > n_side - 1e-6).astype(np.int32)
+    mesh = dc.replace(mesh, bd_patch=jnp.asarray(patch))
+    mesh = set_boundary_escape(mesh, [1])
+    # re-locate the seeds on the jittered geometry
+    from cudaparticlesfoam_tpu import build_grid_locator, locate_seeds
+    from cudaparticlesfoam_tpu.state import replace as replace_state
+
+    loc = build_grid_locator(mesh)
+    st = replace_state(st, tet_id=locate_seeds(mesh, loc, st.pos))
+    return mesh, st
+
+
 def run_config(name, n_side, n_particles, dt, n_cycles, diffusion=1e-3,
-               locate_mode="bary", workload=None):
+               locate_mode="bary", workload=None, escape=False):
     import jax
 
     from cudaparticlesfoam_tpu import StepConfig, run_cycles
@@ -104,7 +145,8 @@ def run_config(name, n_side, n_particles, dt, n_cycles, diffusion=1e-3,
     # 1M); degrades to the XLA "rbg" stream off the pallas paths
     cfg = suggest_tuning(
         mesh, StepConfig(dt=dt, diffusion_coeff=diffusion,
-                         brownian_rng="rbg_kernel", locate_mode=locate_mode),
+                         brownian_rng="rbg_kernel", locate_mode=locate_mode,
+                         escape_faces=escape),
         dt, n_particles=n_particles,
     )
     log(f"[{name}] tuned: inline_hops={cfg.inline_hops} "
@@ -164,6 +206,14 @@ def main():
         "scale-10m", n_side, 10_000_000, 0.05, max(n_cycles // 5, 20),
         workload=wl,
     )
+    # unstructured + outflow config (BASELINE config 4's character):
+    # jittered irregular tets, absorbing +x patch, escape faces on the
+    # fast path, coupled-tutorial particle count
+    wl_u = build_unstructured_workload(n_side, 4_000_000)
+    unstructured, _ = run_config(
+        "unstructured-outflow", n_side, 4_000_000, 0.05,
+        max(n_cycles // 2, 20), workload=wl_u, escape=True,
+    )
 
     north_star = 100e6  # BASELINE.json: >=100M particle-steps/sec/chip
     print(
@@ -176,6 +226,7 @@ def main():
                 "tutorial_scale_steps_per_sec": round(tutorial, 1),
                 "convex_mode_steps_per_sec": round(convex, 1),
                 "steps_per_sec_10m": round(scale_10m, 1),
+                "unstructured_steps_per_sec": round(unstructured, 1),
             }
         )
     )

@@ -546,9 +546,15 @@ def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None,
     # ~0.6% of lanes (the inline hop-1 resolves ~95% of crossers, measured
     # at the headline config), so a leaner per-round arena wins — every
     # [cap_l,*] op inside the trace loop halves (1M: alf 0.25 -> 18.3 ms,
-    # 0.125 -> 15.9).  The bary hc=4 path KEEPS 0.25: its arena absorbs
+    # 0.125 -> 15.9).  The same holds for the multihop bary regimes
+    # (tutorial scale, hops=4: 2.52 -> 2.29 ms/cycle, 39.8 -> 43.7M; the
+    # neighboring fracs 0.0625/0.5 and wf 0.125/0.1875 all measured
+    # worse).  The bary hc=4 path KEEPS 0.25: its arena absorbs
     # hop-compaction overflow and alf 0.125 measured 9.1 -> 11.6 ms.
-    arena_lf = 0.125 if pallas_cx else cfg.arena_lane_frac
+    arena_lf = (
+        0.125 if (pallas_cx or (hops >= 2 and not hop_compact))
+        else cfg.arena_lane_frac
+    )
     return dataclasses.replace(
         cfg, inline_hops=hops, walk_capacity_frac=frac,
         inline_bounce=inline_bounce, cycle_chunks=chunks,
