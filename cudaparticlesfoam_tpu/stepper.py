@@ -516,7 +516,10 @@ def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None,
         # lose the placement again) — see fused_convex.mega_cycle_packed
         chunks = max(2, -(-n_p // 1_000_000))
     else:
-        target = 625_000 if pallas_tet else 5_000_000
+        # pallas chunk target re-swept with hop_compact live (10M, hc=4):
+        # 625k-lane chunks 61.1M, 500k 63.1, ~417k 64.5, 312k 63.5 —
+        # the hc staging shrinks with the chunk, freeing S(1) budget
+        target = 420_000 if pallas_tet else 5_000_000
         chunks = 1 if n_p <= 2_000_000 else max(1, round(n_p / target))
     # block-compacted hop gather (packed path, hops=1): gather 2 neighbor
     # rows per crosser-containing 4-lane group instead of refetching every
