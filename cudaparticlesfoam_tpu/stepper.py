@@ -541,10 +541,17 @@ def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None,
     # actual pending-group rate and the cliff below it is steep (1M
     # headline, rate ~0.42: frac 0.45 -> 9.03 ms, 0.42 -> 8.72, but
     # 0.40 -> 12.12 — sub-capacity overflow floods the rare arena every
-    # cycle).  The crossing estimator is only good to ~2x, so pick 0.45
-    # (worst case vs a perfectly tuned frac is ~4%; worst case of
-    # guessing low is ~40%).
-    hc_frac = 0.45 if hop_compact else cfg.hop_compact_frac
+    # cycle).  Scale the capacity with the ESTIMATED group-pending rate
+    # 1-(1-c)^4 at a 2x safety factor (the estimator is only good to
+    # ~2x and the cliff is one-sided), capped at the headline's 0.45:
+    # at LOW crossing rates the smaller gather is a large win (dt=0.01,
+    # c~2.6%: hcf 0.45 -> 8.84 ms, 0.25 -> 7.40, 0.15 -> 6.80 = 147M
+    # steps/s), while overshooting costs only the extra capacity.
+    if hop_compact:
+        grate = 1.0 - (1.0 - min(crossings, 1.0)) ** 4
+        hc_frac = min(0.45, max(0.15, 2.0 * grate + 0.02))
+    else:
+        hc_frac = cfg.hop_compact_frac
     # rare-arena exact-stage capacity: the packed convex stream pends only
     # ~0.6% of lanes (the inline hop-1 resolves ~95% of crossers, measured
     # at the headline config), so a leaner per-round arena wins — every
