@@ -175,9 +175,34 @@ def _hit_face_plane(mesh: TetMesh, stop_tet, p_cross, last_face):
     return nrm[lane, slot], dpl[lane, slot]
 
 
+def _escapes_at(mesh: TetMesh, tet, p_at, fid, lanes):
+    """True for ``lanes`` whose hit face (matched like
+    :func:`_hit_face_plane`) is an absorbing boundary face
+    (``mesh.bd_escape``)."""
+    if mesh.bd_escape.size == 0:
+        return jnp.zeros_like(lanes)
+    safe = jnp.maximum(tet, 0)
+    nrm, dpl, nbr, fids = _tet_tables(mesh, safe)
+    match = fids == fid[:, None]
+    dist = jnp.abs(dpl - jnp.sum(nrm * p_at[:, None, :], axis=-1))
+    is_bd = nbr < 0
+    score = jnp.where(match, -1.0, jnp.where(is_bd, dist, jnp.inf))
+    slot = jnp.argmin(score, axis=-1).astype(jnp.int32)
+    lane = jnp.arange(tet.shape[0])
+    code = nbr[lane, slot]
+    bd = jnp.clip(-code - 1, 0, max(mesh.n_bd_faces - 1, 0))
+    return lanes & (code < 0) & mesh.bd_escape[bd]
+
+
 def convex_reflect(mesh: TetMesh, pos, disp, vel, tet_id, stop_tet, p_cross,
                    hit_face, max_bounces: int = MAX_BOUNCES):
     """Vectorized ``convexReflector`` for wall-hit lanes (tet_id < 0).
+
+    Absorbing (escape) boundary faces deactivate instead of reflecting —
+    the same data-driven fix for the reference's reflect-everywhere TODO
+    the bary reflector applies (``RTQuery.cu:165-166``): the lane keeps
+    its negative wall code, parks at the hit point, and sheds its
+    remaining displacement.
 
     Returns (pos, disp, vel, tet_id)."""
     hit = tet_id < 0
@@ -186,7 +211,8 @@ def convex_reflect(mesh: TetMesh, pos, disp, vel, tet_id, stop_tet, p_cross,
     p_hit = jnp.where(hit[:, None], p_cross, pos)
     p_start = p_hit
     tet_c = jnp.where(hit, stop_tet, jnp.maximum(tet_id, 0))
-    settled = ~hit
+    esc = _escapes_at(mesh, tet_c, p_cross, hit_face, hit)
+    settled = ~hit | esc
 
     def mirror(p_end, u, tet, p_at, fid, refl):
         nsel, dsel = _hit_face_plane(mesh, tet, p_at, fid)
@@ -201,11 +227,11 @@ def convex_reflect(mesh: TetMesh, pos, disp, vel, tet_id, stop_tet, p_cross,
     p_end, u = mirror(p_end, u, tet_c, p_cross, hit_face, ~settled)
 
     def cond(c):
-        p_start, p_end, p_hit, u, tet, settled, b = c
+        p_start, p_end, p_hit, u, tet, settled, esc, b = c
         return (b < max_bounces) & jnp.logical_not(jnp.all(settled))
 
     def body(c):
-        p_start, p_end, p_hit, u, tet, settled, b = c
+        p_start, p_end, p_hit, u, tet, settled, esc, b = c
         refl = ~settled
         code, s_tet, p_cr, l_face = trace_segment(
             mesh, p_start, p_end - p_start, jnp.maximum(tet, 0), active=refl
@@ -214,18 +240,25 @@ def convex_reflect(mesh: TetMesh, pos, disp, vel, tet_id, stop_tet, p_cross,
         tet = jnp.where(landed, code, jnp.where(refl, s_tet, tet))
         settled = settled | landed
         refl = refl & ~landed
-        # still hitting a wall: mirror again from the new hit point
+        # still hitting a wall: absorb on escape faces, else mirror again
+        new_esc = _escapes_at(mesh, jnp.where(refl, s_tet, tet), p_cr,
+                              l_face, refl)
+        esc = esc | new_esc
+        settled = settled | new_esc
         p_hit = jnp.where(refl[:, None], p_cr, p_hit)
+        refl = refl & ~new_esc
         p_start = jnp.where(refl[:, None], p_cr, p_start)
         p_end, u = mirror(p_end, u, tet, p_cr, l_face, refl)
-        return p_start, p_end, p_hit, u, tet, settled, b + 1
+        return p_start, p_end, p_hit, u, tet, settled, esc, b + 1
 
-    p_start, p_end, p_hit, u, tet_c, settled, _ = lax.while_loop(
+    p_start, p_end, p_hit, u, tet_c, settled, esc, _ = lax.while_loop(
         cond, body,
-        (p_start, p_end, p_hit, u, tet_c, settled, jnp.zeros((), jnp.int32)),
+        (p_start, p_end, p_hit, u, tet_c, settled, esc,
+         jnp.zeros((), jnp.int32)),
     )
     new_pos = jnp.where(hit[:, None], p_hit, pos)
-    new_disp = jnp.where(hit[:, None], p_end - p_hit, disp)
+    new_disp = jnp.where(esc[:, None], 0.0,
+                         jnp.where(hit[:, None], p_end - p_hit, disp))
     new_vel = jnp.where(hit[:, None], u, vel)
-    new_tet = jnp.where(hit, tet_c, tet_id)
+    new_tet = jnp.where(esc, tet_id, jnp.where(hit, tet_c, tet_id))
     return new_pos, new_disp, new_vel, new_tet

@@ -145,7 +145,24 @@ def _cycle_aligned(mesh: TetMesh, tab, m, rng_key, step, cfg, dt,
     dt0, slot0 = convex_ops._exit_face_tables(
         nrm0, dpl0, nbr0, p0, seg, nbr0 == _NO_INLET
     )
-    crossing = alive & (slot0 >= 0)
+    # leak guard: a lane whose START already sits outside its cached tet
+    # (tolerance dust — the reference tracer cannot re-detect a face once
+    # the point is a hair beyond it, ConvexQuery.cu:95, and an undetected
+    # wall crossing would advect outward forever).  Inside points have
+    # face_dist <= 0 for all four inward planes, so one max + compare
+    # flags the dust; such lanes ride the rare stage, whose barycentric
+    # safety net (cfg.convex_bary_fix) re-locates or reflects/escapes
+    # them exactly like the simple engine's full-batch pass.
+    # explicit per-component products (same association as the pallas
+    # kernel's lane math — einsum's reduction order is not bit-stable)
+    fd0 = (
+        nrm0[:, :, 0] * p0[:, None, 0]
+        + nrm0[:, :, 1] * p0[:, None, 1]
+        + nrm0[:, :, 2] * p0[:, None, 2]
+        - dpl0
+    )
+    outside0 = alive & (jnp.max(fd0, axis=-1) > convex_ops.TOL)
+    crossing = alive & ((slot0 >= 0) | outside0)
 
     # --- inline hop-1 (phase 2): the dominant crosser case is a single
     # interior face crossing (``traceIntet`` hop into the neighbor, then
@@ -160,7 +177,9 @@ def _cycle_aligned(mesh: TetMesh, tab, m, rng_key, step, cfg, dt,
     if max(int(getattr(cfg, "inline_hops", 1)), 0) >= 1:
         lane4 = slot0[:, None] == jnp.arange(4, dtype=jnp.int32)[None, :]
         nxt0 = jnp.sum(jnp.where(lane4, nbr0, 0), axis=1)
-        interior = crossing & (nxt0 >= 0)
+        # dust lanes (slot0 < 0) are never "interior": lane4 selects no
+        # slot, so nxt0 defaults to 0 — gate on a real exit slot
+        interior = crossing & (nxt0 >= 0) & (slot0 >= 0)
         idx = jnp.where(interior, nxt0, jnp.maximum(tet, 0))
         rows_g = tab[idx]                      # ONE [n,24] gather
         p1 = p0 + dt0[:, None] * seg           # march point (trace_segment:127)

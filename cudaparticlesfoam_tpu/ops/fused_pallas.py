@@ -1868,13 +1868,21 @@ def _ca_compute(scal_ref, mrow, xi):
         lambda k: mrow(ROW + k), 0, p0x, p0y, p0z, sx, sy, sz,
         (no_sup, no_sup, no_sup, no_sup), tol,
     )
-    crossing = alive & (slot0 >= 0)
+    # leak guard (mirrors fused_convex._cycle_aligned): a start point
+    # outside its cached tet (tolerance dust) rides the rare stage
+    fd_max = jnp.full(p0x.shape, -jnp.inf, p0x.dtype)
+    for i in range(4):
+        fd = (mrow(ROW + 3 * i) * p0x + mrow(ROW + 3 * i + 1) * p0y
+              + mrow(ROW + 3 * i + 2) * p0z - mrow(ROW + 12 + i))
+        fd_max = jnp.maximum(fd_max, fd)
+    outside0 = alive & (fd_max > tol)
+    crossing = alive & ((slot0 >= 0) | outside0)
     CX_RB = ROW + 16
     nxt0 = _pick4(
         mrow(CX_RB), mrow(CX_RB + 1), mrow(CX_RB + 2), mrow(CX_RB + 3),
         slot0,
     )
-    interior = crossing & (nxt0 >= 0.0)
+    interior = crossing & (nxt0 >= 0.0) & (slot0 >= 0)
     idx = jnp.where(interior, nxt0, jnp.maximum(tetf, 0.0))
 
     out = [None] * HEAD_W

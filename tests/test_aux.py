@@ -163,3 +163,38 @@ def test_injection_slot_reuse(box, grid):
     # injected particles advect normally
     out3 = run_cycles(m, out2, cfg, 5)
     assert int(np.asarray(out3.active).sum()) == 50
+
+
+def test_escape_patches_convex_mode(box, grid):
+    """Absorbing patches must work in ConvexPoly locate mode too: the
+    convex reflector (ops/convex.convex_reflect) deactivates on escape
+    faces instead of specularly reflecting, matching the bary path."""
+    from cudaparticlesfoam_tpu.mesh import with_convex_rows
+
+    pts = np.asarray(box.points, dtype=np.float64)
+    cen = pts[np.asarray(box.tets)].mean(axis=1)
+    outward = cen - 2.0
+    outward /= np.linalg.norm(outward, axis=1, keepdims=True) + 1e-12
+    m = replace_velocity(box, tet_vel=outward * 2.0)
+    m = with_convex_rows(m)
+    m = set_boundary_escape(m, [0])      # every boundary face absorbs
+    st = seeded(m, grid)
+    for engine in ("simple", "cached"):
+        cfg = StepConfig(dt=0.05, use_brownian=False, engine=engine,
+                         locate_mode="convex")
+        out = run_cycles(m, st, cfg, 100)
+        act = np.asarray(out.active)
+        assert not act.any(), engine
+        assert (np.asarray(out.tet_id) < 0).all(), engine
+        # absorbed at (or within a couple of dust-recovery steps of) the
+        # wall — tolerance-dust lanes park <=2 sub-steps outside before
+        # the barycentric safety net deactivates them
+        pos = np.asarray(out.pos)
+        assert (pos > -0.45).all() and (pos < 4.45).all()
+    # and with NO escape faces the same field keeps everyone alive
+    m2 = with_convex_rows(replace_velocity(box, tet_vel=outward * 2.0))
+    out2 = run_cycles(
+        m2, seeded(m2, grid),
+        StepConfig(dt=0.05, use_brownian=False, locate_mode="convex"), 100,
+    )
+    assert np.asarray(out2.active).all()
