@@ -559,12 +559,17 @@ def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None,
     # 0.125 -> 15.9).  The same holds for the multihop bary regimes
     # (tutorial scale, hops=4: 2.52 -> 2.29 ms/cycle, 39.8 -> 43.7M; the
     # neighboring fracs 0.0625/0.5 and wf 0.125/0.1875 all measured
-    # worse).  The bary hc=4 path KEEPS 0.25: its arena absorbs
-    # hop-compaction overflow and alf 0.125 measured 9.1 -> 11.6 ms.
-    arena_lf = (
-        0.125 if (pallas_cx or (hops >= 2 and not hop_compact))
-        else cfg.arena_lane_frac
-    )
+    # worse).  The bary hc=4 path wants a leaner arena too, but its
+    # pending includes hop-compaction overflow and the undersize cliff
+    # is steep (headline sweep: alf 0.25 -> 9.09 ms, 0.21875 -> 8.73,
+    # 0.1875 -> 8.50 [x3 reproduced], 0.15625 -> 8.25, 0.125 -> 11.58);
+    # auto picks 0.1875 — one comfortable step above the cliff.
+    if pallas_cx or (hops >= 2 and not hop_compact):
+        arena_lf = 0.125
+    elif hop_compact:
+        arena_lf = 0.1875
+    else:
+        arena_lf = cfg.arena_lane_frac
     return dataclasses.replace(
         cfg, inline_hops=hops, walk_capacity_frac=frac,
         inline_bounce=inline_bounce, cycle_chunks=chunks,
