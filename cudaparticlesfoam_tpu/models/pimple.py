@@ -43,14 +43,22 @@ class PimpleConfig:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def pimple_step(m: fv.FvMesh, st: FlowState, u_bcs, p_bcs, cfg: PimpleConfig,
-                dt, nut=None, amg=None, nut_bd=None, mrf=None):
+                dt, nut=None, amg=None, nut_bd=None, mrf=None, fvo=None):
     """One Eulerian time step: returns (state, residual diagnostics).
 
     ``mrf`` (a :class:`.mrf.MRFZones`) adds the rotating-frame terms the
     reference solver threads through (``UEqn.H:3-8``, ``pEqn.H:20``):
     rotating-wall boundary velocity, explicit Coriolis source, and the
     relative convective flux.  U stays absolute throughout.
+
+    ``fvo`` (a :class:`.fvoptions.FvOptions`) adds the momentum-equation
+    fvOptions the reference applies (``UEqn.H:11,17,23``, ``pEqn.H:66``):
+    explicit sources into the predictor RHS, implicit Sp into the
+    diagonal, and the meanVelocityForce feedback after the predictor and
+    the corrector.  Its updated ``grad_p`` state is returned in the
+    residual dict as ``"fvo_grad_p"``.
     """
+    from . import fvoptions as fvo_mod
     from . import mrf as mrf_mod
 
     dt = jnp.asarray(dt, m.sf.dtype)
@@ -67,12 +75,17 @@ def pimple_step(m: fv.FvMesh, st: FlowState, u_bcs, p_bcs, cfg: PimpleConfig,
         nu_f = cfg.nu + jnp.concatenate([fv.face_interp(m, nut), nut_b])
 
     def outer(carry, _):
-        st, _ = carry
+        st, fvo, _ = carry
         # inletOutlet backflow switching against the current flux
         u_bcs_e = fv.effective_bcs(u_bcs, st.flux[m.n_internal :])
         A = fv.assemble_transport(
             m, st.flux, nu_f, u_bcs_e, 3, ddt_coeff=ddt, phi_old=u_old
         )
+        if fvo is not None:
+            # fvOptions.constrain(UEqn): implicit Sp onto the diagonal
+            # BEFORE rAU is taken; folds the pending mvf increment into
+            # gradP0 (UEqn.H:17)
+            A, fvo = fvo_mod.constrain(fvo, m, A)
         grad_p = fv.gradient(m, st.p, p_bcs)
         b = A.source - grad_p * m.vol[:, None]
         b = b + fv.convection_correction(m, st.flux, st.u, u_bcs_e,
@@ -80,12 +93,18 @@ def pimple_step(m: fv.FvMesh, st: FlowState, u_bcs, p_bcs, cfg: PimpleConfig,
         if mrf is not None:
             # MRF.DDt(U) moved to the RHS: -(Omega x U) V over zone cells
             b = b + mrf_mod.coriolis_source(mrf, m, st.u)
+        if fvo is not None:
+            # fvOptions(U): explicit sources into the RHS (UEqn.H:11)
+            b = fvo_mod.add_sup(fvo, m, b)
         u_star = fv.jacobi_solve(m, A, b, st.u, sweeps=cfg.n_jacobi)
         u_res = jnp.linalg.norm(b - fv.matvec(m, A, u_star)) / (
             jnp.linalg.norm(b) + 1e-300
         )
 
         rau = m.vol / A.diag
+        if fvo is not None:
+            # fvOptions.correct(U) after the momentum predictor (UEqn.H:23)
+            u_star, fvo = fvo_mod.correct(fvo, m, u_star, rau)
         rau_f = jnp.concatenate(
             [fv.face_interp(m, rau), rau[m.owner[m.n_internal :]]]
         )
@@ -126,15 +145,24 @@ def pimple_step(m: fv.FvMesh, st: FlowState, u_bcs, p_bcs, cfg: PimpleConfig,
             flux = jnp.concatenate([flux_i, flux_b])
             grad_pn = fv.gradient(m, p, p_bcs)
             u_corr = hbya - rau[:, None] * grad_pn
+            if fvo is not None:
+                # fvOptions.correct(U) per pressure corrector (pEqn.H:66)
+                u_corr, fvo = fvo_mod.correct(fvo, m, u_corr, rau)
 
         new_st = FlowState(u=u_corr, p=p, flux=flux)
-        return (new_st, {"u_res": u_res, "p_res": p_res}), None
+        return (new_st, fvo, {"u_res": u_res, "p_res": p_res}), None
 
-    (st, res), _ = jax.lax.scan(outer, (st, {"u_res": jnp.zeros((), m.sf.dtype),
-                                             "p_res": jnp.zeros((), m.sf.dtype)}),
-                                None, length=cfg.n_outer)
+    (st, fvo, res), _ = jax.lax.scan(
+        outer,
+        (st, fvo, {"u_res": jnp.zeros((), m.sf.dtype),
+                   "p_res": jnp.zeros((), m.sf.dtype)}),
+        None, length=cfg.n_outer,
+    )
     cont = jnp.sum(jnp.abs(fv.surface_sum(m, st.flux)))
     res = dict(res, continuity=cont)
+    if fvo is not None:
+        res["fvo_grad_p"] = fvo.grad_p
+        res["fvo_dgrad"] = fvo.dgrad
     return st, res
 
 
@@ -211,6 +239,18 @@ class FlowSolver:
         from . import mrf as mrf_mod
 
         solver.mrf = mrf_mod.from_case(case.case_dir, m, case.poly)
+        # momentum fvOptions (constant/ or system/fvOptions; UEqn.H:11-23)
+        from . import fvoptions as fvo_mod
+
+        solver.fvo = fvo_mod.from_case(case.case_dir, m, case.poly)
+        if solver.fvo is not None:
+            kinds = []
+            if solver.fvo.has_mvf:
+                kinds.append("meanVelocityForce")
+            if bool((np.abs(np.asarray(solver.fvo.su)).sum() > 0)
+                    or (np.abs(np.asarray(solver.fvo.sp)).sum() > 0)):
+                kinds.append("semiImplicitSource")
+            log(f"#flow: momentum fvOptions active ({', '.join(kinds)})")
         if solver.mrf is not None:
             st2 = solver.state
             solver.state = dataclasses.replace(
@@ -330,8 +370,13 @@ class FlowSolver:
         self.state, res = pimple_step(
             self.m, self.state, self.u_bcs, self.p_bcs, self.cfg, dt_e, nut=nut,
             amg=getattr(self, "amg", None), nut_bd=nut_bd,
-            mrf=getattr(self, "mrf", None),
+            mrf=getattr(self, "mrf", None), fvo=getattr(self, "fvo", None),
         )
+        if "fvo_grad_p" in res:
+            self.fvo = dataclasses.replace(
+                self.fvo, grad_p=res.pop("fvo_grad_p"),
+                dgrad=res.pop("fvo_dgrad"),
+            )
         if getattr(self, "kes", None) is not None:
             from . import turbulence as turb
 

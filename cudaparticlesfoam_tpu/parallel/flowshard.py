@@ -137,7 +137,9 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0,
     decomposition — the decomposeParDict ``simple``/``hierarchical``
     method (order xyz): coordinate-rank splits along x, then y within
     each x-block, then z.  ``grid="rcb"`` uses recursive coordinate
-    bisection (:func:`rcb_map`); ``cell_map`` accepts ANY explicit
+    bisection (:func:`rcb_map`); ``grid="graph"`` uses multilevel graph
+    bisection (:mod:`.graphpart`, the scotch/metis-parity path);
+    ``cell_map`` accepts ANY explicit
     [n_cells] cell->device assignment (the ``decomposePar`` manual-method
     analog).  Default is 1-D slabs along ``direction``.
 
@@ -166,9 +168,18 @@ def decompose(pm, n_dev: int, dtype=jnp.float32, direction: int = 0,
                 f"cell_map device ids outside [0, {n_dev})"
             )
     elif isinstance(grid, str):
-        if grid != "rcb":
+        if grid == "rcb":
+            dev_of = rcb_map(cc, n_dev)
+        elif grid == "graph":
+            # multilevel graph bisection (scotch/metis parity); the
+            # refined geometric candidate makes its edge-cut dominate RCB
+            from . import graphpart
+
+            dev_of = graphpart.graph_map(
+                nc, own[:n_int], nei, n_dev, coords=cc
+            )
+        else:
             raise ValueError(f"unknown decomposition method {grid!r}")
-        dev_of = rcb_map(cc, n_dev)
     else:
         if grid is None:
             grid = [1, 1, 1]
@@ -694,7 +705,8 @@ def shard_mrf(smesh: ShardedFlowMesh, mrf, m: fv.FvMesh):
 
 def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
                         with_turb: bool = False, lamg: "LocalAmg | None" = None,
-                        with_mrf: bool = False):
+                        with_mrf: bool = False, with_fvo: bool = False,
+                        fvo_mvf: bool = False):
     """Build the shard_map'ed PIMPLE step over ``device_mesh``.
 
     Returns step(u_ext, p_ext, flux, u_bcs_s, p_bcs_s, dt[, lamg][,
@@ -737,6 +749,17 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
         if with_mrf:
             mrf_om, mrf_ff = turb_args[0][0], turb_args[1][0]
             turb_args = turb_args[2:]
+        fvo_su = fvo_sp = fvo_mask = fvo_par = None
+        if with_fvo:
+            # momentum fvOptions (models.fvoptions; UEqn.H:11,17,23,
+            # pEqn.H:66): sharded su/sp/zone-mask cell fields + the
+            # replicated meanVelocityForce parameters
+            # [dirx, diry, dirz, magUbar, relax, grad_p0, dgrad]
+            fvo_su, fvo_sp, fvo_mask = (
+                turb_args[0][0], turb_args[1][0], turb_args[2][0]
+            )
+            fvo_par = turb_args[3]
+            turb_args = turb_args[4:]
 
         def hx(x):
             return refresh(m_s, x)
@@ -811,6 +834,25 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
         ddt = jnp.where(mask, ddt, 0.0)
         u_old = u
 
+        # meanVelocityForce state: accumulated gradP0 + pending increment
+        # (models.fvoptions semantics: correct OVERWRITES the pending
+        # increment; constrain folds it once per momentum assembly)
+        g_mvf = fvo_par[5] if with_fvo else None
+        dg_mvf = fvo_par[6] if with_fvo else None
+
+        def mvf_correct(uu, rau):
+            # fvOptions.correct(U): the meanVelocityForce feedback step
+            # (models.fvoptions.correct, psum-global zone averages; halo
+            # slots carry zero mask weight)
+            w = maskf * fvo_mask * m_s.vol[0]
+            d = fvo_par[:3]
+            vz = lax.psum(jnp.sum(w), axis) + 1e-300
+            ubar_star = lax.psum(jnp.sum(w * (uu @ d)), axis) / vz
+            rau_ave = lax.psum(jnp.sum(w * rau), axis) / vz
+            dgrad = fvo_par[4] * (fvo_par[3] - ubar_star) / rau_ave
+            uu = uu + (maskf * fvo_mask * rau * dgrad)[:, None] * d[None, :]
+            return uu, dgrad
+
         u_res = jnp.zeros((), u.dtype)
         for _outer in range(cfg.n_outer):
             u_bcs_e = fv.effective_bcs(u_bcs, flux[n_int:])
@@ -818,6 +860,15 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
             A = fv.assemble_transport(
                 lm, flux, nu_f, u_bcs_e, 3, ddt_coeff=ddt, phi_old=u_old
             )
+            if with_fvo:
+                # fvOptions.constrain(UEqn): implicit Sp onto the diagonal
+                # + fold the pending mvf increment into gradP0
+                A = dataclasses.replace(
+                    A, diag=A.diag - jnp.where(mask, fvo_sp, 0.0) * m_s.vol[0]
+                )
+                if fvo_mvf:
+                    g_mvf = g_mvf + dg_mvf
+                    dg_mvf = jnp.zeros_like(dg_mvf)
             ph = hx(p)
             grad_p = fv.gradient(lm, ph, p_bcs)
             b = A.source - grad_p * m_s.vol[0][:, None]
@@ -838,6 +889,15 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
                 # MRF.DDt(U) moved to the RHS: -(Omega x U) V over zone
                 # cells (pimple.py:80-82; omega is zero outside zones)
                 b = b - jnp.cross(mrf_om, u) * m_s.vol[0][:, None]
+            if with_fvo:
+                # fvOptions(U): explicit Su + the meanVelocityForce's
+                # current driving gradient into the RHS
+                src = fvo_su
+                if fvo_mvf:
+                    src = src + (
+                        fvo_mask * (g_mvf + dg_mvf)
+                    )[:, None] * fvo_par[:3]
+                b = b + src * m_s.vol[0][:, None]
             b = jnp.where(mask[:, None], b, 0.0)
             u_star = jacobi(A, b, u, cfg.n_jacobi)
             # final momentum residual |b - A u*| / |b| (psum-global; the
@@ -851,6 +911,9 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
             )
 
             rau = m_s.vol[0] / safe_diag(A.diag)
+            if fvo_mvf:
+                # fvOptions.correct(U) after the momentum predictor
+                u_star, dg_mvf = mvf_correct(u_star, rau)
             rauh = hx(rau)
             rau_f = jnp.concatenate(
                 [fv.face_interp(lm, rauh), rauh[lm.owner[n_int:]]]
@@ -909,15 +972,26 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
                 grad_pn = fv.gradient(lm, ph, p_bcs)
                 u_corr = hbya - rau[:, None] * grad_pn
                 u_corr = jnp.where(mask[:, None], u_corr, 0.0)
+                if fvo_mvf:
+                    # fvOptions.correct(U) per pressure corrector
+                    # (pEqn.H:66)
+                    u_corr, dg_mvf = mvf_correct(u_corr, rau)
             u = u_corr
 
         cont = lax.psum(
             jnp.sum(jnp.abs(jnp.where(mask, fv.surface_sum(lm, flux), 0.0))),
             axis,
         )
-        return (u[None], p[None], flux[None],
-                {"u_res": u_res[None], "p_res": p_res[None],
-                 "p_iters": p_iters[None], "continuity": cont[None]})
+        out_diag = {"u_res": u_res[None], "p_res": p_res[None],
+                    "p_iters": p_iters[None], "continuity": cont[None]}
+        if with_fvo:
+            out_diag["fvo_grad_p"] = (
+                g_mvf if fvo_mvf else fvo_par[5]
+            )[None]
+            out_diag["fvo_dgrad"] = (
+                dg_mvf if fvo_mvf else fvo_par[6]
+            )[None]
+        return (u[None], p[None], flux[None], out_diag)
 
     specs = _mesh_specs(smesh, axis)
     bc_spec = fv.BoundaryCoeffs(a=P(axis), b=P(axis),
@@ -927,14 +1001,19 @@ def make_sharded_pimple(smesh: ShardedFlowMesh, cfg, device_mesh: Mesh,
     n_turb = 5 if with_turb else 0
     n_mrf = 2 if with_mrf else 0
     amg_specs = (_local_amg_specs(lamg, axis),) if use_amg else ()
+    # fvOptions args: sharded su/sp/mvf_mask + replicated parameter vector
+    fvo_specs = (P(axis), P(axis), P(axis), P()) if with_fvo else ()
+    diag_spec = {"u_res": P(axis), "p_res": P(axis), "p_iters": P(axis),
+                 "continuity": P(axis)}
+    if with_fvo:
+        diag_spec["fvo_grad_p"] = P(axis)
+        diag_spec["fvo_dgrad"] = P(axis)
     step = shard_map(
         local_step,
         mesh=device_mesh,
         in_specs=(specs, P(axis), P(axis), P(axis), bc_spec, bc_spec, P())
-        + amg_specs + (P(axis),) * (n_mrf + n_turb),
-        out_specs=(P(axis), P(axis), P(axis),
-                   {"u_res": P(axis), "p_res": P(axis), "p_iters": P(axis),
-                    "continuity": P(axis)}),
+        + amg_specs + (P(axis),) * n_mrf + fvo_specs + (P(axis),) * n_turb,
+        out_specs=(P(axis), P(axis), P(axis), diag_spec),
         check_rep=False,
     )
     return jax.jit(step)
@@ -1455,13 +1534,13 @@ def read_decompose_par(case_dir, n_dev: int, log=print):
         log("#flow: decomposition by recursive coordinate bisection")
         return "rcb"
     if method in ("scotch", "metis", "kahip"):
-        # graph partitioners are out of scope on-device; RCB is the
-        # closest load-balanced stand-in for unstructured meshes (the
-        # generic per-delta halo exchange handles its irregular
-        # neighborhoods)
-        log(f"#flow: decomposeParDict method {method!r} mapped to "
-            "recursive coordinate bisection")
-        return "rcb"
+        # multilevel graph bisection over the cell-adjacency graph
+        # (parallel/graphpart.py) — the same scheme those libraries
+        # implement; the generic per-delta halo exchange handles its
+        # irregular neighborhoods
+        log(f"#flow: decomposeParDict method {method!r}: multilevel "
+            "graph bisection")
+        return "graph"
     if method not in ("simple", "hierarchical") or n is None:
         if method:
             log(f"#flow: decomposeParDict method {method!r} not supported "
@@ -1529,6 +1608,21 @@ class ShardedFlowSolver:
             )
         self.u_bcs = u_bcs
 
+        # momentum fvOptions (constant/ or system/fvOptions): su/sp/zone
+        # mask scattered per shard, meanVelocityForce parameters + gradP
+        # state replicated (models.fvoptions; UEqn.H:11-23, pEqn.H:66)
+        from ..models import fvoptions as fvo_mod
+
+        self.fvo = fvo_mod.from_case(case.case_dir, m, case.poly)
+        if self.fvo is not None:
+            self.fvo_su_s = scatter_cells(self.smesh, np.asarray(self.fvo.su))
+            self.fvo_sp_s = scatter_cells(self.smesh, np.asarray(self.fvo.sp))
+            self.fvo_mask_s = scatter_cells(
+                self.smesh, np.asarray(self.fvo.mvf_mask)
+            )
+            log("#flow: sharded momentum fvOptions active"
+                + (" (meanVelocityForce)" if self.fvo.has_mvf else ""))
+
         self.u_bcs_s = shard_bcs(u_bcs, bglob)
         self.p_bcs_s = shard_bcs(p_bcs, bglob)
         self.u_s = scatter_cells(self.smesh, np.asarray(st.u))
@@ -1590,6 +1684,8 @@ class ShardedFlowSolver:
         self._step = make_sharded_pimple(
             self.smesh, self.cfg, self.dmesh, with_turb=self._turb_on,
             lamg=self.lamg, with_mrf=self.mrf is not None,
+            with_fvo=self.fvo is not None,
+            fvo_mvf=self.fvo is not None and self.fvo.has_mvf,
         )
         self._courant = make_courant(self.smesh, self.dmesh)
         self.log = log
@@ -1726,12 +1822,25 @@ class ShardedFlowSolver:
             args = args + (self.lamg,)
         if self.mrf is not None:
             args = args + (self.mrf_omega_s, self.mrf_flux_s)
+        if self.fvo is not None:
+            par = jnp.concatenate([
+                self.fvo.mvf_dir,
+                jnp.stack([self.fvo.mvf_mag, self.fvo.mvf_relax,
+                           self.fvo.grad_p, self.fvo.dgrad]),
+            ])
+            args = args + (self.fvo_su_s, self.fvo_sp_s, self.fvo_mask_s, par)
         if self._turb_on:
             args = args + (
                 self.nut_s, self.k_s, self.wall_cell_s, self.y_wall_s,
                 self.wall_bd_s,
             )
         self.u_s, self.p_s, self.flux_s, diag = self._step(*args)
+        if self.fvo is not None and "fvo_grad_p" in diag:
+            self.fvo = dataclasses.replace(
+                self.fvo,
+                grad_p=jnp.asarray(np.asarray(diag["fvo_grad_p"])[0]),
+                dgrad=jnp.asarray(np.asarray(diag["fvo_dgrad"])[0]),
+            )
         if self._turb_on:
             if self.turb_model == "kOmegaSST":
                 self.k_s, self.w_s, self.nut_s = self._sst(
