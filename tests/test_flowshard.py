@@ -479,3 +479,97 @@ def test_sharded_pimple_rcb_pitzdaily_parity():
     )
     assert du < 1e-6, du
     assert dp_rel < 1e-5, dp_rel
+
+
+def test_graph_partition_beats_rcb_pitzdaily():
+    """The multilevel graph partitioner (decomposeParDict scotch/metis
+    parity, VERDICT r4 item 8): lower edge-cut than RCB on pitzDaily,
+    with bounded imbalance."""
+    from cudaparticlesfoam_tpu.parallel import graphpart
+
+    bmd = os.path.join(
+        os.path.dirname(__file__), "..", "tutorials", "incompressible",
+        "cudaParticlesUncoupledFoam", "pitzDaily", "system", "blockMeshDict",
+    )
+    pm = blockmesh.generate(bmd)
+    m = fv.fv_mesh(pm, dtype=jnp.float64)
+    own = np.asarray(m.owner)[: m.n_internal]
+    nei = np.asarray(m.neighbour)
+    cc = np.asarray(m.cc)
+    for k in (4, 8):
+        gp = graphpart.graph_map(pm.n_cells, own, nei, k, coords=cc)
+        rcb = flowshard.rcb_map(cc, k)
+        cut_g = graphpart.edge_cut(pm.n_cells, own, nei, gp)
+        cut_r = graphpart.edge_cut(pm.n_cells, own, nei, rcb)
+        assert cut_g < cut_r, (k, cut_g, cut_r)
+        counts = np.bincount(gp, minlength=k)
+        assert counts.sum() == pm.n_cells
+        # recursive-bisection balance envelope (UB per level)
+        assert counts.max() <= pm.n_cells / k * graphpart.UB ** 3 + 1
+
+
+def test_read_decompose_par_scotch_routes_graph(tmp_path):
+    (tmp_path / "system").mkdir()
+    (tmp_path / "system" / "decomposeParDict").write_text(
+        "FoamFile { version 2.0; format ascii; object decomposeParDict; }\n"
+        "numberOfSubdomains 8;\nmethod scotch;\n"
+    )
+    msgs = []
+    out = flowshard.read_decompose_par(str(tmp_path), 8, log=msgs.append)
+    assert out == "graph"
+    assert any("graph bisection" in m for m in msgs)
+
+
+def test_sharded_pimple_graph_pitzdaily_parity():
+    """Sharded PIMPLE on the graph-partitioned pitzDaily decomposition
+    matches the single-device solver (the scotch/metis-parity partition
+    rides the generic per-delta halo machinery)."""
+    n_dev = 8
+    try:
+        if len(jax.devices("cpu")) < n_dev:
+            pytest.skip("needs 8 virtual devices")
+    except RuntimeError:
+        pytest.skip("no CPU backend")
+    bmd = os.path.join(
+        os.path.dirname(__file__), "..", "tutorials", "incompressible",
+        "cudaParticlesUncoupledFoam", "pitzDaily", "system", "blockMeshDict",
+    )
+    pm = blockmesh.generate(bmd)
+    m = fv.fv_mesh(pm, dtype=jnp.float64)
+    u_bcs = fv.make_bcs(
+        m, {"inlet": ("fixedValue", [10.0, 0.0, 0.0]),
+            "upperWall": ("noSlip", 0.0), "lowerWall": ("noSlip", 0.0),
+            "frontAndBack": ("empty", 0.0)}, 3
+    )
+    p_bcs = fv.make_bcs(m, {"outlet": ("fixedValue", 0.0)}, 1)
+    u0 = jnp.tile(jnp.asarray([10.0, 0.0, 0.0]), (m.n_cells, 1))
+    st = FlowState(u=u0, p=jnp.zeros(m.n_cells, jnp.float64),
+                   flux=fv.flux_of(m, u0, u_bcs))
+    cfg = PimpleConfig(nu=1e-5, n_outer=1, n_correctors=2, n_jacobi=8,
+                       p_tol=1e-11, p_max_iter=2000)
+    dt = 5e-5
+    n_steps = 2
+    for _ in range(n_steps):
+        st, res = pimple_step(m, st, u_bcs, p_bcs, cfg, dt)
+
+    smesh, bglob = flowshard.decompose(pm, n_dev, dtype=jnp.float64,
+                                       grid="graph")
+    dmesh = sharding.make_device_mesh(n_dev, axis="f")
+    u_bcs_s = flowshard.shard_bcs(u_bcs, bglob)
+    p_bcs_s = flowshard.shard_bcs(p_bcs, bglob)
+    u_s = flowshard.scatter_cells(smesh, np.asarray(u0))
+    p_s = flowshard.scatter_cells(smesh, np.zeros(m.n_cells))
+    flux_s = flowshard.make_flux_init(smesh, dmesh)(smesh, u_s, u_bcs_s)
+    step = flowshard.make_sharded_pimple(smesh, cfg, dmesh)
+    for _ in range(n_steps):
+        u_s, p_s, flux_s, diag = step(
+            smesh, u_s, p_s, flux_s, u_bcs_s, p_bcs_s, dt
+        )
+    u_g = flowshard.gather_cells(smesh, u_s)
+    p_g = flowshard.gather_cells(smesh, p_s)
+    du = np.abs(u_g - np.asarray(st.u)).max() / 10.0
+    dp_rel = np.abs(p_g - np.asarray(st.p)).max() / (
+        np.abs(np.asarray(st.p)).max() + 1e-12
+    )
+    assert du < 1e-6, du
+    assert dp_rel < 1e-5, dp_rel
