@@ -713,12 +713,15 @@ def with_convex_rows(mesh: TetMesh) -> TetMesh:
 
 
 def with_pk_rows(mesh: TetMesh) -> TetMesh:
-    """Attach the VertexVelocity packed row table (lazy: +28 floats/tet).
+    """Attach the VertexVelocity packed row table (lazy: +29 floats/tet).
 
-    Row: A 0:3 | Tinv 3:12 | v0..v3 12:24 | neighbor codes 24:28 — one
-    gather serves the bary test, the Pk velocity interpolation
-    (``particles.cu:245-313``), the neighbor step, and the reflection
-    plane, exactly like ``tet_row`` does for TetVelocity."""
+    Row: A 0:3 | Tinv 3:12 | v0..v3 12:24 | neighbor codes 24:28 |
+    escape mask 28 — one gather serves the bary test, the Pk velocity
+    interpolation (``particles.cu:245-313``), the neighbor step, the
+    reflection plane, and the absorbing-patch check, exactly like
+    ``tet_row`` does for TetVelocity (whose mask rides pad col 19).
+    The mask column is copied from ``tet_row`` col 19, so a prior
+    :func:`set_boundary_escape` is inherited."""
     import dataclasses
 
     if mesh.tet_row_pk is not None:
@@ -729,6 +732,7 @@ def with_pk_rows(mesh: TetMesh) -> TetMesh:
             mesh.tet_row[:, 0:12],
             mesh.vert_vel[mesh.tets].reshape(nt, 12),
             mesh.tet_row[:, 15:19],
+            mesh.tet_row[:, 19:20],
         ],
         axis=1,
     )
@@ -743,6 +747,7 @@ def with_pk_rows(mesh: TetMesh) -> TetMesh:
                 mirror["tet_row"][:, 0:12],
                 mirror["vert_vel"][mirror["tets"]].reshape(nt, 12),
                 mirror["tet_row"][:, 15:19],
+                mirror["tet_row"][:, 19:20],
             ],
             axis=1,
         )
@@ -776,7 +781,13 @@ def set_boundary_escape(mesh: TetMesh, escape_patch_ids) -> TetMesh:
         bits.astype(jnp.int32) * jnp.asarray([1, 2, 4, 8], jnp.int32)
     ).sum(axis=1)
     row = mesh.tet_row.at[:, 19].set(maskv.astype(mesh.tet_row.dtype))
-    new = dataclasses.replace(mesh, bd_escape=esc, tet_row=row)
+    kw = {"bd_escape": esc, "tet_row": row}
+    if mesh.tet_row_pk is not None:
+        # the Pk row carries the same mask at its col 28
+        kw["tet_row_pk"] = mesh.tet_row_pk.at[:, 28].set(
+            maskv.astype(mesh.tet_row_pk.dtype)
+        )
+    new = dataclasses.replace(mesh, **kw)
     mirror = _mirror_of(mesh)
     updates = {}
     if mirror is not None and mirror.get("bd_patch") is not None:
@@ -791,14 +802,26 @@ def set_boundary_escape(mesh: TetMesh, escape_patch_ids) -> TetMesh:
             bdi_np = np.clip(-nbr_np - 1, 0, max(mesh.n_bd_faces - 1, 0))
             bits_np = (nbr_np < 0) & esc_np[bdi_np]
             row_np = np.array(mirror["tet_row"], copy=True)
-            row_np[:, 19] = (
+            maskv_np = (
                 bits_np.astype(np.int64) * np.array([1, 2, 4, 8])
             ).sum(axis=1)
+            row_np[:, 19] = maskv_np
             updates["tet_row"] = row_np
+            if mesh.tet_row_pk is not None:
+                if mirror.get("tet_row_pk") is not None:
+                    pk_np = np.array(mirror["tet_row_pk"], copy=True)
+                    pk_np[:, 28] = maskv_np
+                    updates["tet_row_pk"] = pk_np
+                else:
+                    updates["tet_row_pk"] = kw["tet_row_pk"]  # invalidates
         else:
             updates["tet_row"] = row                     # invalidates
+            if mesh.tet_row_pk is not None:
+                updates["tet_row_pk"] = kw["tet_row_pk"]
     else:
         updates["bd_escape"] = esc                       # invalidates
         updates["tet_row"] = row
+        if mesh.tet_row_pk is not None:
+            updates["tet_row_pk"] = kw["tet_row_pk"]
     _propagate_mirror(mesh, new, updates)
     return new

@@ -27,8 +27,8 @@ stays in ``fused.py`` — it is gather/scatter-bound, which XLA already
 handles at the measured optimum.
 
 Scope: TetVelocity and VertexVelocity (Pk) layouts, ``1 <= inline_hops
-<= 8``; escape faces ride the TetVelocity row's baked mask column (Pk
-rows have no pad column, so Pk + escape falls back to the jnp engine).
+<= 8``; escape faces ride the row's baked mask column in BOTH layouts
+(TetVelocity pad col 19, Pk col 28 — mesh.set_boundary_escape).
 Everything else falls back to the jnp engine; ``stepper.suggest_tuning``
 only enables this path on TPU backends inside that envelope.  Arithmetic mirrors ``fused.py``
 expression-for-expression; Mosaic may contract mul+add to FMA where XLA
@@ -436,21 +436,20 @@ def _b_core(scal_ref, rows, head_ref, mv, extra_pend, ly=LAYOUT_TET):
     wall = wall0
     wall_slot = jnp.where(wall0, s0, jnp.zeros_like(s0))
 
-    # inline single bounce (fused.py:566-599) incl. absorbing patches
+    # inline single bounce (fused.py:566-599) incl. absorbing patches;
+    # both layouts carry the baked escape mask at row col row_w-1
+    # (TetVelocity pad col 19, Pk col 28 — mesh.set_boundary_escape)
     refl = wall & do_bounce
-    if ly is LAYOUT_TET:
-        escm = rows[ly.row_w - 1].astype(jnp.int32)
-        escb = _pick4(
-            escm & 1, (escm >> 1) & 1, (escm >> 2) & 1, (escm >> 3) & 1,
-            wall_slot,
-        ) > 0
-        code_w = _pick4(
-            rows[ly.nbr], rows[ly.nbr + 1],
-            rows[ly.nbr + 2], rows[ly.nbr + 3], wall_slot,
-        )
-        esc = refl & esc_on & (code_w < 0.0) & escb
-    else:
-        esc = jnp.zeros_like(refl)
+    escm = rows[ly.row_w - 1].astype(jnp.int32)
+    escb = _pick4(
+        escm & 1, (escm >> 1) & 1, (escm >> 2) & 1, (escm >> 3) & 1,
+        wall_slot,
+    ) > 0
+    code_w = _pick4(
+        rows[ly.nbr], rows[ly.nbr + 1],
+        rows[ly.nbr + 2], rows[ly.nbr + 3], wall_slot,
+    )
+    esc = refl & esc_on & (code_w < 0.0) & escb
     refl = refl & ~esc
     rf = refl.astype(jnp.float32)
     # bary gradient of the exit slot: row (slot-1) of Tinv, -(sum) for 0
@@ -651,9 +650,9 @@ def _compact_hop_rows(tab, head, n, frac, idx_row=HIDX, mv_row=HMV,
 
 def _interp_ok(mesh, cfg) -> bool:
     """Interp-mode envelope shared by the pallas paths: TetVelocity
-    always; VertexVelocity (Pk) when the 28-col row table exists and no
-    escape faces are configured (the Pk row has no pad column to carry
-    the baked escape mask — Pk + escape rides the jnp engine)."""
+    always; VertexVelocity (Pk) when the 29-col row table exists (its
+    last column carries the baked escape mask, so Pk + escape_faces is
+    inside the envelope too)."""
     from .advect import TET_VELOCITY, VERTEX_VELOCITY
 
     if cfg.velocity_interp == TET_VELOCITY:
@@ -661,7 +660,7 @@ def _interp_ok(mesh, cfg) -> bool:
     if cfg.velocity_interp == VERTEX_VELOCITY:
         return (
             mesh.tet_row_pk is not None
-            and not getattr(cfg, "escape_faces", False)
+            and mesh.tet_row_pk.shape[1] == LAYOUT_PK.row_w
         )
     return False
 
@@ -670,6 +669,8 @@ def supported(mesh, cfg, n_hops: int) -> bool:
     """Envelope check for the pallas fast path."""
     if getattr(cfg, "engine_impl", "auto") == "jnp":
         return False
+    if getattr(cfg, "integrator", "euler") != "euler":
+        return False          # rk4 stage walks ride the jnp cached engine
     if not _interp_ok(mesh, cfg) or not (1 <= n_hops <= 8):
         return False
     if mesh.points.dtype != jnp.float32:     # f64 = CPU parity mode
@@ -695,6 +696,8 @@ def packed_supported(mesh, cfg, n_hops: int) -> bool:
     engine_impl='pallas' forces the transposed-view kernels instead."""
     if getattr(cfg, "engine_impl", "auto") not in ("auto", "pallas_packed"):
         return False
+    if getattr(cfg, "integrator", "euler") != "euler":
+        return False          # rk4 stage walks ride the jnp cached engine
     if not (1 <= n_hops <= 8):
         return False
     if not _interp_ok(mesh, cfg):
@@ -1162,19 +1165,17 @@ def _b2_compute(scal_ref, s_ref, rows_ref, head_ref, ly=LAYOUT_TET):
 
     refl = wall & do_bounce
     esc_on = scal_ref[1] > 0.5
-    if ly is LAYOUT_TET:
-        escm = rows[ly.row_w - 1].astype(jnp.int32)
-        escb = _pick4(
-            escm & 1, (escm >> 1) & 1, (escm >> 2) & 1, (escm >> 3) & 1,
-            wall_slot,
-        ) > 0
-        code_w = _pick4(
-            rows[ly.nbr], rows[ly.nbr + 1],
-            rows[ly.nbr + 2], rows[ly.nbr + 3], wall_slot,
-        )
-        esc = refl & esc_on & (code_w < 0.0) & escb
-    else:
-        esc = jnp.zeros_like(refl)
+    # both layouts carry the baked escape mask at row col row_w-1
+    escm = rows[ly.row_w - 1].astype(jnp.int32)
+    escb = _pick4(
+        escm & 1, (escm >> 1) & 1, (escm >> 2) & 1, (escm >> 3) & 1,
+        wall_slot,
+    ) > 0
+    code_w = _pick4(
+        rows[ly.nbr], rows[ly.nbr + 1],
+        rows[ly.nbr + 2], rows[ly.nbr + 3], wall_slot,
+    )
+    esc = refl & esc_on & (code_w < 0.0) & escb
     refl = refl & ~esc
     rf = refl.astype(jnp.float32)
 

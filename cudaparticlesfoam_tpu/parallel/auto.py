@@ -220,7 +220,7 @@ class ParticleEngine:
                 # geometry tables in place — the slab assignment, shapes,
                 # compiled step functions, and particle tet ids all
                 # survive (partition.refresh_geometry)
-                layout = {28: "pk", 24: "cx"}.get(
+                layout = {29: "pk", 24: "cx"}.get(
                     int(self._pm.tet_row.shape[-1]), "tet"
                 )
                 pm = partition.refresh_geometry(self._pm, tm, layout=layout)

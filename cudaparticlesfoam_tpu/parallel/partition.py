@@ -48,7 +48,7 @@ from ..utils.pytree import pytree_dataclass
 class PartitionedMesh:
     """Slab-partitioned walk tables; arrays carry a leading shard axis."""
 
-    tet_row: jnp.ndarray    # [S, P, 20|28] (neighbor codes remain GLOBAL ids)
+    tet_row: jnp.ndarray    # [S, P, 20|24|29] (neighbor codes remain GLOBAL ids)
     tet_nbr: jnp.ndarray    # [S, P, 4]   int32 global codes
     perm: jnp.ndarray       # [nt] old tet id -> new (sorted) id
     inv_perm: jnp.ndarray   # [nt] new -> old
@@ -82,7 +82,7 @@ def partition_mesh(mesh: TetMesh, n_shards: int,
     """Slab-partition along the longest bounding-box axis.
 
     ``layout``: "tet" slices the 20-col TetVelocity walk rows, "pk" the
-    28-col VertexVelocity rows (A/Tinv prefix identical; velocity payload
+    29-col VertexVelocity rows (A/Tinv prefix identical; velocity payload
     is the 4 cached vertex velocities, blended per step), "cx" the 24-col
     ConvexPoly rows (inward planes 0:16, neighbor codes 16:20, per-tet
     velocity 20:23 — the fused_convex.cx_table layout)."""
@@ -106,7 +106,7 @@ def partition_mesh(mesh: TetMesh, n_shards: int,
     if layout == "pk":
         if mesh.tet_row_pk is None:
             raise ValueError("pk layout needs mesh.tet_row_pk (with_pk_rows)")
-        src = meshlib.host_np(mesh, "tet_row_pk")       # [nt,28]
+        src = meshlib.host_np(mesh, "tet_row_pk")       # [nt,29]
     elif layout == "cx":
         if mesh.tet_row_cx is None:
             raise ValueError("cx layout needs mesh.tet_row_cx "
@@ -160,11 +160,11 @@ def update_velocity(
     GLOBAL (old-numbering) velocity arrays — the coupled/replay drivers'
     per-Eulerian-interval U refresh (``advect.H:44-83``) without
     re-partitioning.  TetVelocity (20-col) and convex (24-col) rows take
-    the per-tet ``tet_vel``; pk (28-col) rows take ``vert_vel`` + the
+    the per-tet ``tet_vel``; pk (29-col) rows take ``vert_vel`` + the
     global ``tets`` connectivity (v0..v3 at row cols 12:24)."""
     import dataclasses
 
-    if pm.tet_row.shape[-1] == 28:                       # pk layout
+    if pm.tet_row.shape[-1] == 29:                       # pk layout
         if vert_vel is None or tets is None:
             raise ValueError(
                 "pk-row velocity refresh needs vert_vel and tets"

@@ -593,25 +593,45 @@ def _pk_fixture(n=None, nside=8):
 
 
 def test_pk_pallas_envelope():
-    """VertexVelocity joins the pallas envelope when pk rows exist and no
-    escape faces are configured; Pk + escape (or missing rows) rides jnp."""
+    """VertexVelocity joins the pallas envelope when the 29-col pk rows
+    exist — including escape faces (the baked mask rides pk col 28);
+    missing rows ride jnp."""
     import dataclasses as dc
     from cudaparticlesfoam_tpu.mesh import with_pk_rows
 
     mesh0 = box_mesh(4, 4, 4)
     mesh = with_pk_rows(mesh0)
+    assert mesh.tet_row_pk.shape[1] == fused.LAYOUT_PK.row_w == 29
     cfg = StepConfig(dt=0.05, velocity_interp="VertexVelocity")
     on_tpu = _on_tpu()
     assert fused_pallas.supported(mesh, cfg, 1) == on_tpu
     assert fused_pallas.packed_supported(mesh, cfg, 4) == on_tpu
     # no pk rows -> excluded
     assert not fused_pallas.supported(mesh0, cfg, 1)
-    # Pk + escape faces -> excluded (no pad col for the baked mask)
-    assert not fused_pallas.supported(
+    # Pk + escape faces -> INSIDE the envelope (round-5: mask col 28)
+    assert fused_pallas.supported(
         mesh, dc.replace(cfg, escape_faces=True), 1
-    )
+    ) == on_tpu
     # macro fusion stays TetVelocity-only
     assert not fused_pallas.macro_supported(mesh, dc.replace(cfg), 4)
+
+
+def test_pk_escape_mask_baked_both_orders():
+    """set_boundary_escape bakes the same 4-bit mask into tet_row col 19
+    and tet_row_pk col 28, regardless of whether with_pk_rows ran before
+    or after it."""
+    from cudaparticlesfoam_tpu.mesh import set_boundary_escape, with_pk_rows
+
+    mesh0 = box_mesh(3, 3, 3)
+    # order 1: pk rows first, then escape
+    m1 = set_boundary_escape(with_pk_rows(mesh0), [0])
+    # order 2: escape first, then pk rows (mask inherited from tet_row)
+    m2 = with_pk_rows(set_boundary_escape(mesh0, [0]))
+    a1 = np.asarray(m1.tet_row_pk[:, 28])
+    a2 = np.asarray(m2.tet_row_pk[:, 28])
+    np.testing.assert_array_equal(a1, np.asarray(m1.tet_row[:, 19]))
+    np.testing.assert_array_equal(a1, a2)
+    assert a1.max() > 0          # the box has boundary tets on patch 0
 
 
 def test_pk_packed_logic_matches_jnp_interpret():
@@ -659,6 +679,99 @@ def test_pk_packed_logic_matches_jnp_interpret():
         np.testing.assert_array_equal(a[:, 6], b[:, 6])   # tet ids
         np.testing.assert_array_equal(a[:, 7], b[:, 7])   # active
         np.testing.assert_allclose(a[:, :6], b[:, :6], atol=2e-6)
+
+
+def _pk_escape_fixture(n=None, nside=8):
+    """Pk rows + absorbing +x patch: the native radial vertex velocity
+    drives lanes into every wall; only +x hits escape."""
+    import dataclasses as dc
+
+    from cudaparticlesfoam_tpu.mesh import set_boundary_escape, with_pk_rows
+    from cudaparticlesfoam_tpu.ops import locate as locate_ops
+
+    mesh = box_mesh(nside, nside, nside)
+    pts = np.asarray(mesh.points)
+    ctr = pts[np.asarray(mesh.bd_tris)].mean(axis=1)
+    patch = np.where(ctr[:, 0] > nside - 1e-3, 1, 0).astype(np.int32)
+    mesh = dc.replace(mesh, bd_patch=jnp.asarray(patch))
+    mesh = with_pk_rows(set_boundary_escape(mesh, [1]))
+    n = n or fused_pallas.PACK_LANES
+    rng = np.random.default_rng(47)
+    pos = jnp.asarray(rng.uniform(0.5, nside - 0.5, (n, 3)), jnp.float32)
+    st = statelib.make_state(pos)
+    loc = locate_ops.build_grid_locator(mesh)
+    return mesh, dataclasses.replace(
+        st, tet_id=locate_ops.locate_seeds(mesh, loc, st.pos)
+    )
+
+
+def test_pk_escape_logic_matches_jnp_interpret():
+    """Interpret-mode: the packed pallas cycle in VertexVelocity mode WITH
+    escape faces must match the jnp engine — the baked mask rides pk row
+    col 28 (round-5; previously Pk + escape was jnp-only)."""
+    import dataclasses as dc
+    from jax.experimental.pallas import tpu as pltpu
+
+    if jax.config.read("jax_enable_x64"):
+        jax.config.update("jax_enable_x64", False)
+        try:
+            return test_pk_escape_logic_matches_jnp_interpret()
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    mesh, st = _pk_escape_fixture()
+    ly = fused.LAYOUT_PK
+    m0 = fused.pack_state(mesh, st.pos, jnp.zeros_like(st.pos), st.tet_id,
+                          st.active, ly)
+    key = jax.random.PRNGKey(9)
+    cfg = StepConfig(dt=0.35, diffusion_coeff=2e-3, inline_hops=1,
+                     walk_capacity_frac=0.25, brownian_rng="rbg",
+                     velocity_interp="VertexVelocity", escape_faces=True,
+                     engine_impl="pallas_packed")
+    m = m0
+    for j in range(6):
+        m = jax.jit(
+            lambda mm, j=j: fused.mega_cycle(
+                mesh, mm, key, 3 + j, dc.replace(cfg, engine_impl="jnp"),
+                0.35,
+            )
+        )(m)
+    m_rm = m0.reshape(-1, 4 * ly.width)
+    with pltpu.force_tpu_interpret_mode():
+        for j in range(6):
+            m_rm = fused.mega_cycle_packed(mesh, m_rm, key, 3 + j, cfg, 0.35)
+    a = np.asarray(m)
+    b = np.asarray(m_rm).reshape(-1, ly.width)
+    assert (a[:, 7] < 0.5).sum() > 0        # some lanes escaped through +x
+    np.testing.assert_array_equal(a[:, 6], b[:, 6])   # tet ids
+    np.testing.assert_array_equal(a[:, 7], b[:, 7])   # active
+    live = a[:, 7] > 0.5
+    np.testing.assert_allclose(a[live][:, :6], b[live][:, :6], atol=2e-6)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="pallas kernels need a TPU backend")
+def test_pk_escape_bit_parity_on_tpu():
+    """On-TPU: Pk + escape faces through run_cycles — packed and
+    transposed-view pallas vs the jnp engine, bit-for-bit; hops 1 and 4."""
+    import dataclasses as dc
+
+    mesh, st = _pk_escape_fixture(n=8 * 8192)
+    for hops in (1, 4):
+        cfg = StepConfig(dt=0.35, diffusion_coeff=2e-3, inline_hops=hops,
+                         walk_capacity_frac=0.25, brownian_rng="rbg",
+                         velocity_interp="VertexVelocity", escape_faces=True)
+        out_j = run_cycles(mesh, st, dc.replace(cfg, engine_impl="jnp"), 8)
+        assert (~np.asarray(out_j.active)).sum() > 0
+        for impl in ("pallas_packed", "pallas"):
+            out_p = run_cycles(mesh, st, dc.replace(cfg, engine_impl=impl), 8)
+            np.testing.assert_array_equal(
+                np.asarray(out_j.tet_id), np.asarray(out_p.tet_id))
+            np.testing.assert_array_equal(
+                np.asarray(out_j.active), np.asarray(out_p.active))
+            np.testing.assert_array_equal(
+                np.asarray(out_j.pos), np.asarray(out_p.pos))
+            np.testing.assert_array_equal(
+                np.asarray(out_j.vel), np.asarray(out_p.vel))
 
 
 @pytest.mark.skipif(not _on_tpu(), reason="pallas kernels need a TPU backend")
