@@ -44,7 +44,8 @@ Two interpolation modes share the machinery via a row *layout*:
   mega width 32: 0:3 pos | 3:6 vel | 6 tet (float int) | 7 active |
   8:28 cached tet_row (A 8:11, Tinv 11:20, u 20:23, nbr 23:27, pad) | pad.
 * VertexVelocity (Pk, ``particles.cu:245-313``) — mega width 40 over the
-  28-col ``tet_row_pk`` (A, Tinv, v0..v3 at 20:32, nbr 32:36): velocity
+  29-col ``tet_row_pk`` (A, Tinv, v0..v3 at 20:32, nbr 32:36, escape
+  mask 36): velocity
   is the barycentric blend of the 4 cached vertex velocities at the
   particle's CURRENT position, all column math (one extra bary eval per
   cycle vs TetVelocity; still zero random memory for non-crossers).
@@ -89,7 +90,7 @@ class Layout:
 
 
 LAYOUT_TET = Layout(row_w=20, width=32, vel=12, nbr=15)
-LAYOUT_PK = Layout(row_w=28, width=40, vel=12, nbr=24)
+LAYOUT_PK = Layout(row_w=29, width=40, vel=12, nbr=24)
 
 
 def layout_for(cfg) -> Layout:
@@ -497,6 +498,78 @@ def mega_cycle(mesh: TetMesh, m, rng_key, step, cfg, dt, lane_offset0=0):
     return jnp.concatenate(outs, axis=0)
 
 
+def _stage_velocity(tab, m, ly: Layout, px, py, pz, alive, cfg):
+    """Velocity at an RK stage point (px,py,pz), with the stage tet located
+    from the lane's cached row by the exact ``locate.walk`` semantics
+    (``baryTetSearch``, RTQuery.cu:35-90) — the cached-engine equivalent of
+    ``advect.advect``'s per-stage ``vel_at`` (advect.py): out-of-domain
+    stage points fall back to the lane's OWN cached tet.
+
+    Structure: hop-0 classify is column math on the cached row (zero
+    random memory for the ~94% of stage points that stay in-cell at sane
+    dt); crossers ride a sort-compacted arena through :func:`_walk_mega`.
+    Returns (kx, ky, kz) [n] stage-velocity components; values for dead
+    lanes are the fallback row's (masked by the caller, same as the
+    simple engine)."""
+    n = m.shape[0]
+    RV = ROW + ly.vel
+    tet0 = m[:, TET].astype(jnp.int32)
+    live = alive & (tet0 >= 0)
+
+    # hop-0 test + default velocity from the lane's own cached row
+    w4 = _bary4(m, RA, px, py, pz)
+    if ly is LAYOUT_PK:
+        kx = sum(w4[i] * m[:, RV + 3 * i] for i in range(4))
+        ky = sum(w4[i] * m[:, RV + 3 * i + 1] for i in range(4))
+        kz = sum(w4[i] * m[:, RV + 3 * i + 2] for i in range(4))
+    else:
+        kx, ky, kz = m[:, RV], m[:, RV + 1], m[:, RV + 2]
+    wmin0 = jnp.minimum(jnp.minimum(w4[0], w4[1]), jnp.minimum(w4[2], w4[3]))
+    pend0 = live & (wmin0 < 0.0)
+
+    nb = n // BLOCK
+    capb = min(max(int(nb * cfg.walk_capacity_frac), 32), nb)
+    cap_l = capb * BLOCK
+    max_rounds = -(-n // cap_l) + 1
+    lane_iota = lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+
+    def rcond(c):
+        kx, ky, kz, pend, r = c
+        return (r < max_rounds) & jnp.any(pend)
+
+    def rbody(c):
+        kx, ky, kz, pend, r = c
+        skey = lax.sort(jnp.where(pend, lane_iota, n))
+        idxl = skey[:cap_l]
+        valid = idxl < n
+        il = jnp.minimum(idxl, n - 1)
+        mc = m[il]
+        qx, qy, qz = px[il], py[il], pz[il]
+        mc2, code, _ = _walk_mega(tab, mc, qx, qy, qz, valid, ly)
+        found = valid & (code >= 0)
+        if ly is LAYOUT_PK:
+            v4 = _bary4(mc2, RA, qx, qy, qz)
+            sx = sum(v4[i] * mc2[:, RV + 3 * i] for i in range(4))
+            sy = sum(v4[i] * mc2[:, RV + 3 * i + 1] for i in range(4))
+            sz = sum(v4[i] * mc2[:, RV + 3 * i + 2] for i in range(4))
+        else:
+            sx, sy, sz = mc2[:, RV], mc2[:, RV + 1], mc2[:, RV + 2]
+        # out-of-domain stage points keep the default (own-row) velocity
+        sx = jnp.where(found, sx, kx[il])
+        sy = jnp.where(found, sy, ky[il])
+        sz = jnp.where(found, sz, kz[il])
+        kx = kx.at[idxl].set(sx, mode="drop")
+        ky = ky.at[idxl].set(sy, mode="drop")
+        kz = kz.at[idxl].set(sz, mode="drop")
+        handled = pend & (lane_iota <= jnp.minimum(skey[cap_l - 1], n - 1))
+        return kx, ky, kz, pend & ~handled, r + 1
+
+    kx, ky, kz, _, _ = lax.while_loop(
+        rcond, rbody, (kx, ky, kz, pend0, jnp.zeros((), jnp.int32))
+    )
+    return kx, ky, kz
+
+
 def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt, noise=None,
                         lane_offset=0):
     n = m.shape[0]
@@ -540,6 +613,29 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt, noise=None,
         uz = sum(w4[i] * m[:, RV + 3 * i + 2] for i in range(4))
     else:
         ux, uy, uz = m[:, RV], m[:, RV + 1], m[:, RV + 2]
+    if cfg.use_advection and getattr(cfg, "integrator", "euler") == "rk4":
+        # classical RK4 (advect.py rk4 branch, arithmetic order preserved
+        # for bit-parity with the simple engine): each stage velocity is
+        # evaluated at a relocated stage point via the cached row + the
+        # compacted exact walk (_stage_velocity); out-of-domain stages
+        # fall back to the lane's own cell, like vel_at's t_ok fallback
+        p0x, p0y, p0z = m[:, P0], m[:, P0 + 1], m[:, P0 + 2]
+        half = 0.5 * dt
+        k2x, k2y, k2z = _stage_velocity(
+            tab, m, ly, p0x + half * ux, p0y + half * uy, p0z + half * uz,
+            alive, cfg,
+        )
+        k3x, k3y, k3z = _stage_velocity(
+            tab, m, ly, p0x + half * k2x, p0y + half * k2y, p0z + half * k2z,
+            alive, cfg,
+        )
+        k4x, k4y, k4z = _stage_velocity(
+            tab, m, ly, p0x + dt * k3x, p0y + dt * k3y, p0z + dt * k3z,
+            alive, cfg,
+        )
+        ux = (ux + 2.0 * k2x + 2.0 * k3x + k4x) / 6.0
+        uy = (uy + 2.0 * k2y + 2.0 * k3y + k4y) / 6.0
+        uz = (uz + 2.0 * k2z + 2.0 * k3z + k4z) / 6.0
     if cfg.use_advection:
         dx, dy, dz = alf * ux * dt, alf * uy * dt, alf * uz * dt
         # advected velocity into vel columns (particles.cu:361)

@@ -59,7 +59,8 @@ class StepConfig:
     # build, query/ConvexQuery.cu)
     locate_mode: str = "bary"
     # time integrator: "euler" (reference, particles.cu:297-302) or "rk4"
-    # (north-star mode; simple engine only)
+    # (north-star mode; cached engine on the bary path — stage velocities
+    # via fused._stage_velocity — simple engine elsewhere)
     integrator: str = "euler"
     # Brownian noise source (cached engine): "threefry" = counter-based
     # jax.random, bit-identical to the simple engine; "rbg" = TPU hardware
@@ -141,12 +142,15 @@ class StepConfig:
                     and self.integrator == "euler"
                     else "simple"
                 )
+            # euler AND rk4 ride the cached engine on the bary path (rk4
+            # stage velocities come from _stage_velocity's cached-row
+            # classify + compacted exact walk, fused.py)
             return (
                 "cached"
                 if self.velocity_interp
                 in (advect_ops.TET_VELOCITY, advect_ops.VERTEX_VELOCITY)
                 and self.locate_mode == "bary"
-                and self.integrator == "euler"
+                and self.integrator in ("euler", "rk4")
                 else "simple"
             )
         return self.engine

@@ -115,19 +115,24 @@ def test_engine_trajectory_error_vs_analytic():
                                            np.array([h / 2]))[0])
     dt = 0.01 / vmax        # ~0.01 cm per step at the centreline
     k = 25
-    cfg = StepConfig(dt=dt, use_brownian=False,
-                     velocity_interp="VertexVelocity")
-    out = run_cycles(mesh, st, cfg, k)
-    assert int(jnp.sum(out.tet_id < 0)) == 0
-
-    dz = np.asarray(out.pos)[:, 2] - pos0[:, 2]
     dz_exact = k * dt * duct.square_duct_velocity(pos0[:, 0], pos0[:, 1])
-    # interpolation tolerance: P1 on a 16x16 cross-section of a smooth
-    # profile -> relative L_inf of a few percent near walls, much better
-    # in the bulk
-    rel = np.abs(dz - dz_exact) / (k * dt * vmax)
-    assert rel.max() < 0.02        # measured 0.0142 (wall-adjacent lanes)
-    assert np.median(rel) < 0.006  # measured 0.0043
-    # x, y untouched by the pure-z field
-    np.testing.assert_allclose(np.asarray(out.pos)[:, :2], pos0[:, :2],
-                               atol=1e-7)
+    for integ in ("euler", "rk4"):
+        # rk4 resolves to the cached engine too (round 5, fused.py
+        # _stage_velocity); vz is z-invariant so the stage blends agree
+        # with euler up to interp error — the oracle bounds BOTH
+        cfg = StepConfig(dt=dt, use_brownian=False,
+                         velocity_interp="VertexVelocity", integrator=integ)
+        assert cfg.resolved_engine() == "cached"
+        out = run_cycles(mesh, st, cfg, k)
+        assert int(jnp.sum(out.tet_id < 0)) == 0
+
+        dz = np.asarray(out.pos)[:, 2] - pos0[:, 2]
+        # interpolation tolerance: P1 on a 16x16 cross-section of a smooth
+        # profile -> relative L_inf of a few percent near walls, much
+        # better in the bulk
+        rel = np.abs(dz - dz_exact) / (k * dt * vmax)
+        assert rel.max() < 0.02        # measured 0.0142 (wall-adjacent)
+        assert np.median(rel) < 0.006  # measured 0.0043
+        # x, y untouched by the pure-z field
+        np.testing.assert_allclose(np.asarray(out.pos)[:, :2], pos0[:, :2],
+                                   atol=1e-7)

@@ -58,6 +58,41 @@ def test_brownian(setup):
     compare(mesh, st, dt=0.08, diffusion_coeff=1e-3)
 
 
+def test_rk4_cached_matches_simple(setup):
+    """RK4 on the cached engine (stage walks via _stage_velocity) must
+    match the simple engine's rk4 branch — incl. crossings, wall
+    reflections, and out-of-domain stage-point fallbacks."""
+    mesh, st = setup
+    a, b = compare(mesh, st, n=120, dt=0.08, use_brownian=False,
+                   integrator="rk4")
+    assert np.asarray(b.active).all()
+    # the outward field really does cross cells (stage walks exercised)
+    assert (np.asarray(a.tet_id) != np.asarray(st.tet_id)).any()
+
+
+def test_rk4_cached_matches_simple_brownian(setup):
+    mesh, st = setup
+    compare(mesh, st, n=60, dt=0.08, diffusion_coeff=1e-3, integrator="rk4")
+
+
+def test_rk4_cached_tiny_capacity_overflow(setup):
+    """Stage-walk arena far below the crossing count: the round loop must
+    retire every pending lane with identical results."""
+    mesh, st = setup
+    a = run_cycles(
+        mesh, st,
+        StepConfig(engine="simple", dt=0.08, use_brownian=False,
+                   integrator="rk4"), 60,
+    )
+    c = run_cycles(
+        mesh, st,
+        StepConfig(engine="cached", dt=0.08, use_brownian=False,
+                   integrator="rk4", walk_capacity_frac=1e-3), 60,
+    )
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(c.pos), atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(a.tet_id), np.asarray(c.tet_id))
+
+
 def test_no_reflect_dead_particles(setup):
     mesh, st = setup
     a, b = compare(mesh, st, dt=0.08, use_brownian=False, reflect_wall=False)
@@ -88,7 +123,13 @@ def test_auto_engine_picks_cached_for_tetvelocity():
     # VertexVelocity now has a cached fast path too (pk row table)
     assert StepConfig(velocity_interp="VertexVelocity").resolved_engine() == "cached"
     assert StepConfig(engine="simple").resolved_engine() == "simple"
-    assert StepConfig(integrator="rk4").resolved_engine() == "simple"
+    # rk4 rides the cached engine too since round 5 (stage walks via
+    # _stage_velocity); convex + rk4 stays on the simple engine
+    assert StepConfig(integrator="rk4").resolved_engine() == "cached"
+    assert (
+        StepConfig(integrator="rk4", locate_mode="convex").resolved_engine()
+        == "simple"
+    )
 
 
 # ------------------------------------------------- VertexVelocity (Pk) layout
@@ -130,6 +171,16 @@ def test_pk_advect_reflect(setup_pk):
 def test_pk_brownian(setup_pk):
     mesh, st = setup_pk
     compare_pk(mesh, st, dt=0.05, diffusion_coeff=1e-3)
+
+
+def test_pk_rk4_cached_matches_simple(setup_pk):
+    """RK4 stage evaluation in VertexVelocity mode: each stage's velocity
+    is the bary blend of the STAGE tet's vertex velocities at the stage
+    point (cached _stage_velocity vs the simple engine's vel_at)."""
+    mesh, st = setup_pk
+    a, b = compare_pk(mesh, st, n=80, dt=0.05, use_brownian=False,
+                      integrator="rk4")
+    assert (np.asarray(a.tet_id) != np.asarray(st.tet_id)).any()
 
 
 def test_pk_missing_rows_falls_back(setup):
