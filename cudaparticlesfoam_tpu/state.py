@@ -172,6 +172,52 @@ def replace(state: ParticleState, **kw) -> ParticleState:
     return dataclasses.replace(state, **kw)
 
 
+def inject_device(
+    state: ParticleState,
+    mesh,
+    locator,
+    box_lo,
+    box_hi,
+    count: int,
+    rng_seed: int = 0,
+) -> ParticleState:
+    """:func:`inject`, fully device-side (jit-friendly, zero readbacks —
+    tunnel d2h makes the host path's ``np.nonzero(active)`` cost seconds
+    at 10M lanes): dead slots come from a ``lax.sort`` compaction, seeds
+    from the same (key, step+7919+seed) uniform draw, location from the
+    grid+walk :func:`~.ops.locate.first_locate` (no brute fallback —
+    unresolved seeds stay dead, like the host path's ``ok`` mask).  With
+    >= ``count`` dead slots and a grid-resolvable box, the result is
+    bit-identical to :func:`inject`.  ``count`` is static (one compiled
+    program per burst size)."""
+    from jax import lax
+
+    from .ops import locate as locate_ops
+
+    n = state.n_particles
+    count = int(count)
+    if count <= 0:
+        return state
+    key = jax.random.fold_in(state.rng_key, state.step + 7919 + rng_seed)
+    u = jax.random.uniform(key, (count, 3), dtype=state.pos.dtype)
+    lo = jnp.asarray(box_lo, state.pos.dtype)
+    hi = jnp.asarray(box_hi, state.pos.dtype)
+    new_pos = lo + u * (hi - lo)
+    tet = locate_ops.first_locate(mesh, locator, new_pos)
+    lane = lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    slots = lax.sort(jnp.where(state.active, n, lane))[:count]
+    ok = (slots < n) & (tet >= 0)
+    zeros3 = jnp.zeros((count, 3), state.pos.dtype)
+    return dataclasses.replace(
+        state,
+        pos=state.pos.at[slots].set(new_pos, mode="drop"),
+        vel=state.vel.at[slots].set(zeros3, mode="drop"),
+        disp=state.disp.at[slots].set(zeros3, mode="drop"),
+        tet_id=state.tet_id.at[slots].set(tet, mode="drop"),
+        active=state.active.at[slots].set(ok, mode="drop"),
+    )
+
+
 def inject(
     state: ParticleState,
     mesh,

@@ -255,9 +255,16 @@ def _run_cycles_impl(
                     and max(int(getattr(cfg, "cycle_chunks", 1)), 1) >= 2
                 )
             ):
-                # packed-carry convex fast path (see the bary twin below)
+                # packed-carry convex fast path (see the bary twin below);
+                # the pad rounds the block count to a chunk multiple so
+                # the scan tiles exactly (no ragged tail chunk)
                 n0 = m0.shape[0]
-                pad = (-n0) % fused_pallas.PACK_LANES
+                pk = fused_pallas.PACK_LANES
+                chunks = max(int(getattr(cfg, "cycle_chunks", 1)), 1)
+                blocks = -(-n0 // pk)
+                if chunks > 1:
+                    blocks = -(-blocks // chunks) * chunks
+                pad = blocks * pk - n0
                 if pad:
                     m0 = jnp.pad(m0, ((0, pad), (0, 0)))
                 m_rm0 = m0.reshape(-1, 4 * fused_convex.WIDTH)
@@ -325,8 +332,19 @@ def _run_cycles_impl(
             # grouped unpack scatters a partial block's lanes out of range
             # (fused_pallas.PACK_LANES docs).  Zero-padded lanes are
             # benign: act=0, tet=0 with a zero row never goes pending.
+            # Under cycle_chunks > 1 the pad also rounds the BLOCK count
+            # up to a chunk multiple, so the scan tiles the mega exactly —
+            # a ragged tail otherwise costs a separately-compiled chunk
+            # plus full-mega concat copies every cycle (~7.6 ms/cycle at
+            # 10M lanes, round-5 profile); the pad's dead-lane compute is
+            # <= (chunks-1)/chunks of one block per chunk.
             n0 = m0.shape[0]
-            pad = (-n0) % fused_pallas.PACK_LANES
+            pk = fused_pallas.PACK_LANES
+            chunks = max(int(getattr(cfg, "cycle_chunks", 1)), 1)
+            blocks = -(-n0 // pk)
+            if chunks > 1:
+                blocks = -(-blocks // chunks) * chunks
+            pad = blocks * pk - n0
             if pad:
                 m0 = jnp.pad(m0, ((0, pad), (0, 0)))
             m_rm0 = m0.reshape(-1, 4 * ly.width)

@@ -165,6 +165,45 @@ def test_injection_slot_reuse(box, grid):
     assert int(np.asarray(out3.active).sum()) == 50
 
 
+def test_inject_device_matches_host(box, grid):
+    """The jit-friendly device-side injection (state.inject_device) is
+    bit-identical to the host path when the dead-slot count covers the
+    burst and the grid resolves every seed."""
+    import jax
+
+    from cudaparticlesfoam_tpu.mesh import set_boundary_escape
+    from cudaparticlesfoam_tpu.state import inject, inject_device
+    from cudaparticlesfoam_tpu import run_cycles
+
+    pts = np.asarray(box.points, dtype=np.float64)
+    cen = pts[np.asarray(box.tets)].mean(axis=1)
+    outward = cen - 2.0
+    outward /= np.linalg.norm(outward, axis=1, keepdims=True) + 1e-12
+    m = replace_velocity(box, tet_vel=outward * 2.0)
+    m = set_boundary_escape(m, [0])
+    st = seeded(m, grid, n=128)
+    cfg = StepConfig(dt=0.05, use_brownian=False)
+    out = run_cycles(m, st, cfg, 60)
+    assert int((~np.asarray(out.active)).sum()) >= 50
+    a, n_inj = inject(out, m, grid, (1.5,) * 3, (2.5,) * 3, 40)
+    b = jax.jit(
+        lambda s: inject_device(s, m, grid, (1.5,) * 3, (2.5,) * 3, 40)
+    )(out)
+    assert n_inj == 40
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_array_equal(np.asarray(a.tet_id), np.asarray(b.tet_id))
+    np.testing.assert_array_equal(np.asarray(a.active), np.asarray(b.active))
+    np.testing.assert_array_equal(np.asarray(a.vel), np.asarray(b.vel))
+    # burst larger than the dead pool: extra draws are dropped, alive
+    # lanes untouched
+    c = inject_device(out, m, grid, (1.5,) * 3, (2.5,) * 3, 128)
+    assert int(np.asarray(c.active).sum()) <= 128
+    alive0 = np.asarray(out.active)
+    np.testing.assert_array_equal(
+        np.asarray(c.pos)[alive0], np.asarray(out.pos)[alive0]
+    )
+
+
 def test_escape_patches_convex_mode(box, grid):
     """Absorbing patches must work in ConvexPoly locate mode too: the
     convex reflector (ops/convex.convex_reflect) deactivates on escape
