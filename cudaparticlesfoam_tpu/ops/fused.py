@@ -391,10 +391,17 @@ def _walk_mega(tab, mc, px, py, pz, act, ly: Layout, max_hops=MAX_HOPS):
 
 
 def _reflect_mega(mesh: TetMesh, tab, mc, px, py, pz, code, slot, act,
-                  ly: Layout, max_bounces=10):
+                  ly: Layout, max_bounces=10, remote=None):
     """``RTreflection`` on mega lanes: mirror across the exit plane of the
     cached exit-tet row, re-walk, repeat (<= max_bounces).  Returns updated
-    (mc, px..pz, code) with velocity columns reflected in mc."""
+    (mc, px..pz, code) with velocity columns reflected in mc.
+
+    ``remote=(R0, per)``: partitioned-mesh mode (parallel/partition.py) —
+    neighbor codes below ``-R0`` encode tets on OTHER shards
+    (``-(R0+1+g)`` for global tet g); a bounce whose re-walk exits into
+    one PAUSES the lane (settled with the sentinel tet ``-(per+g+1)``,
+    position at the mirrored point reached so far) for migration, exactly
+    like the walk pause.  ``None`` = single-device behavior, unchanged."""
     rn = ly.rn
     hit = act & (code < 0)
     tet_bd = jnp.where(hit, -(code + 1), code)
@@ -407,9 +414,16 @@ def _reflect_mega(mesh: TetMesh, tab, mc, px, py, pz, code, slot, act,
     def body(c):
         px, py, pz, tet, s, mc, settled, b = c
         refl = ~settled
+        code_nbr = _pick4(mc, rn, s).astype(jnp.int32)
+        if remote is not None:
+            # mid-bounce remote crossing: pause for migration
+            R0, per_l = remote
+            remw = refl & (code_nbr < -R0)
+            tet = jnp.where(remw, -(per_l + (-code_nbr - R0 - 1) + 1), tet)
+            settled = settled | remw
+            refl = refl & ~remw
         # absorbing (outlet) boundary faces: deactivate instead of reflect
         # (bd face identity comes from the exit tet's neighbor code)
-        code_nbr = _pick4(mc, rn, s).astype(jnp.int32)
         bd = jnp.clip(-code_nbr - 1, 0, max(mesh.n_bd_faces - 1, 0))
         esc = refl & (code_nbr < 0) & mesh.bd_escape[bd]
         tet = jnp.where(esc, -(tet + 1), tet)
@@ -571,7 +585,7 @@ def _stage_velocity(tab, m, ly: Layout, px, py, pz, alive, cfg):
 
 
 def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt, noise=None,
-                        lane_offset=0):
+                        lane_offset=0, run_lanes=None):
     n = m.shape[0]
     nb = n // BLOCK
     ly = layout_for(cfg)
@@ -774,7 +788,8 @@ def _mega_cycle_aligned(mesh: TetMesh, m, rng_key, step, cfg, dt, noise=None,
         head = head + jnp.where(ci == k, col[:, None], 0.0)
     m = jnp.where(ci < ROW, head, rows_pad)
 
-    return _rare_stage(mesh, tab, m, pending, cfg, ly, n, nb, W)
+    return _rare_stage(mesh, tab, m, pending, cfg, ly, n, nb, W,
+                       run_lanes=run_lanes)
 
 
 def _make_run_lanes(mesh: TetMesh, tab, cfg, ly: Layout):
@@ -818,11 +833,14 @@ def _make_run_lanes(mesh: TetMesh, tab, cfg, ly: Layout):
     return run_lanes
 
 
-def _rare_stage(mesh: TetMesh, tab, m, pending, cfg, ly: Layout, n, nb, W):
+def _rare_stage(mesh: TetMesh, tab, m, pending, cfg, ly: Layout, n, nb, W,
+                run_lanes=None):
     """Two-stage block-compacted resolution of the pending lanes (multi-hop
     walkers + multi-bounce wall hits); shared by the jnp and pallas stream
-    paths.  See the module docstring, stage 3."""
-    run_lanes = _make_run_lanes(mesh, tab, cfg, ly)
+    paths.  See the module docstring, stage 3.  ``run_lanes`` overrides the
+    arena resolver (partitioned shards pass a remote-pausing variant)."""
+    if run_lanes is None:
+        run_lanes = _make_run_lanes(mesh, tab, cfg, ly)
 
     # --- rare stage: two-stage BLOCK compaction (nonzero over n/8 block
     # flags is 8x cheaper than lane-level), processed in rounds until no

@@ -102,22 +102,16 @@ class ParticleEngine:
             )
         if strategy == "dp" and n_dev <= 1:
             strategy = "single"
-        if (
-            strategy == "partitioned"
-            and getattr(cfg, "brownian_rng", "threefry") == "rbg_kernel"
-        ):
-            # the partitioned cycle draws noise keyed by GLOBAL particle
-            # id (migration-stable; partition.py) and has no pallas path,
-            # so the in-kernel mode does not exist there — degrade to the
-            # XLA "rbg" stream.  DP keeps rbg_kernel: advance() routes it
-            # through sharding.run_cycles_dp_shardmap, which seeds each
-            # shard's in-kernel PRNG with its global lane offset (disjoint
-            # streams; single-device trajectory parity when the per-shard
-            # lane count tiles whole pallas blocks).
-            import dataclasses as _dc
-
-            cfg = _dc.replace(cfg, brownian_rng="rbg")
-            self.cfg = cfg
+        # NOTE: the partitioned cycle draws Brownian noise keyed by
+        # (run key, step, GLOBAL particle id) — migration- and
+        # shard-count-stable — regardless of cfg.brownian_rng; the knob
+        # selects among lane-offset-keyed stream constructions that only
+        # exist on the single/DP paths, so there is nothing to downgrade
+        # (the former silent rbg_kernel->rbg rewrite is gone with the
+        # bespoke cycle; partition._local_cycle_cached documents the
+        # stream).  DP keeps rbg_kernel: advance() routes it through
+        # sharding.run_cycles_dp_shardmap, which seeds each shard's
+        # in-kernel PRNG with its global lane offset (disjoint streams).
         self.strategy = strategy
         log(
             f"#adv: engine strategy={strategy} devices={n_dev} "
