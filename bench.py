@@ -112,6 +112,58 @@ def build_unstructured_workload(n_side, n_particles, diffusion=1e-3,
     return mesh, st
 
 
+def run_config_injected(name, mesh, st, n_particles, dt, n_cycles,
+                        burst_every, burst_count, box_lo, box_hi,
+                        diffusion=1e-3):
+    """BASELINE config-4 timed loop: fused cycles with PERIODIC in-loop
+    particle injection (state.inject_device — fully device-side, zero
+    readbacks) refilling slots freed by the absorbing outflow patch.
+    Wall time covers cycles + injections."""
+    import jax
+
+    from cudaparticlesfoam_tpu import StepConfig, run_cycles
+    from cudaparticlesfoam_tpu import build_grid_locator
+    from cudaparticlesfoam_tpu.state import inject_device
+    from cudaparticlesfoam_tpu.stepper import suggest_tuning
+
+    loc = build_grid_locator(mesh)
+    cfg = suggest_tuning(
+        mesh, StepConfig(dt=dt, diffusion_coeff=diffusion,
+                         brownian_rng="rbg_kernel", escape_faces=True),
+        dt, n_particles=n_particles,
+    )
+    log(f"[{name}] tuned: inline_hops={cfg.inline_hops} "
+        f"chunks={cfg.cycle_chunks} hc={cfg.hop_compact}")
+
+    def one_pass(sst, salt):
+        for j in range(n_cycles // burst_every):
+            sst = run_cycles(mesh, sst, cfg, burst_every)
+            sst = inject_device(
+                sst, mesh, loc, box_lo, box_hi, burst_count,
+                rng_seed=salt * 997 + j,
+            )
+        return sst
+
+    t0 = time.perf_counter()
+    sst = one_pass(st, 0)
+    jax.block_until_ready(sst.pos)
+    log(f"[{name}] compile+first batch: {time.perf_counter()-t0:.1f}s")
+    dt_wall = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        sst = one_pass(sst, 1 + rep)
+        jax.block_until_ready(sst.pos)
+        dt_wall = min(dt_wall, time.perf_counter() - t0)
+    steps_per_sec = n_particles * n_cycles / dt_wall
+    import jax.numpy as jnp
+
+    act = int(jnp.sum(sst.active.astype(jnp.int32)))
+    log(f"[{name}] {n_cycles} cycles + {n_cycles//burst_every} injections "
+        f"in {dt_wall:.2f}s -> {steps_per_sec/1e6:.1f}M steps/s; "
+        f"active={act}")
+    return steps_per_sec
+
+
 def run_config(name, n_side, n_particles, dt, n_cycles, diffusion=1e-3,
                locate_mode="bary", workload=None, escape=False):
     import jax
@@ -214,6 +266,22 @@ def main():
         "unstructured-outflow", n_side, 4_000_000, 0.05,
         max(n_cycles // 2, 20), workload=wl_u, escape=True,
     )
+    del wl_u
+    # FULL BASELINE config 4: "~5M-tet mesh, 10M-100M particles,
+    # injection/deletion + outflow boundaries" — 95^3 hexes x 6 = 5.14M
+    # jittered tets (411 MB walk table: past any S(1) budget, the
+    # large-table regime), 10M particles, absorbing +x patch, and
+    # PERIODIC in-loop injection refilling escaped slots inside the
+    # timed region (state.inject_device)
+    n5 = 95
+    mesh5, st5 = build_unstructured_workload(n5, 10_000_000)
+    lo5, hi5 = 0.05 * n5, 0.95 * n5
+    unstructured_5m = run_config_injected(
+        "unstructured-5m-inject", mesh5, st5, 10_000_000, 0.05,
+        max(n_cycles // 10, 20), burst_every=10, burst_count=65536,
+        box_lo=(lo5,) * 3, box_hi=(hi5,) * 3,
+    )
+    del mesh5, st5
 
     north_star = 100e6  # BASELINE.json: >=100M particle-steps/sec/chip
     print(
@@ -227,6 +295,7 @@ def main():
                 "convex_mode_steps_per_sec": round(convex, 1),
                 "steps_per_sec_10m": round(scale_10m, 1),
                 "unstructured_steps_per_sec": round(unstructured, 1),
+                "unstructured_5m_steps_per_sec": round(unstructured_5m, 1),
             }
         )
     )

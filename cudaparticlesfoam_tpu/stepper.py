@@ -549,10 +549,15 @@ def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None,
     # full-batch gather is per-INDEX bound).  Third+ crossers per group
     # overflow to the rare arena, so gate on a crossing rate where that
     # overflow stays small (<~1% of lanes below c~0.35).
+    # CONVEX too since round 5: the round-4 "S(1) contest" dead end was an
+    # artifact of the ragged tail chunk (half the 1M batch ran a separate
+    # tail program + full-mega concat copies); with exact chunk tiling,
+    # hc=4 on the packed convex engine measured 15.07 -> 13.57-14.02
+    # ms/cycle at 1M (66 -> 71-74M steps/s, 49^3 and 55^3 meshes).
     hop_compact = (
         4
         if (
-            pallas_tet
+            (pallas_tet or (pallas_cx and n_p >= 1_000_000))
             and hops == 1
             and crossings < 0.35
             and n_p >= fused_pallas.PACK_MIN_LANES

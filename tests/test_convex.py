@@ -237,11 +237,19 @@ def test_packed_convex_bit_parity_on_tpu():
         cfg = StepConfig(dt=dt, diffusion_coeff=2e-3, locate_mode="convex",
                          walk_capacity_frac=0.25, brownian_rng="rbg")
         out_j = run_cycles(mesh, st, dc.replace(cfg, engine_impl="jnp"), 10)
-        for ck in (1, 2):
-            out_p = run_cycles(
-                mesh, st,
-                dc.replace(cfg, engine_impl="pallas_packed",
-                           cycle_chunks=ck), 10)
+        variants = [
+            dc.replace(cfg, engine_impl="pallas_packed", cycle_chunks=1),
+            dc.replace(cfg, engine_impl="pallas_packed", cycle_chunks=2),
+            # block-compacted hop gather (round-5 default at >=1M lanes):
+            # normal capacity + a tiny one forcing overflow into the rare
+            # arena — bit-identical either way
+            dc.replace(cfg, engine_impl="pallas_packed", cycle_chunks=2,
+                       hop_compact=4, hop_compact_frac=0.6),
+            dc.replace(cfg, engine_impl="pallas_packed", cycle_chunks=2,
+                       hop_compact=4, hop_compact_frac=0.02),
+        ]
+        for vcfg in variants:
+            out_p = run_cycles(mesh, st, vcfg, 10)
             np.testing.assert_array_equal(
                 np.asarray(out_j.pos), np.asarray(out_p.pos))
             np.testing.assert_array_equal(
