@@ -23,9 +23,9 @@ Design:
   Slot bookkeeping (free-slot compaction, overflow deferral) is fully
   static-shape.
 
-Determinism note: Brownian noise is keyed by (step, shard), so particle
-noise streams are iid but not stable across migrations; disable Brownian
-for bitwise multi-device equivalence tests.
+Determinism note: Brownian noise is keyed by (run key, step, GLOBAL
+particle id), so each particle's stream is stable across migrations and
+shard counts.
 """
 
 from __future__ import annotations
@@ -48,7 +48,8 @@ from ..utils.pytree import pytree_dataclass
 class PartitionedMesh:
     """Slab-partitioned walk tables; arrays carry a leading shard axis."""
 
-    tet_row: jnp.ndarray    # [S, P, 20|24|29] (neighbor codes remain GLOBAL ids)
+    tet_row: jnp.ndarray    # [S, P, 20|24|29] (embedded neighbor codes
+    #                         LOCALLY encoded per shard, _encode_local_nbr)
     tet_nbr: jnp.ndarray    # [S, P, 4]   int32 global codes
     perm: jnp.ndarray       # [nt] old tet id -> new (sorted) id
     inv_perm: jnp.ndarray   # [nt] new -> old
@@ -75,6 +76,21 @@ class ShardedParticles:
     step: jnp.ndarray
     n_shards: int
     capacity: int
+
+
+def _encode_local_nbr(nbr, per, R0, xp):
+    """Per-shard local encoding of GLOBAL neighbor codes embedded in the
+    packed walk rows ([S*per, 4], shard s owns rows [s*per, (s+1)*per)):
+    in-shard tets -> LOCAL ids, boundary codes (< 0) unchanged, remote
+    tets -> ``-(R0+1+g)``.  ``xp`` is numpy (partition time) or jnp
+    (device-side geometry refresh); both produce bit-identical f32-exact
+    codes (needs ``R0 + 1 + n_tets < 2**24``)."""
+    n = nbr.shape[0]
+    lo = (xp.arange(n, dtype=nbr.dtype) // per * per)[:, None]
+    in_sh = (nbr >= lo) & (nbr < lo + per)
+    return xp.where(
+        in_sh, nbr - lo, xp.where(nbr < 0, nbr, -(R0 + 1 + nbr))
+    )
 
 
 def partition_mesh(mesh: TetMesh, n_shards: int,
@@ -123,24 +139,29 @@ def partition_mesh(mesh: TetMesh, n_shards: int,
     row = src[inv_perm]
     nbr_old = meshlib.host_np(mesh, "tet_nbr")[inv_perm]  # [nt,4] old codes
     nbr = np.where(nbr_old >= 0, perm[np.clip(nbr_old, 0, nt - 1)], nbr_old)
-    # renumber the neighbor codes embedded in the packed rows (unused by
-    # the shard-local cycle, which reads the separate tet_nbr array, but
-    # kept consistent)
     row = row.copy()
     nbr_col = {"pk": 24, "cx": 16, "tet": 15}[layout]
-    row[:, nbr_col : nbr_col + 4] = nbr.astype(row.dtype)
 
     if pad:
         # padding tets: self-contained dummies (all-boundary) never reached
         prow = np.zeros((pad, w), row.dtype)
         prow[:, 3] = prow[:, 7] = prow[:, 11] = 1.0      # identity Tinv
-        prow[:, nbr_col : nbr_col + 4] = -1.0
         row = np.concatenate([row, prow])
         nbr = np.concatenate([nbr, np.full((pad, 4), -1, np.int32)])
 
     bd_esc = meshlib.host_np(mesh, "bd_escape")
     if bd_esc.size == 0:
         bd_esc = np.zeros(1, bool)
+    # embed LOCALLY-ENCODED neighbor codes in the packed rows, hoisting
+    # the cached shard cycle's per-cycle re-encode (a full-table copy per
+    # sub-step) to partition time: in-shard neighbors as LOCAL ids,
+    # boundary codes unchanged, remote tets as -(R0+1+g) — the encoding
+    # _make_run_lanes_remote / the inline hop classify consume.  The raw
+    # GLOBAL codes stay in ``tet_nbr`` (the convex tracer and migration
+    # need them).
+    row[:, nbr_col : nbr_col + 4] = _encode_local_nbr(
+        nbr, per, bd_esc.shape[0], np
+    ).astype(row.dtype)
     return PartitionedMesh(
         tet_row=jnp.asarray(row.reshape(n_shards, per, w)),
         tet_nbr=jnp.asarray(nbr.reshape(n_shards, per, 4), jnp.int32),
@@ -239,13 +260,15 @@ def refresh_geometry(pm: PartitionedMesh, mesh: TetMesh,
         prow = jnp.zeros((pad, w), row.dtype)
         prow = prow.at[:, 3].set(1.0).at[:, 7].set(1.0).at[:, 11].set(1.0)
         row = jnp.concatenate([row, prow])
-    nbr_col = {"pk": 24, "cx": 16, "tet": 15}[layout]
-    row = row.at[:, nbr_col : nbr_col + 4].set(
-        pm.tet_nbr.reshape(-1, 4).astype(row.dtype)
-    )
     bd_esc = mesh.bd_escape
     if bd_esc.size == 0:
         bd_esc = jnp.zeros(1, bool)
+    nbr_col = {"pk": 24, "cx": 16, "tet": 15}[layout]
+    row = row.at[:, nbr_col : nbr_col + 4].set(
+        _encode_local_nbr(
+            pm.tet_nbr.reshape(-1, 4), per, bd_esc.shape[0], jnp
+        ).astype(row.dtype)
+    )
     return dataclasses.replace(
         pm,
         tet_row=row.reshape(S, per, w),
@@ -439,8 +462,9 @@ def _local_cycle_cached(rows, nbrs, bd_esc, shard_id, per, pos, vel, disp,
     single-device path, replacing the bespoke full-batch jnp cycle
     (round-5; VERDICT weak #3).  Remote handling:
 
-    * the slab's walk rows are re-encoded per cycle: in-shard neighbors
-      as LOCAL ids, boundary codes unchanged, remote tets as
+    * the slab's walk rows carry LOCALLY-ENCODED neighbor codes, embedded
+      at partition/refresh time (:func:`_encode_local_nbr`): in-shard
+      neighbors as LOCAL ids, boundary codes unchanged, remote tets as
       ``-(R0+1+g)`` (R0 = #boundary faces) -- the inline hop never steps
       them (code < 0) and the rare arena's :func:`_make_run_lanes_remote`
       pauses them with the sentinel tet ``-(per+g+1)``;
@@ -470,11 +494,7 @@ def _local_cycle_cached(rows, nbrs, bd_esc, shard_id, per, pos, vel, disp,
     ly = fused.LAYOUT_PK if w == fused.LAYOUT_PK.row_w else fused.LAYOUT_TET
     fdt = pos.dtype
 
-    in_sh = (nbrs >= lo) & (nbrs < lo + per)
-    enc = jnp.where(
-        in_sh, nbrs - lo, jnp.where(nbrs < 0, nbrs, -(R0 + 1 + nbrs))
-    )
-    tab = rows.at[:, ly.nbr : ly.nbr + 4].set(enc.astype(rows.dtype))
+    tab = rows                      # neighbor codes pre-encoded per shard
     mesh_view = SimpleNamespace(
         tet_row=tab if ly is fused.LAYOUT_TET else None,
         tet_row_pk=tab if ly is fused.LAYOUT_PK else None,
@@ -748,7 +768,7 @@ def _migrate(pos, vel, disp, tet, act, res, pid, shard_id, per, n_shards,
          pid[:, None].astype(pos.dtype)], axis=1
     )                                                     # [C, 12]
     W = payload.shape[1]
-    send = jnp.zeros((S, cap_out, W), pos.dtype)
+    C = pos.shape[0]
     # rank within destination group via segment cumsum
     onehot = (dest[:, None] == jnp.arange(S)[None, :]) & leaving[:, None]
     ranks = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1   # [C, S]
@@ -756,15 +776,30 @@ def _migrate(pos, vel, disp, tet, act, res, pid, shard_id, per, n_shards,
     fits = leaving & (lane_rank < cap_out) & (
         lane_rank < grant[jnp.clip(dest, 0, S - 1)]
     )
-    send = send.at[
-        jnp.where(fits, dest, S),           # out-of-bounds when not sending
-        jnp.where(fits, lane_rank, 0),
-    ].set(payload, mode="drop")
-    # validity channel
-    valid = jnp.zeros((S, cap_out), bool).at[
-        jnp.where(fits, dest, S), jnp.where(fits, lane_rank, 0)
-    ].set(True, mode="drop")
-    send = jnp.concatenate([send, valid[..., None].astype(pos.dtype)], axis=-1)
+    # build the send buffer by SORT + GATHER, not row scatter: scattering
+    # C payload rows into the [S, cap_out, W] buffer measured ~70 ns/idx
+    # (137 ms/cycle at C=2M, the dominant partitioned-step op); a stable
+    # group-by-destination sort (lexicographic (key, lane) = stable by
+    # construction) + a cap_out-row gather does the same packing at the
+    # table-gather rate.  Sort order == cumsum rank order, so the packed
+    # slots are bit-identical to the scatter version.
+    key = jnp.where(fits, dest, S).astype(jnp.int32)
+    lane_iota = lax.broadcasted_iota(jnp.int32, (C, 1), 0)[:, 0]
+    _, perm_sorted = lax.sort((key, lane_iota), dimension=0, num_keys=2)
+    sent = jnp.minimum(grant, cap_out)                    # grant <= req
+    offset = jnp.cumsum(sent) - sent                      # [S] group starts
+    r_io = lax.broadcasted_iota(jnp.int32, (S, cap_out), 1)
+    src = perm_sorted[
+        jnp.clip(offset[:, None] + r_io, 0, C - 1)
+    ].reshape(-1)                                         # [S*cap_out]
+    valid_s = (r_io < sent[:, None]).reshape(-1)
+    rows_g = payload[src]                                 # gather, not scatter
+    send = jnp.where(
+        valid_s[:, None], rows_g, 0.0
+    ).reshape(S, cap_out, W)
+    send = jnp.concatenate(
+        [send, valid_s.reshape(S, cap_out, 1).astype(pos.dtype)], axis=-1
+    )
 
     # exchange over the shard axis
     recv = lax.all_to_all(send, "s", split_axis=0, concat_axis=0, tiled=False)
@@ -780,22 +815,32 @@ def _migrate(pos, vel, disp, tet, act, res, pid, shard_id, per, n_shards,
     rrank = jnp.cumsum(rvalid.astype(jnp.int32)) - 1
     n_free = jnp.sum(free.astype(jnp.int32))
     can_place = rvalid & (rrank < n_free)
-    # free slot index per rank: compact free slots
-    C = pos.shape[0]
-    free_slots = jnp.nonzero(free, size=C, fill_value=C - 1)[0].astype(jnp.int32)
+    # free slot index per rank: compact free slots via SORT of
+    # iota-where-free (jnp.nonzero's index materialization lowers to a
+    # scalar-memory scatter-add, ~9 ms per 1M slots — the same disease
+    # the rare stage fixed in round 3)
+    slot_iota = lax.broadcasted_iota(jnp.int32, (C, 1), 0)[:, 0]
+    free_slots = jnp.minimum(
+        lax.sort(jnp.where(free, slot_iota, C)), C - 1
+    )
     slot_for = free_slots[jnp.clip(rrank, 0, C - 1)]
     tgt = jnp.where(can_place, slot_for, C)
 
-    def put(arr, vals):
-        return arr.at[tgt].set(vals, mode="drop")
-
-    pos = put(pos, recv[:, 0:3])
-    vel = put(vel, recv[:, 3:6])
-    disp = put(disp, recv[:, 6:9])
-    tet = put(tet, recv[:, 9].astype(jnp.int32))
-    act = put(act, recv[:, 10] > 0.5)
-    pid = put(pid, recv[:, 11].astype(jnp.int32))
-    res = put(res, can_place)
+    # ONE merged-row scatter + streaming column merges: seven per-array
+    # scatters measured ~46 ns/idx on the [C,3] T(4,128) layouts (~75
+    # ms/cycle at C=2M); one [R, W+1] row scatter into a row-major
+    # staging buffer runs at the 1-D scatter rate, and the validity
+    # column doubles as the placed mask.
+    staged = jnp.zeros((C, W + 1), pos.dtype).at[tgt].set(recv, mode="drop")
+    placed = staged[:, W] > 0.5
+    pm3 = placed[:, None]
+    pos = jnp.where(pm3, staged[:, 0:3], pos)
+    vel = jnp.where(pm3, staged[:, 3:6], vel)
+    disp = jnp.where(pm3, staged[:, 6:9], disp)
+    tet = jnp.where(placed, staged[:, 9].astype(jnp.int32), tet)
+    act = jnp.where(placed, staged[:, 10] > 0.5, act)
+    pid = jnp.where(placed, staged[:, 11].astype(jnp.int32), pid)
+    res = res | placed
     deferred = jnp.sum((leaving & ~fits).astype(jnp.int32))
     migrated = jnp.sum(fits.astype(jnp.int32))
     return pos, vel, disp, tet, act, res, pid, migrated, deferred
@@ -852,6 +897,26 @@ def make_partitioned_step(pm: PartitionedMesh, cfg: StepConfig, device_mesh: Mes
         )
 
     return step
+
+
+def make_partitioned_runner(pm: PartitionedMesh, cfg: StepConfig,
+                            device_mesh: Mesh, n_cycles: int,
+                            cap_out_frac: float = 0.25):
+    """``n_cycles`` partitioned steps in ONE jit (``lax.scan`` over the
+    step body).  Through the axon tunnel a per-cycle Python dispatch costs
+    ~26 ms — time the partitioned cycle with this, not a step() loop."""
+    step = make_partitioned_step(pm, cfg, device_mesh, cap_out_frac)
+
+    @jax.jit
+    def run(pmesh: PartitionedMesh, sp: ShardedParticles, dt):
+        def body(s, _):
+            s2, _diag = step(pmesh, s, dt)
+            return s2, None
+
+        sp2, _ = lax.scan(body, sp, None, length=n_cycles)
+        return sp2
+
+    return run
 
 
 def make_settle_step(pm: PartitionedMesh, cfg: StepConfig, device_mesh: Mesh):

@@ -591,10 +591,13 @@ def suggest_tuning(mesh: TetMesh, cfg: StepConfig, dt=None,
     # is steep (headline sweep: alf 0.25 -> 9.09 ms, 0.21875 -> 8.73,
     # 0.1875 -> 8.50 [x3 reproduced], 0.15625 -> 8.25, 0.125 -> 11.58);
     # auto picks 0.1875 — one comfortable step above the cliff.
-    if pallas_cx or (hops >= 2 and not hop_compact):
-        arena_lf = 0.125
-    elif hop_compact:
+    # hc=4 first: its pending includes hop-compaction overflow and the
+    # undersize cliff is steep in BOTH locate modes (bary headline sweep
+    # above; convex 1M: alf 0.125 -> 15.40 ms, 0.1875 -> 14.02)
+    if hop_compact:
         arena_lf = 0.1875
+    elif pallas_cx or hops >= 2:
+        arena_lf = 0.125
     else:
         arena_lf = cfg.arena_lane_frac
     return dataclasses.replace(
