@@ -150,6 +150,7 @@ class ParticleEngine:
             self._pm, self._sp = partition.shard_arrays(self._pm, sp, self.dmesh)
             self._step = partition.make_partitioned_step(self._pm, cfg, self.dmesh)
             self._settle = partition.make_settle_step(self._pm, cfg, self.dmesh)
+            self._runners = {}
             self._deferred = 0
             self._migrated = 0
         else:
@@ -239,13 +240,24 @@ class ParticleEngine:
 
     def advance(self, n_cycles: int, dt) -> None:
         if self.strategy == "partitioned":
-            for i in range(n_cycles):
+            if n_cycles == 1:
                 self._sp, stats = self._step(self._pm, self._sp, dt)
-                # device-side accumulation keeps dispatch asynchronous
-                self._deferred = self._deferred + stats["deferred"]
-                self._migrated = self._migrated + stats["migrated"]
-                if i % 16 == 15:
-                    jax.block_until_ready(self._sp.pos)
+            else:
+                # one dispatch for the whole batch (lax.scan): per-cycle
+                # Python dispatch costs ~26 ms through the axon tunnel;
+                # compiled runners are cached per batch length
+                from . import partition
+
+                runner = self._runners.get(n_cycles)
+                if runner is None:
+                    runner = partition.make_partitioned_runner(
+                        self._pm, self.cfg, self.dmesh, n_cycles
+                    )
+                    self._runners[n_cycles] = runner
+                self._sp, stats = runner(self._pm, self._sp, dt)
+            # device-side accumulation keeps dispatch asynchronous
+            self._deferred = self._deferred + stats["deferred"]
+            self._migrated = self._migrated + stats["migrated"]
             return
         if self.strategy == "dp":
             from . import sharding

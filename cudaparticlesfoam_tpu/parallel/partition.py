@@ -810,29 +810,26 @@ def _migrate(pos, vel, disp, tet, act, res, pid, shard_id, per, n_shards,
     # drop sent lanes locally (only those that fit)
     res = res & ~fits
 
-    # place received into free slots (guaranteed to fit by the quota)
-    free = ~res
-    rrank = jnp.cumsum(rvalid.astype(jnp.int32)) - 1
-    n_free = jnp.sum(free.astype(jnp.int32))
-    can_place = rvalid & (rrank < n_free)
-    # free slot index per rank: compact free slots via SORT of
-    # iota-where-free (jnp.nonzero's index materialization lowers to a
-    # scalar-memory scatter-add, ~9 ms per 1M slots — the same disease
-    # the rare stage fixed in round 3)
-    slot_iota = lax.broadcasted_iota(jnp.int32, (C, 1), 0)[:, 0]
-    free_slots = jnp.minimum(
-        lax.sort(jnp.where(free, slot_iota, C)), C - 1
+    # place received into free slots (guaranteed to fit by the quota):
+    # MERGE-BY-GATHER.  Scatter formulations measured hostile at C=2M —
+    # seven per-array scatters ~75 ms/cycle, and even ONE merged-row
+    # scatter into a [C, W+1] staging buffer ran at 50 ms/cycle (XLA
+    # lays the staging out column-major, so row scatters go lane-by-
+    # lane).  Instead: stable-sort the R recv rows by validity (valid
+    # rows first, arrival order kept), rank the free slots by cumsum,
+    # and let free slot #k GATHER valid recv row #k — one [C]-index row
+    # gather at the table-gather rate plus streaming selects.
+    R = recv.shape[0]
+    r_iota = lax.broadcasted_iota(jnp.int32, (R, 1), 0)[:, 0]
+    _, rperm = lax.sort(
+        ((~rvalid).astype(jnp.int32), r_iota), dimension=0, num_keys=2
     )
-    slot_for = free_slots[jnp.clip(rrank, 0, C - 1)]
-    tgt = jnp.where(can_place, slot_for, C)
-
-    # ONE merged-row scatter + streaming column merges: seven per-array
-    # scatters measured ~46 ns/idx on the [C,3] T(4,128) layouts (~75
-    # ms/cycle at C=2M); one [R, W+1] row scatter into a row-major
-    # staging buffer runs at the 1-D scatter rate, and the validity
-    # column doubles as the placed mask.
-    staged = jnp.zeros((C, W + 1), pos.dtype).at[tgt].set(recv, mode="drop")
-    placed = staged[:, W] > 0.5
+    free = ~res
+    fs_rank = jnp.cumsum(free.astype(jnp.int32)) - 1       # [C]
+    n_recv = jnp.sum(rvalid.astype(jnp.int32))
+    placed = free & (fs_rank < n_recv)
+    recv_idx = rperm[jnp.clip(fs_rank, 0, R - 1)]
+    staged = recv[jnp.where(placed, recv_idx, 0)]          # [C, W+1]
     pm3 = placed[:, None]
     pos = jnp.where(pm3, staged[:, 0:3], pos)
     vel = jnp.where(pm3, staged[:, 3:6], vel)
@@ -910,11 +907,12 @@ def make_partitioned_runner(pm: PartitionedMesh, cfg: StepConfig,
     @jax.jit
     def run(pmesh: PartitionedMesh, sp: ShardedParticles, dt):
         def body(s, _):
-            s2, _diag = step(pmesh, s, dt)
-            return s2, None
+            s2, diag = step(pmesh, s, dt)
+            return s2, jnp.stack([diag["migrated"], diag["deferred"]])
 
-        sp2, _ = lax.scan(body, sp, None, length=n_cycles)
-        return sp2
+        sp2, md = lax.scan(body, sp, None, length=n_cycles)
+        return sp2, {"migrated": jnp.sum(md[:, 0]),
+                     "deferred": jnp.sum(md[:, 1])}
 
     return run
 

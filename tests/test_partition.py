@@ -398,3 +398,33 @@ def test_partitioned_geometry_refresh(circulating):
     pos, vel, tet, act = partition.collect_particles(pm2, sp, stm.n_particles)
     np.testing.assert_allclose(pos, np.asarray(ref.pos), atol=1e-6)
     np.testing.assert_array_equal(tet, np.asarray(ref.tet_id))
+
+
+def test_partitioned_runner_matches_step_loop(circulating):
+    # one-dispatch scan runner == n explicit step() dispatches, and its
+    # summed migration stats match the per-step accumulation
+    mesh, st = circulating
+    cfg = StepConfig(dt=0.05, use_brownian=False, engine="simple")
+    pm = partition.partition_mesh(mesh, S)
+    dmesh = sharding.make_device_mesh(S, axis="s")
+    sp0 = partition.distribute_particles(
+        pm, st.pos, st.vel, st.tet_id, st.active, rng_key=st.rng_key
+    )
+    pm, sp0 = partition.shard_arrays(pm, sp0, dmesh)
+    step = partition.make_partitioned_step(pm, cfg, dmesh)
+    sp_loop, migrated = sp0, 0
+    for _ in range(12):
+        sp_loop, mstats = step(pm, sp_loop, 0.05)
+        migrated += int(mstats["migrated"])
+    run = partition.make_partitioned_runner(pm, cfg, dmesh, 12)
+    sp_scan, stats = run(pm, sp0, 0.05)
+    assert int(stats["migrated"]) == migrated
+    np.testing.assert_array_equal(
+        np.asarray(sp_scan.pos), np.asarray(sp_loop.pos)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sp_scan.tet), np.asarray(sp_loop.tet)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sp_scan.resident), np.asarray(sp_loop.resident)
+    )

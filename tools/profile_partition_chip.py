@@ -68,7 +68,7 @@ def main():
     float(np.asarray(jax.device_get(sp.pos[0, 0, 0])))
     print(f"compile+first {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
-    sp = run(pm, sp, cfg.dt)
+    sp, _ = run(pm, sp, cfg.dt)
     float(np.asarray(jax.device_get(sp.pos[0, 0, 0])))
     print(f"runner compile+first {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
@@ -76,7 +76,7 @@ def main():
     tdir = tempfile.mkdtemp(prefix="jxtrace_part_")
     jax.profiler.start_trace(tdir)
     t0 = time.perf_counter()
-    sp = run(pm, sp, cfg.dt)
+    sp, _ = run(pm, sp, cfg.dt)
     float(np.asarray(jax.device_get(sp.pos[0, 0, 0])))
     wall = time.perf_counter() - t0
     jax.profiler.stop_trace()
