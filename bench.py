@@ -165,7 +165,8 @@ def run_config_injected(name, mesh, st, n_particles, dt, n_cycles,
 
 
 def run_config(name, n_side, n_particles, dt, n_cycles, diffusion=1e-3,
-               locate_mode="bary", workload=None, escape=False):
+               locate_mode="bary", workload=None, escape=False,
+               integrator="euler", brownian=True):
     import jax
 
     from cudaparticlesfoam_tpu import StepConfig, run_cycles
@@ -198,7 +199,8 @@ def run_config(name, n_side, n_particles, dt, n_cycles, diffusion=1e-3,
     cfg = suggest_tuning(
         mesh, StepConfig(dt=dt, diffusion_coeff=diffusion,
                          brownian_rng="rbg_kernel", locate_mode=locate_mode,
-                         escape_faces=escape),
+                         escape_faces=escape, integrator=integrator,
+                         use_brownian=brownian),
         dt, n_particles=n_particles,
     )
     log(f"[{name}] tuned: inline_hops={cfg.inline_hops} "
@@ -237,6 +239,46 @@ def run_config(name, n_side, n_particles, dt, n_cycles, diffusion=1e-3,
     return steps_per_sec, (mesh, st)
 
 
+def run_config_partitioned(name, workload, n_particles, dt, n_cycles,
+                           slack=1.5):
+    """The multi-chip regime's shard-local cycle + full migration glue on
+    one chip (S=1): headline workload in ``slack``x particle slots, timed
+    through the one-dispatch scan runner (a per-cycle Python dispatch
+    costs ~26 ms through the axon tunnel)."""
+    import jax
+
+    from cudaparticlesfoam_tpu import StepConfig
+    from cudaparticlesfoam_tpu.parallel import partition, sharding
+    from cudaparticlesfoam_tpu.stepper import suggest_tuning
+
+    mesh, st = workload
+    cfg = suggest_tuning(
+        mesh, StepConfig(dt=dt, diffusion_coeff=1e-3), dt,
+        n_particles=n_particles,
+    )
+    pm = partition.partition_mesh(mesh, 1)
+    dmesh = sharding.make_device_mesh(1, axis="s")
+    sp = partition.distribute_particles(
+        pm, st.pos, st.vel, st.tet_id, st.active, slack=slack
+    )
+    pm, sp = partition.shard_arrays(pm, sp, dmesh)
+    run = partition.make_partitioned_runner(pm, cfg, dmesh, n_cycles)
+    t0 = time.perf_counter()
+    sp, _ = run(pm, sp, dt)
+    jax.block_until_ready(sp.pos)
+    log(f"[{name}] compile+first batch: {time.perf_counter()-t0:.1f}s")
+    dt_wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sp, _ = run(pm, sp, dt)
+        jax.block_until_ready(sp.pos)
+        dt_wall = min(dt_wall, time.perf_counter() - t0)
+    sps = n_particles * n_cycles / dt_wall
+    log(f"[{name}] {n_cycles} cycles in {dt_wall:.2f}s -> "
+        f"{sps/1e6:.1f}M steps/s (capacity {sp.pos.shape[1]})")
+    return sps
+
+
 def main():
     n_side = int(sys.argv[1]) if len(sys.argv) > 1 else 55
     n_particles = int(float(sys.argv[2])) if len(sys.argv) > 2 else 1_000_000
@@ -249,6 +291,13 @@ def main():
         "convex-default", n_side, n_particles, 0.05, n_cycles,
         locate_mode="convex", workload=wl,
     )
+    # BASELINE config 2's integrator: "1M tracers, RK4 + wall rebound" —
+    # pure advection (no Brownian), integrator="rk4" on the cached engine
+    # (round-5; stage velocities via fused._stage_velocity)
+    rk4, _ = run_config(
+        "rk4-tracers", n_side, n_particles, 0.05, max(n_cycles // 2, 20),
+        workload=wl, integrator="rk4", brownian=False,
+    )
     tutorial, _ = run_config("tutorial-scale", 29, 100_000, 1.0, max(n_cycles, 200))
     # scale config (BASELINE config 4's particle count): 10M particles on
     # the same 1M-tet mesh — catches large-batch gather regressions that
@@ -257,6 +306,11 @@ def main():
     scale_10m, _ = run_config(
         "scale-10m", n_side, 10_000_000, 0.05, max(n_cycles // 5, 20),
         workload=wl,
+    )
+    # partitioned strategy on one chip (BASELINE config 5's shard-local
+    # cycle + full migration glue at S=1; round-5 measured)
+    partitioned = run_config_partitioned(
+        "partitioned-1shard", wl, n_particles, 0.05, max(n_cycles // 5, 20)
     )
     # unstructured + outflow config (BASELINE config 4's character):
     # jittered irregular tets, absorbing +x patch, escape faces on the
@@ -291,11 +345,13 @@ def main():
                 "value": round(headline, 1),
                 "unit": "particle-steps/s",
                 "vs_baseline": round(headline / north_star, 4),
+                "rk4_steps_per_sec": round(rk4, 1),
                 "tutorial_scale_steps_per_sec": round(tutorial, 1),
                 "convex_mode_steps_per_sec": round(convex, 1),
                 "steps_per_sec_10m": round(scale_10m, 1),
                 "unstructured_steps_per_sec": round(unstructured, 1),
                 "unstructured_5m_steps_per_sec": round(unstructured_5m, 1),
+                "partitioned_steps_per_sec": round(partitioned, 1),
             }
         )
     )

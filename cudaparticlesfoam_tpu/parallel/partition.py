@@ -797,15 +797,11 @@ def _migrate(pos, vel, disp, tet, act, res, pid, shard_id, per, n_shards,
     send = jnp.where(
         valid_s[:, None], rows_g, 0.0
     ).reshape(S, cap_out, W)
-    send = jnp.concatenate(
-        [send, valid_s.reshape(S, cap_out, 1).astype(pos.dtype)], axis=-1
-    )
 
     # exchange over the shard axis
     recv = lax.all_to_all(send, "s", split_axis=0, concat_axis=0, tiled=False)
-    # recv: [S, cap_out, W+1] — chunks from every source shard
-    recv = recv.reshape(S * cap_out, W + 1)
-    rvalid = recv[:, W] > 0.5
+    # recv: [S, cap_out, W] — chunks from every source shard
+    recv = recv.reshape(S * cap_out, W)
 
     # drop sent lanes locally (only those that fit)
     res = res & ~fits
@@ -815,21 +811,22 @@ def _migrate(pos, vel, disp, tet, act, res, pid, shard_id, per, n_shards,
     # seven per-array scatters ~75 ms/cycle, and even ONE merged-row
     # scatter into a [C, W+1] staging buffer ran at 50 ms/cycle (XLA
     # lays the staging out column-major, so row scatters go lane-by-
-    # lane).  Instead: stable-sort the R recv rows by validity (valid
-    # rows first, arrival order kept), rank the free slots by cumsum,
-    # and let free slot #k GATHER valid recv row #k — one [C]-index row
-    # gather at the table-gather rate plus streaming selects.
-    R = recv.shape[0]
-    r_iota = lax.broadcasted_iota(jnp.int32, (R, 1), 0)[:, 0]
-    _, rperm = lax.sort(
-        ((~rvalid).astype(jnp.int32), r_iota), dimension=0, num_keys=2
-    )
+    # lane).  Free slot #k GATHERs valid recv row #k instead; and since
+    # the 2-phase admission pins the valid-row count of source chunk s
+    # to exactly min(admit[s], cap_out), row #k is found by a cumsum
+    # search over the S chunk counts — no validity sort, no validity
+    # channel in the payload.
+    chunk_n = jnp.minimum(admit, cap_out)                  # [S] rows per src
+    cum = jnp.cumsum(chunk_n)
+    n_recv = cum[S - 1]
     free = ~res
     fs_rank = jnp.cumsum(free.astype(jnp.int32)) - 1       # [C]
-    n_recv = jnp.sum(rvalid.astype(jnp.int32))
     placed = free & (fs_rank < n_recv)
-    recv_idx = rperm[jnp.clip(fs_rank, 0, R - 1)]
-    staged = recv[jnp.where(placed, recv_idx, 0)]          # [C, W+1]
+    k = jnp.clip(fs_rank, 0, jnp.maximum(n_recv - 1, 0))
+    s_of_k = jnp.sum((k[:, None] >= cum[None, :]).astype(jnp.int32), axis=1)
+    base = jnp.where(s_of_k > 0, cum[jnp.clip(s_of_k - 1, 0, S - 1)], 0)
+    recv_idx = s_of_k * cap_out + (k - base)
+    staged = recv[jnp.where(placed, recv_idx, 0)]          # [C, W]
     pm3 = placed[:, None]
     pos = jnp.where(pm3, staged[:, 0:3], pos)
     vel = jnp.where(pm3, staged[:, 3:6], vel)
