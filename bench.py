@@ -240,7 +240,7 @@ def run_config(name, n_side, n_particles, dt, n_cycles, diffusion=1e-3,
 
 
 def run_config_partitioned(name, workload, n_particles, dt, n_cycles,
-                           slack=1.5):
+                           slack=1.25, cap_out_frac=0.125):
     """The multi-chip regime's shard-local cycle + full migration glue on
     one chip (S=1): headline workload in ``slack``x particle slots, timed
     through the one-dispatch scan runner (a per-cycle Python dispatch
@@ -262,7 +262,9 @@ def run_config_partitioned(name, workload, n_particles, dt, n_cycles,
         pm, st.pos, st.vel, st.tet_id, st.active, slack=slack
     )
     pm, sp = partition.shard_arrays(pm, sp, dmesh)
-    run = partition.make_partitioned_runner(pm, cfg, dmesh, n_cycles)
+    run = partition.make_partitioned_runner(
+        pm, cfg, dmesh, n_cycles, cap_out_frac=cap_out_frac
+    )
     t0 = time.perf_counter()
     sp, _ = run(pm, sp, dt)
     jax.block_until_ready(sp.pos)

@@ -299,6 +299,8 @@ def distribute_particles(
     # can land every particle in one slab) plus migration slack
     max_load = int(np.bincount(dest, minlength=S).max()) if n else 0
     cap = max(int(n / S * slack), int(max_load * 1.25) + 1, 64)
+    cap = -(-cap // 8) * 8      # BLOCK multiple: the mega-resident runner
+    #                             carries slots directly in engine blocks
     if capacity is not None:
         if max_load > capacity:
             raise ValueError(
@@ -327,19 +329,21 @@ def distribute_particles(
     pact = np.zeros((S, cap), bool)
     pres = np.zeros((S, cap), bool)
     ppid = np.full((S, cap), -1, np.int32)
-    fill = np.zeros(S, np.int64)
-    for i in range(n):
-        s = dest[i]
-        k = fill[s]
-        if k >= cap:
+    if n:
+        if max_load > cap:
             raise ValueError("shard capacity exceeded at distribution")
-        ppos[s, k] = pos[i]
-        pvel[s, k] = vel[i]
-        ptet[s, k] = tet_new[i]
-        pact[s, k] = active[i]
-        pres[s, k] = True
-        ppid[s, k] = i
-        fill[s] += 1
+        # vectorized placement, same order as the per-particle loop:
+        # stable ascending pid within each shard
+        order = np.argsort(dest, kind="stable")
+        ds = dest[order]
+        starts = np.searchsorted(ds, np.arange(S))
+        k = np.arange(n, dtype=np.int64) - starts[ds]
+        ppos[ds, k] = pos[order]
+        pvel[ds, k] = vel[order]
+        ptet[ds, k] = tet_new[order]
+        pact[ds, k] = active[order]
+        pres[ds, k] = True
+        ppid[ds, k] = order
     return dataclasses.replace(
         out,
         pos=jnp.asarray(ppos, out.pos.dtype),
@@ -438,6 +442,87 @@ def _make_run_lanes_remote(mesh_view, tab, cfg, ly, R0, per):
     return run_lanes
 
 
+class _CachedCtx:
+    """Per-shard cached-engine context shared by the per-cycle path and
+    the mega-resident runner: locally-encoded walk table, engine view,
+    inner cfg, and the remote-pausing rare-stage resolver."""
+
+    __slots__ = ("tab", "mesh_view", "cfg", "cfg2", "ly", "run_lanes",
+                 "R0", "per")
+
+    def __init__(self, rows, bd_esc, per, cfg, fdt):
+        import dataclasses as _dc
+
+        from types import SimpleNamespace
+
+        from ..ops import fused
+
+        R0 = bd_esc.shape[0]
+        w = rows.shape[1]
+        ly = (fused.LAYOUT_PK if w == fused.LAYOUT_PK.row_w
+              else fused.LAYOUT_TET)
+        tab = rows                  # neighbor codes pre-encoded per shard
+        self.tab, self.ly, self.R0, self.per, self.cfg = tab, ly, R0, per, cfg
+        self.mesh_view = SimpleNamespace(
+            tet_row=tab if ly is fused.LAYOUT_TET else None,
+            tet_row_pk=tab if ly is fused.LAYOUT_PK else None,
+            bd_escape=bd_esc,
+            n_bd_faces=R0,
+            points=jnp.zeros((1, 3), fdt),
+        )
+        self.cfg2 = _dc.replace(
+            cfg, engine_impl="jnp", inline_bounce=False, escape_faces=False,
+            cycle_chunks=1, engine="cached", locate_mode="bary",
+            integrator="euler",
+        )
+        self.run_lanes = _make_run_lanes_remote(
+            self.mesh_view, tab, self.cfg2, ly, R0, per
+        )
+
+
+def _cached_ctx(rows, bd_esc, per, cfg, fdt) -> _CachedCtx:
+    return _CachedCtx(rows, bd_esc, per, cfg, fdt)
+
+
+def _pid_noise(key, step, pid, cfg, fdt, padl=lambda x: x):
+    """Brownian noise keyed by (run key, step, GLOBAL particle id):
+    streams are stable across migrations and shard counts (a slot/shard
+    keying changed a particle's stream whenever it migrated)."""
+    if not cfg.use_brownian:
+        return None
+    kstep = jax.random.fold_in(key, step)
+    ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+        kstep, jnp.maximum(pid, 0)
+    )
+    xi = jax.vmap(lambda kk: jax.random.normal(kk, (3,), fdt))(ks)
+    return padl(xi)
+
+
+def _settle_and_cycle(ctx: _CachedCtx, m, noise, key, step, dt):
+    """Settle migrated arrivals (hop-0 classify + rare stage with zero
+    displacement == the bespoke ``relocate(pos, tet, live)``, so
+    trajectories match single-device), then run the standard cached
+    advect/brownian/relocate cycle with the remote-pausing resolver."""
+    from ..ops import fused
+
+    n = m.shape[0]
+    nb = n // fused.BLOCK
+    w4 = fused._bary4(m, fused.RA, m[:, 0], m[:, 1], m[:, 2])
+    wmin = jnp.minimum(jnp.minimum(w4[0], w4[1]), jnp.minimum(w4[2], w4[3]))
+    act_m = m[:, fused.ACT] > 0.5
+    pend0 = act_m & (wmin < 0.0)
+    m = fused._rare_stage(
+        ctx.mesh_view, ctx.tab, m, pend0, ctx.cfg2, ctx.ly, n, nb,
+        ctx.ly.width, run_lanes=ctx.run_lanes,
+    )
+    if noise is None:
+        noise = jnp.zeros((n, 3), m.dtype)
+    return fused._mega_cycle_aligned(
+        ctx.mesh_view, m, key, step, ctx.cfg2, dt, noise=noise,
+        run_lanes=ctx.run_lanes,
+    )
+
+
 def _local_cycle(rows, nbrs, bd_esc, shard_id, per, pos, vel, disp, tet,
                  act, res, pid, key, step, cfg, dt):
     """Shard-local sub-step; walks pause at remote neighbors (tet left as
@@ -481,33 +566,11 @@ def _local_cycle_cached(rows, nbrs, bd_esc, shard_id, per, pos, vel, disp,
 
     Needs ``per + n_tets < 2**24`` (sentinels are exact f32 ints -- the
     same bound as the engine's neighbor codes)."""
-    import dataclasses as _dc
-
-    from types import SimpleNamespace
-
     from ..ops import fused
 
     lo = shard_id * per
     C = pos.shape[0]
-    R0 = bd_esc.shape[0]
-    w = rows.shape[1]
-    ly = fused.LAYOUT_PK if w == fused.LAYOUT_PK.row_w else fused.LAYOUT_TET
-    fdt = pos.dtype
-
-    tab = rows                      # neighbor codes pre-encoded per shard
-    mesh_view = SimpleNamespace(
-        tet_row=tab if ly is fused.LAYOUT_TET else None,
-        tet_row_pk=tab if ly is fused.LAYOUT_PK else None,
-        bd_escape=bd_esc,
-        n_bd_faces=R0,
-        points=jnp.zeros((1, 3), fdt),
-    )
-    cfg2 = _dc.replace(
-        cfg, engine_impl="jnp", inline_bounce=False, escape_faces=False,
-        cycle_chunks=1, engine="cached", locate_mode="bary",
-        integrator="euler",
-    )
-    run_lanes = _make_run_lanes_remote(mesh_view, tab, cfg2, ly, R0, per)
+    ctx = _cached_ctx(rows, bd_esc, per, cfg, pos.dtype)
 
     live = res & act & (tet >= lo) & (tet < lo + per)
     tl = jnp.where(live, tet - lo, 0)
@@ -519,38 +582,10 @@ def _local_cycle_cached(rows, nbrs, bd_esc, shard_id, per, pos, vel, disp,
         ) if npad else x
 
     m = fused.pack_state(
-        mesh_view, padl(pos), padl(vel), padl(tl), padl(live), ly
+        ctx.mesh_view, padl(pos), padl(vel), padl(tl), padl(live), ctx.ly
     )
-    n = C + npad
-    nb = n // fused.BLOCK
-
-    # --- settle migrated arrivals: hop-0 classify + rare stage with zero
-    # displacement == the bespoke relocate(pos, tet, live) ---
-    w4 = fused._bary4(m, fused.RA, m[:, 0], m[:, 1], m[:, 2])
-    wmin = jnp.minimum(jnp.minimum(w4[0], w4[1]), jnp.minimum(w4[2], w4[3]))
-    act_m = m[:, fused.ACT] > 0.5
-    pend0 = act_m & (wmin < 0.0)
-    m = fused._rare_stage(
-        mesh_view, tab, m, pend0, cfg2, ly, n, nb, ly.width,
-        run_lanes=run_lanes,
-    )
-
-    # --- advect + brownian + relocate (the standard cached cycle) ---
-    if cfg.use_brownian:
-        # noise keyed by (run key, step, GLOBAL particle id): streams are
-        # stable across migrations and shard counts (a slot/shard keying
-        # changed a particle's stream whenever it migrated)
-        kstep = jax.random.fold_in(key, step)
-        ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
-            kstep, jnp.maximum(pid, 0)
-        )
-        xi = jax.vmap(lambda kk: jax.random.normal(kk, (3,), fdt))(ks)
-        noise = padl(xi)
-    else:
-        noise = jnp.zeros((n, 3), fdt)
-    m = fused._mega_cycle_aligned(
-        mesh_view, m, key, step, cfg2, dt, noise=noise, run_lanes=run_lanes
-    )
+    noise = _pid_noise(key, step, pid, cfg, pos.dtype, padl)
+    m = _settle_and_cycle(ctx, m, noise, key, step, dt)
 
     pos2, vel2, tl2, _ = fused.unpack_state(m[:C])
     settled = tl2 >= 0
@@ -840,6 +875,117 @@ def _migrate(pos, vel, disp, tet, act, res, pid, shard_id, per, n_shards,
     return pos, vel, disp, tet, act, res, pid, migrated, deferred
 
 
+def _migrate_mega(ctx: _CachedCtx, m, act, res, pid, shard_id, per, n_shards,
+                  cap_out):
+    """:func:`_migrate` on resident MEGA rows (the mega-resident runner's
+    exchange): payload is the mega state prefix ``[P0|V0|global tet|act]``
+    plus two f32-exact 16-bit pid halves; arrival rows are re-packed
+    against the DESTINATION shard's walk table (one cap_out-row table
+    gather) before the merge-by-gather placement, so the carried mega
+    never needs a full re-pack.  Also zeroes the mega ACT column of every
+    remote-coded lane (sent slots become free; deferred lanes idle in
+    limbo until a later round admits them)."""
+    from ..ops import fused
+
+    S = n_shards
+    P0, V0, TET, ACT, ROW = fused.P0, fused.V0, fused.TET, fused.ACT, fused.ROW
+    C = m.shape[0]
+    fdt = m.dtype
+    lo = shard_id * per
+
+    tl = m[:, TET].astype(jnp.int32)
+    leaving = res & (tl < -per)
+    g = -tl - per - 1
+    dest = jnp.where(leaving, g // per, shard_id)
+
+    # 2-phase admission (identical to _migrate)
+    onehot = (dest[:, None] == jnp.arange(S)[None, :]) & leaving[:, None]
+    req = jnp.sum(onehot.astype(jnp.int32), axis=0)
+    req_in = lax.all_to_all(req, "s", split_axis=0, concat_axis=0)
+    my_free = jnp.sum((~res).astype(jnp.int32))
+    cum_prev = jnp.cumsum(req_in) - req_in
+    admit = jnp.clip(my_free - cum_prev, 0, req_in)
+    grant = lax.all_to_all(admit, "s", split_axis=0, concat_axis=0)
+
+    ranks = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1
+    lane_rank = jnp.sum(jnp.where(onehot, ranks, 0), axis=1)
+    fits = leaving & (lane_rank < cap_out) & (
+        lane_rank < grant[jnp.clip(dest, 0, S - 1)]
+    )
+
+    # payload: the mega state prefix with TET rewritten to the GLOBAL
+    # target and ACT to the authoritative side flag, plus pid halves
+    # (pid up to 2**31 survives f32 transport as two 16-bit words)
+    payload = jnp.concatenate(
+        [
+            m[:, :ROW]
+            .at[:, TET].set(g.astype(fdt))
+            .at[:, ACT].set(act.astype(fdt)),
+            (pid & 0xFFFF).astype(fdt)[:, None],
+            ((pid >> 16) & 0x7FFF).astype(fdt)[:, None],
+        ],
+        axis=1,
+    )                                                      # [C, ROW+2]
+    W = payload.shape[1]
+    key = jnp.where(fits, dest, S).astype(jnp.int32)
+    lane_iota = lax.broadcasted_iota(jnp.int32, (C, 1), 0)[:, 0]
+    _, perm_sorted = lax.sort((key, lane_iota), dimension=0, num_keys=2)
+    sent = jnp.minimum(grant, cap_out)
+    offset = jnp.cumsum(sent) - sent
+    r_io = lax.broadcasted_iota(jnp.int32, (S, cap_out), 1)
+    src = perm_sorted[
+        jnp.clip(offset[:, None] + r_io, 0, C - 1)
+    ].reshape(-1)
+    valid_s = (r_io < sent[:, None]).reshape(-1)
+    send = jnp.where(
+        valid_s[:, None], payload[src], 0.0
+    ).reshape(S, cap_out, W)
+
+    recv = lax.all_to_all(send, "s", split_axis=0, concat_axis=0,
+                          tiled=False).reshape(S * cap_out, W)
+
+    # sent slots become free; every remote-coded lane idles (ACT col 0)
+    res = res & ~fits
+    m = m.at[:, ACT].set(
+        jnp.where(leaving, jnp.zeros((), fdt), m[:, ACT])
+    )
+
+    # re-pack arrivals against THIS shard's table (R-space), pid halves
+    # riding the spare mega columns so ONE placement gather carries all
+    rg = recv[:, TET].astype(jnp.int32)
+    rtl = jnp.clip(rg - lo, 0, per - 1)
+    arr = jnp.zeros((S * cap_out, ctx.ly.width), fdt)
+    arr = arr.at[:, :ROW].set(recv[:, :ROW])
+    arr = arr.at[:, TET].set(rtl.astype(fdt))
+    arr = arr.at[:, ROW : ROW + ctx.ly.row_w].set(ctx.tab[rtl])
+    spare = ROW + ctx.ly.row_w
+    arr = arr.at[:, spare : spare + 2].set(recv[:, ROW : ROW + 2])
+
+    chunk_n = jnp.minimum(admit, cap_out)
+    cum = jnp.cumsum(chunk_n)
+    n_recv = cum[S - 1]
+    free = ~res
+    fs_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    placed = free & (fs_rank < n_recv)
+    k = jnp.clip(fs_rank, 0, jnp.maximum(n_recv - 1, 0))
+    s_of_k = jnp.sum((k[:, None] >= cum[None, :]).astype(jnp.int32), axis=1)
+    base = jnp.where(s_of_k > 0, cum[jnp.clip(s_of_k - 1, 0, S - 1)], 0)
+    recv_idx = s_of_k * cap_out + (k - base)
+    staged = arr[jnp.where(placed, recv_idx, 0)]           # [C, width]
+    m = jnp.where(placed[:, None], staged, m)
+    act = jnp.where(placed, staged[:, ACT] > 0.5, act)
+    pid = jnp.where(
+        placed,
+        staged[:, spare].astype(jnp.int32)
+        + (staged[:, spare + 1].astype(jnp.int32) << 16),
+        pid,
+    )
+    res = res | placed
+    deferred = jnp.sum((leaving & ~fits).astype(jnp.int32))
+    migrated = jnp.sum(fits.astype(jnp.int32))
+    return m, act, res, pid, migrated, deferred
+
+
 def make_partitioned_step(pm: PartitionedMesh, cfg: StepConfig, device_mesh: Mesh,
                           cap_out_frac: float = 0.25):
     """Build the jitted multi-device step: shard_map over the shard axis of
@@ -896,9 +1042,42 @@ def make_partitioned_step(pm: PartitionedMesh, cfg: StepConfig, device_mesh: Mes
 def make_partitioned_runner(pm: PartitionedMesh, cfg: StepConfig,
                             device_mesh: Mesh, n_cycles: int,
                             cap_out_frac: float = 0.25):
-    """``n_cycles`` partitioned steps in ONE jit (``lax.scan`` over the
-    step body).  Through the axon tunnel a per-cycle Python dispatch costs
-    ~26 ms — time the partitioned cycle with this, not a step() loop."""
+    """``n_cycles`` partitioned steps in ONE jit.  Through the axon
+    tunnel a per-cycle Python dispatch costs ~26 ms — time the
+    partitioned cycle with this, not a step() loop.
+
+    Bary/Pk layouts with BLOCK-aligned capacity ride the MEGA-RESIDENT
+    scan (:func:`make_partitioned_runner_mega`): the packed mega carries
+    across cycles, so the per-cycle full re-pack (a [C]-row table gather
+    + state rebuild) disappears and the loop-invariant walk table keeps
+    its S(1) fast-memory placement inside the scan.  ConvexPoly (and
+    unaligned capacities) fall back to a ``lax.scan`` over the per-cycle
+    step; both produce bit-identical trajectories (pinned by
+    ``test_partitioned_runner_matches_step_loop``)."""
+    from ..ops import fused
+
+    w = pm.tet_row.shape[-1]
+    is_cx = w == 24 and getattr(cfg, "locate_mode", "bary") == "convex"
+    impls = {}
+
+    def run(pmesh: PartitionedMesh, sp: ShardedParticles, dt):
+        use_mega = (not is_cx) and sp.capacity % fused.BLOCK == 0
+        kind = "mega" if use_mega else "step"
+        fn = impls.get(kind)
+        if fn is None:
+            fn = (
+                make_partitioned_runner_mega if use_mega
+                else _make_partitioned_runner_steps
+            )(pm, cfg, device_mesh, n_cycles, cap_out_frac)
+            impls[kind] = fn
+        return fn(pmesh, sp, dt)
+
+    return run
+
+
+def _make_partitioned_runner_steps(pm: PartitionedMesh, cfg: StepConfig,
+                                   device_mesh: Mesh, n_cycles: int,
+                                   cap_out_frac: float = 0.25):
     step = make_partitioned_step(pm, cfg, device_mesh, cap_out_frac)
 
     @jax.jit
@@ -910,6 +1089,127 @@ def make_partitioned_runner(pm: PartitionedMesh, cfg: StepConfig,
         sp2, md = lax.scan(body, sp, None, length=n_cycles)
         return sp2, {"migrated": jnp.sum(md[:, 0]),
                      "deferred": jnp.sum(md[:, 1])}
+
+    return run
+
+
+def make_partitioned_runner_mega(pm: PartitionedMesh, cfg: StepConfig,
+                                 device_mesh: Mesh, n_cycles: int,
+                                 cap_out_frac: float = 0.25):
+    """Mega-resident ``n_cycles`` scan: encode every slot into the packed
+    mega ONCE (settled lanes -> local tet, limbo lanes -> remote sentinel
+    with mega ACT 0, escaped lanes -> shard-local escape code), run the
+    settle+cycle core per scan iteration with migration exchanged
+    directly on mega rows (:func:`_migrate_mega`), and decode back to
+    slot arrays at the end.  Trajectory-identical to the per-cycle step
+    loop; the ``active``/``resident``/``pid`` side arrays stay authoritative
+    (the mega ACT column only gates the engine)."""
+    from ..ops import fused
+
+    S = pm.n_shards
+    per = pm.tets_per_shard
+
+    def shard_body(rows, nbrs, bd_esc, pos, vel, disp, tet, act, res, pid,
+                   key, step0, dt):
+        rows = rows[0]
+        pos, vel, tet, act, res, pid = (
+            x[0] for x in (pos, vel, tet, act, res, pid)
+        )
+        sid = lax.axis_index("s")
+        lo = sid * per
+        C = pos.shape[0]
+        fdt = pos.dtype
+        ctx = _cached_ctx(rows, bd_esc, per, cfg, fdt)
+        cap_out = max(int(C * cap_out_frac), 16)
+        P0, V0, TET, ACT, ROW = (
+            fused.P0, fused.V0, fused.TET, fused.ACT, fused.ROW
+        )
+
+        in_sh = (tet >= lo) & (tet < lo + per)
+        tl0 = jnp.where(
+            ~res, 0,
+            jnp.where(
+                in_sh & (tet >= 0), tet - lo,
+                jnp.where(tet >= 0, -(per + tet + 1), tet + lo),
+            ),
+        )
+        live0 = res & act & in_sh & (tet >= 0)
+        m = jnp.zeros((C, ctx.ly.width), fdt)
+        m = m.at[:, P0 : P0 + 3].set(pos)
+        m = m.at[:, V0 : V0 + 3].set(vel)
+        m = m.at[:, TET].set(tl0.astype(fdt))
+        m = m.at[:, ACT].set(live0.astype(fdt))
+        m = m.at[:, ROW : ROW + ctx.ly.row_w].set(
+            ctx.tab[jnp.clip(tl0, 0, per - 1)]
+        )
+
+        def body(carry, stepc):
+            m, act, res, pid = carry
+            pre_tl = m[:, TET].astype(jnp.int32)
+            # a lane that ESCAPED last cycle keeps act until the advect
+            # kill below, but must not advect or settle this cycle — the
+            # per-cycle path's re-pack encodes exactly live = res & act &
+            # in-shard; replicate by gating the carried ACT on tl >= 0
+            live_pre = (m[:, ACT] > 0.5) & (pre_tl >= 0)
+            m = m.at[:, ACT].set(
+                jnp.where(live_pre, m[:, ACT], jnp.zeros((), m.dtype))
+            )
+            noise = _pid_noise(key, stepc, pid, cfg, m.dtype)
+            m = _settle_and_cycle(ctx, m, noise, key, stepc, dt)
+            act = jnp.where(live_pre, m[:, ACT] > 0.5, act)
+            if cfg.use_advection:
+                # advect kill by PRE-cycle location: escaped-coded lanes
+                # die, settled and limbo lanes live (== slot tet >= 0)
+                act = act & ((pre_tl >= 0) | (pre_tl < -per) | ~res)
+                m = m.at[:, ACT].set(m[:, ACT] * act.astype(m.dtype))
+            m, act, res, pid, mig, defr = _migrate_mega(
+                ctx, m, act, res, pid, sid, per, S, cap_out
+            )
+            return (m, act, res, pid), jnp.stack([mig, defr])
+
+        (m, act, res, pid), md = lax.scan(
+            body, (m, act, res, pid),
+            step0 + jnp.arange(n_cycles, dtype=jnp.int32),
+        )
+
+        pos2, vel2, tl2, _ = fused.unpack_state(m)
+        settled = tl2 >= 0
+        escaped = (tl2 < 0) & (tl2 >= -per)
+        tet_g = jnp.where(
+            settled, tl2 + lo,
+            jnp.where(escaped, tl2 - lo, -tl2 - per - 1),
+        )
+        pos = jnp.where(res[:, None], pos2, pos)
+        vel = jnp.where(res[:, None], vel2, vel)
+        tet = jnp.where(res, tet_g, tet)
+        return (
+            pos[None], vel[None], jnp.zeros_like(pos)[None], tet[None],
+            act[None], res[None], pid[None],
+            jnp.sum(md[:, 0])[None], jnp.sum(md[:, 1])[None],
+        )
+
+    spec_s = P("s")
+    smapped = shard_map(
+        shard_body,
+        mesh=device_mesh,
+        in_specs=(spec_s, spec_s, P()) + (spec_s,) * 7 + (P(), P(), P()),
+        out_specs=(spec_s,) * 9,
+    )
+
+    @jax.jit
+    def run(pmesh: PartitionedMesh, sp: ShardedParticles, dt):
+        pos, vel, disp, tet, act, res, pid, migrated, deferred = smapped(
+            pmesh.tet_row, pmesh.tet_nbr, pmesh.bd_escape,
+            sp.pos, sp.vel, sp.disp, sp.tet, sp.active, sp.resident, sp.pid,
+            sp.rng_key, sp.step, jnp.asarray(dt, sp.pos.dtype),
+        )
+        return (
+            dataclasses.replace(
+                sp, pos=pos, vel=vel, disp=disp, tet=tet, active=act,
+                resident=res, pid=pid, step=sp.step + n_cycles,
+            ),
+            {"migrated": jnp.sum(migrated), "deferred": jnp.sum(deferred)},
+        )
 
     return run
 

@@ -419,12 +419,63 @@ def test_partitioned_runner_matches_step_loop(circulating):
     run = partition.make_partitioned_runner(pm, cfg, dmesh, 12)
     sp_scan, stats = run(pm, sp0, 0.05)
     assert int(stats["migrated"]) == migrated
+    res = np.asarray(sp_loop.resident)
+    np.testing.assert_array_equal(np.asarray(sp_scan.resident), res)
+    # dead (non-resident) slot contents are outside the contract: the
+    # per-cycle path leaves a sent lane's stale post-cycle state behind,
+    # the mega-resident path its pre-scan state
     np.testing.assert_array_equal(
-        np.asarray(sp_scan.pos), np.asarray(sp_loop.pos)
+        np.asarray(sp_scan.pos)[res], np.asarray(sp_loop.pos)[res]
     )
     np.testing.assert_array_equal(
-        np.asarray(sp_scan.tet), np.asarray(sp_loop.tet)
+        np.asarray(sp_scan.tet)[res], np.asarray(sp_loop.tet)[res]
     )
     np.testing.assert_array_equal(
-        np.asarray(sp_scan.resident), np.asarray(sp_loop.resident)
+        np.asarray(sp_scan.pid)[res], np.asarray(sp_loop.pid)[res]
     )
+
+
+def test_partitioned_runner_mega_brownian_escape(circulating):
+    # the mega-resident runner must match the per-cycle step loop under
+    # Brownian noise, absorbing patches (escape decode + advect kill),
+    # and migration pressure (outward draining field)
+    from cudaparticlesfoam_tpu.mesh import set_boundary_escape
+
+    mesh, st = circulating
+    cen = np.asarray(mesh.points, dtype=np.float64)[
+        np.asarray(mesh.tets)
+    ].mean(axis=1)
+    outward = cen - 4.0
+    outward /= np.linalg.norm(outward, axis=1, keepdims=True) + 1e-12
+    mesh_o = replace_velocity(mesh, tet_vel=outward * 1.2)
+    mesh_o = set_boundary_escape(mesh_o, [0])
+    cfg = StepConfig(dt=0.1, diffusion_coeff=5e-4, engine="simple")
+
+    pm = partition.partition_mesh(mesh_o, S)
+    dmesh = sharding.make_device_mesh(S, axis="s")
+    sp0 = partition.distribute_particles(
+        pm, st.pos, st.vel, st.tet_id, st.active, rng_key=st.rng_key
+    )
+    pm, sp0 = partition.shard_arrays(pm, sp0, dmesh)
+    assert sp0.capacity % 8 == 0     # the mega runner path must engage
+
+    step = partition.make_partitioned_step(pm, cfg, dmesh)
+    sp_loop, migrated = sp0, 0
+    for _ in range(25):
+        sp_loop, mstats = step(pm, sp_loop, cfg.dt)
+        migrated += int(mstats["migrated"])
+    assert migrated > 0              # migration actually exercised
+
+    run = partition.make_partitioned_runner_mega(pm, cfg, dmesh, 25)
+    sp_mega, stats = run(pm, sp0, cfg.dt)
+    assert int(stats["migrated"]) == migrated
+    n_dead = int((~np.asarray(sp_mega.active) & np.asarray(sp_mega.resident)).sum())
+    assert n_dead > 50               # escapes actually exercised
+    res = np.asarray(sp_loop.resident)
+    np.testing.assert_array_equal(np.asarray(sp_mega.resident), res)
+    np.testing.assert_array_equal(np.asarray(sp_mega.step), np.asarray(sp_loop.step))
+    for f in ("pos", "vel", "tet", "active", "pid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sp_mega, f))[res],
+            np.asarray(getattr(sp_loop, f))[res], err_msg=f,
+        )
