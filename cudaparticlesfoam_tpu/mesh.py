@@ -145,6 +145,33 @@ def _inv3(m):
     return inv / det[..., None, None]
 
 
+def _inv3_jnp(m):
+    """_inv3 in jnp (same adjugate formula) for on-device geometry
+    refresh; elementwise only, no LAPACK/LU padding."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d  # noqa: E741
+    det = a * A + b * D + c * G
+    inv = jnp.stack(
+        [
+            jnp.stack([A, B, C], axis=-1),
+            jnp.stack([D, E, F], axis=-1),
+            jnp.stack([G, H, I], axis=-1),
+        ],
+        axis=-2,
+    )
+    return inv / det[..., None, None]
+
+
 def _canonicalize_winding(points: np.ndarray, tets: np.ndarray) -> np.ndarray:
     """Swap first two vertices of negative-volume tets (HostTetMesh.h:334-343).
 
@@ -603,7 +630,11 @@ def refresh_geometry(mesh: TetMesh, new_points) -> TetMesh:
     c = pts[tets[:, 2]]
     d = pts[tets[:, 3]]
     m3 = jnp.stack([b - a, c - a, d - a], axis=-1)
-    tinv = jnp.linalg.inv(m3)
+    # adjugate inverse (the device twin of _inv3): jnp.linalg.inv lowers
+    # to a padded batched LU on TPU whose HLO temp is ~2000x the operand
+    # (29.4 GB at 5.14M tets — an OOM at compile time); the closed form
+    # is pure elementwise math
+    tinv = _inv3_jnp(m3)
     slot_pts = pts[tets[:, FACE_SLOTS]]                  # [nt,4,3,3]
     p0, p1, p2 = slot_pts[:, :, 0], slot_pts[:, :, 1], slot_pts[:, :, 2]
     n = jnp.cross(p1 - p0, p2 - p0)
