@@ -78,37 +78,56 @@ def build_unstructured_workload(n_side, n_particles, diffusion=1e-3,
     volumes, and face orientations; topology intact) with an absorbing
     outflow patch at +x (escape faces ON, exercising the outflow path)
     and the confined vortex so the bulk recirculates while Brownian
-    contact feeds a realistic trickle of escapes."""
+    contact feeds a realistic trickle of escapes.
+
+    Built HOST-SIDE in one from_arrays pass: device ``refresh_geometry``
+    materializes [nt,4,3]-shaped temporaries whose TPU tile padding
+    (lane dim 3 -> 128) is ~31 GB at 5.14M tets — a compile-time OOM."""
     import dataclasses as dc
 
     import jax.numpy as jnp
 
-    from cudaparticlesfoam_tpu.mesh import (
-        host_np, refresh_geometry, set_boundary_escape,
+    from cudaparticlesfoam_tpu import (
+        build_grid_locator, locate_seeds, seed_in_box,
     )
+    from cudaparticlesfoam_tpu.mesh import (
+        box_points_tets, from_arrays, host_np, set_boundary_escape,
+    )
+    from cudaparticlesfoam_tpu.state import replace as replace_state
 
-    mesh, st = build_workload(n_side, n_particles, diffusion)
-    pts = host_np(mesh, "points", np.float64)
+    t0 = time.perf_counter()
+    pts, tets, _ = box_points_tets(n_side, n_side, n_side)
+    # the confined vortex of build_workload, from PRE-jitter centroids
+    cen = pts[tets].mean(axis=1)
+    r = cen[:, :2] - n_side / 2.0
+    r2 = (r * r).sum(axis=1) / (n_side / 2.0) ** 2
+    omega = (5.2 / n_side) * np.maximum(1.0 - r2, 0.0)
+    u = np.zeros_like(cen)
+    u[:, 0] = -r[:, 1] * omega
+    u[:, 1] = r[:, 0] * omega
     rng = np.random.default_rng(seed)
     inner = np.all((pts > 1e-9) & (pts < n_side - 1e-9), axis=1)
     jit = np.where(
         inner[:, None], rng.uniform(-jitter, jitter, pts.shape), 0.0
     )
+    mesh = from_arrays(pts + jit, tets, tet_vel=u)
+    log(f"mesh: {mesh.n_tets} jittered tets "
+        f"({time.perf_counter()-t0:.1f}s host build)")
     # +x boundary faces become an absorbing outflow patch (classified on
-    # the PRE-jitter points — boundary vertices are pinned, and reading
-    # points back after refresh_geometry would be a device readback)
+    # the PRE-jitter points — boundary vertices are pinned)
     tri = host_np(mesh, "bd_tris")
     ctr = pts[tri].mean(axis=1)
-    mesh = refresh_geometry(mesh, jnp.asarray(pts + jit, mesh.points.dtype))
     patch = (ctr[:, 0] > n_side - 1e-6).astype(np.int32)
     mesh = dc.replace(mesh, bd_patch=jnp.asarray(patch))
     mesh = set_boundary_escape(mesh, [1])
-    # re-locate the seeds on the jittered geometry
-    from cudaparticlesfoam_tpu import build_grid_locator, locate_seeds
-    from cudaparticlesfoam_tpu.state import replace as replace_state
-
     loc = build_grid_locator(mesh)
+    lo, hi = 0.05 * n_side, 0.95 * n_side
+    st = seed_in_box(n_particles, (lo,) * 3, (hi,) * 3, method="threefry")
     st = replace_state(st, tet_id=locate_seeds(mesh, loc, st.pos))
+    import jax.numpy as _j
+
+    log(f"seeded {n_particles} particles, "
+        f"{int(_j.sum(st.tet_id < 0))} out of domain")
     return mesh, st
 
 

@@ -485,14 +485,10 @@ def from_arrays(
 # ---------------------------------------------------------------------------
 
 
-def box_mesh(nx: int, ny: int, nz: int, dtype=None) -> TetMesh:
-    """Synthetic box fixture: nx*ny*nz hexes, 6 tets each, radial velocity.
-
-    Bit-matches the reference's ``HostTetMesh::createBoxMesh``
-    (``HostTetMesh.h:62-144``): unit-spaced vertices over [0,n]^3, the 6-tet
-    Kuhn split per hex in the same vertex order, per-vertex velocity
-    normalize(pos - center) (with the center vertex itself set to (1,0,0)).
-    """
+def box_points_tets(nx: int, ny: int, nz: int):
+    """Host-only (points, tets, vert_vel) of the box fixture — the
+    topology/geometry of :func:`box_mesh` without building any tables
+    (callers that perturb the points first avoid a second table build)."""
     xs = np.arange(nx + 1, dtype=np.float64)
     ys = np.arange(ny + 1, dtype=np.float64)
     zs = np.arange(nz + 1, dtype=np.float64)
@@ -528,7 +524,18 @@ def box_mesh(nx: int, ny: int, nz: int, dtype=None) -> TetMesh:
         ],
         axis=1,
     ).reshape(-1, 4)
+    return points, tets, vert_vel
 
+
+def box_mesh(nx: int, ny: int, nz: int, dtype=None) -> TetMesh:
+    """Synthetic box fixture: nx*ny*nz hexes, 6 tets each, radial velocity.
+
+    Bit-matches the reference's ``HostTetMesh::createBoxMesh``
+    (``HostTetMesh.h:62-144``): unit-spaced vertices over [0,n]^3, the 6-tet
+    Kuhn split per hex in the same vertex order, per-vertex velocity
+    normalize(pos - center) (with the center vertex itself set to (1,0,0)).
+    """
+    points, tets, vert_vel = box_points_tets(nx, ny, nz)
     # per-tet velocity: vertex average (for the TetVelocity fast path)
     tet_vel = vert_vel[tets].mean(axis=1)
     return from_arrays(points, tets, tet_vel=tet_vel, vert_vel=vert_vel, dtype=dtype)
