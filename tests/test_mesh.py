@@ -330,3 +330,36 @@ def test_native_tet_tables_bit_exact():
         nat,
     ):
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got), name)
+
+
+def test_inv3_jnp_matches_host_adjugate():
+    """The device 3x3 inverse (refresh_geometry's _inv3_jnp) is the same
+    adjugate formula as the host builder's _inv3 — jnp.linalg.inv is NOT
+    usable there (its padded batched LU is a ~2000x HLO temp at 5M
+    tets).  Pin parity against the host twin and against the LAPACK
+    answer."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(257, 3, 3))
+    # keep conditioning sane: push diagonals away from singularity
+    m += 3.0 * np.eye(3)
+    host = meshlib._inv3(m)
+    dev = np.asarray(meshlib._inv3_jnp(jnp.asarray(m)))
+    np.testing.assert_allclose(dev, host, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(dev, np.linalg.inv(m), rtol=1e-9, atol=1e-10)
+
+
+def test_box_points_tets_is_box_mesh():
+    """box_mesh == from_arrays(box_points_tets(...)) — the factoring that
+    lets bench.py jitter points BEFORE the (single) host table build."""
+    pts, tets, vv = meshlib.box_points_tets(3, 2, 4)
+    tv = vv[tets].mean(axis=1)
+    a = meshlib.box_mesh(3, 2, 4)
+    b = meshlib.from_arrays(pts, tets, tet_vel=tv, vert_vel=vv)
+    np.testing.assert_array_equal(np.asarray(a.tets), np.asarray(b.tets))
+    np.testing.assert_array_equal(np.asarray(a.points), np.asarray(b.points))
+    np.testing.assert_array_equal(np.asarray(a.tet_row), np.asarray(b.tet_row))
+    np.testing.assert_array_equal(
+        np.asarray(a.tet_nbr), np.asarray(b.tet_nbr)
+    )
